@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local runs mirror the driver harness (`local[32]`, 128 GiB heap) but
+  * every setting is chosen to transfer to a multi-executor cluster:
+  *   - `spark.sql.shuffle.partitions` sized to cores (not the 200
+  *     default) — on a real cluster set it to 2-3× total executor cores;
+  *     AQE re-coalesces at runtime either way.
+  *   - AQE on (partition coalescing + skew-join splitting) so plans
+  *     survive a 100× scale-up without manual retuning.
+  *   - UTC session time zone for timestamp parity with the oracle.
+  */
+object GraftSession {
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def build(appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

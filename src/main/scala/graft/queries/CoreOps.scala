@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's core stream combinators (SURVEY §2.1 — `Stream.scala`
+  * map/filter/flatMap/append/fold/grouped/recover/toList) re-expressed as
+  * declarative Spark plans over the driver tables. Each is a narrow,
+  * codegen-friendly transform; Catalyst pushes filters/projections into
+  * the parquet scan.
+  */
+object CoreOps extends QueryGroup {
+  import Sql._
+
+  /** `Stream.map` (Stream.scala:14-23): per-element projection. */
+  private val mapProject = Q(
+    "c01_map_project",
+    "per-row computed projection (reference Stream.map)",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") * 2.0).as("qty2"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity * 2.0 AS qty2,
+            l_extendedprice * (1.0 - l_discount) AS net_price
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** `Stream.filter` (Stream.scala:36-47): predicate pushdown to parquet. */
+  private val filterPredicate = Q(
+    "c02_filter",
+    "predicate filter, pushed to the parquet scan (reference Stream.filter)",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .filter(col("l_discount") > 0.08 && col("l_quantity") >= 30.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem WHERE l_discount > 0.08 AND l_quantity >= 30.0
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** `Stream.flatMap` (Stream.scala:25-34): 1→N expansion via explode. */
+  private val flatMapExplode = Q(
+    "c03_flatmap_tokens",
+    "explode documents into tokens, count by token (reference Stream.flatMap)",
+    (s, dir) => {
+      Tables(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(100)
+    },
+    Some("""SELECT token, COUNT(*) AS n FROM
+            (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""))
+
+  /** `Stream.append` (Stream.scala:49-54): ordered this-then-that concat.
+    * Spark `union` has no inter-operand order, so the operand is tagged —
+    * the reference's ordering contract is carried by the `src` column.
+    */
+  private val unionAppend = Q(
+    "c04_union_append",
+    "ordered UNION ALL with operand tag (reference Stream.append)",
+    (s, dir) => {
+      val o = Tables(s, dir).orders
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), lit("a").as("src"))
+      val b = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), lit("b").as("src"))
+      a.union(b).orderBy("src", "o_orderkey")
+    },
+    Some("""SELECT * FROM (
+            SELECT o_orderkey, 'a' AS src FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL
+            SELECT o_orderkey, 'b' AS src FROM orders WHERE o_orderstatus = 'O')
+            ORDER BY src, o_orderkey"""))
+
+  /** `Stream.fold` / `Sink` (Stream.scala:56-68, Node.scala:439): terminal
+    * fold → distributed partial+final aggregation (map-side combine).
+    */
+  private val foldSum = Q(
+    "c05_fold_global_agg",
+    "global fold to one row (reference Stream.fold / Sink)",
+    (s, dir) => {
+      Tables(s, dir).lineitem.agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+    },
+    Some(s"""SELECT ${oSum("l_quantity")} AS sum_qty,
+             ${oSum("l_extendedprice")} AS sum_price, COUNT(*) AS n
+             FROM lineitem"""))
+
+  /** `Stream.grouped` / `windowByCount` (Stream.scala:230-256): tumbling
+    * count windows over a global order. The global `row_number` forces a
+    * single-partition sort — correct but intentionally non-scalable, kept
+    * for reference parity; the scalable per-key variant is the streaming
+    * count-window operator (graft.streaming).
+    */
+  private val countWindow = Q(
+    "c06_count_window",
+    "tumbling count windows of 500 rows over global order (reference grouped)",
+    (s, dir) => {
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      Tables(s, dir).lineitem
+        .withColumn("rn", row_number().over(w))
+        .withColumn("win_id", floor((col("rn") - 1) / lit(500)).cast("long"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("win_id")
+    },
+    Some(s"""SELECT CAST(floor((rn - 1) / 500) AS BIGINT) AS win_id,
+             COUNT(*) AS n, ${oSum("l_quantity")} AS sum_qty
+             FROM (SELECT l_quantity,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+                   FROM lineitem)
+             GROUP BY 1 ORDER BY 1"""))
+
+  /** `Stream.recover` (Stream.scala:90-93): element-level recovery — the
+    * failing lambda is guarded and replaced by a fallback value, the
+    * distributed analog of "emit one fallback then continue" (SURVEY
+    * §7.4.3: per-element Either-style recovery).
+    */
+  private val recoverCase = Q(
+    "c07_recover_fallback",
+    "guarded division with fallback value (reference Stream.recover)",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") === 30.0, lit(-1.0))
+            .otherwise(lit(100.0) / (col("l_quantity") - 30.0)).as("risky"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_quantity = 30.0 THEN -1.0
+                 ELSE 100.0 / (l_quantity - 30.0) END AS risky
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** `toList` / iterator (Stream.scala:81-88): ordered materialization —
+    * global sort + limit (top-k runs as a distributed TakeOrdered).
+    */
+  private val orderedTake = Q(
+    "c08_ordered_take",
+    "ordered take: top 20 orders by totalprice (reference toList/iterator)",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""))
+
+  /** Exact distinct (reference has none — SURVEY §2.6 set-ops row). */
+  private val distinctRows = Q(
+    "c09_distinct",
+    "distinct (returnflag, linestatus) pairs",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val all: Seq[Q] = Seq(
+    mapProject, filterPredicate, flatMapExplode, unionAppend, foldSum,
+    countWindow, recoverCase, orderedTake, distinctRows)
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One verifiable query: a Spark implementation plus (usually) an ANSI-SQL
+  * oracle the driver runs through DuckDB on the same parquet tables.
+  * Column names/order must match between the two (the driver sorts columns
+  * by name before hashing values).
+  */
+final case class Q(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+trait QueryGroup {
+  def all: Seq[Q]
+}
+
+/** Helpers shared by query definitions.
+  *
+  * Floating-point policy for oracle parity: per-row double arithmetic is
+  * bit-identical across engines (IEEE 754), but *aggregation order* is
+  * not — `SUM(double)` differs in the last bits between Spark and DuckDB
+  * (and between runs at different parallelism). So every double SUM/AVG
+  * casts the per-row value to DECIMAL(28,6) first: decimal addition is
+  * exact and associative, both engines produce the identical decimal, and
+  * the final cast back to double is then deterministic. (A binary double
+  * can never sit exactly on a 1e-7 rounding boundary, so the
+  * double→decimal rounding is also engine-independent.)
+  */
+object Sql {
+  /** Order-insensitive exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** Exact average of a double column (exact sum / count), as double. */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast("double") / count(lit(1))
+
+  /** DuckDB-side equivalent of [[dsum]]. */
+  def oSum(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** DuckDB-side equivalent of [[davg]]. */
+  def oAvg(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+}
