@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY §2.7).
+  *
+  * Two tiers:
+  *   - [[bruteTopK]]: exact baseline — broadcast the (small) query set
+  *     against the corpus; one pass over the corpus, no corpus shuffle.
+  *     Right answer up to ~10⁴ queries × any corpus size.
+  *   - [[lshTopK]]: scale path — random-hyperplane LSH buckets both
+  *     sides; only same-bucket pairs are scored, so cost is Σ bucket²
+  *     and the corpus join is an equi-join on the bucket key that AQE
+  *     can plan/skew-split like any other.
+  */
+object Similarity {
+
+  /** Deterministic Gaussian hyperplanes (seeded), as one literal row of
+    * array<array<double>> — broadcast implicitly as part of the plan.
+    */
+  private[graft] def hyperplanes(
+      numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, embedding array<float>). Self-pairs
+    * excluded.
+    */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-bucket of an embedding under `planes`: bit j set iff
+    * embedding · plane_j ≥ 0. Strict left-to-right double accumulation —
+    * deterministic and oracle-reproducible.
+    */
+  private def bucketExpr(emb: org.apache.spark.sql.Column,
+      planes: Array[Array[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit): _*)
+      val dot = aggregate(
+        zip_with(emb, plane, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: queries meet only corpus vectors in the same
+    * hyperplane sign-bucket; exact cosine re-ranks within the bucket.
+    * Recall < 1 by construction (multi-table probing raises it; one
+    * table here keeps the oracle expressible).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"),
+      bucketExpr(col("embedding"), planes).as("bucket"))
+    val c = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"),
+      bucketExpr(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

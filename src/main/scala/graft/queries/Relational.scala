@@ -127,16 +127,18 @@ object Relational extends QueryGroup {
   /** Left-anti join (NOT EXISTS). */
   private val antiJoin = Q(
     "q05_anti_join",
-    "customers with no orders (left-anti / NOT EXISTS)",
+    "customers with no urgent orders (left-anti / NOT EXISTS)",
     (s, dir) => {
       val t = Tables(s, dir)
       t.customer
-        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
   /** Left-outer join with null handling. */

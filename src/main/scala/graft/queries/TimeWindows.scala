@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing (SURVEY §2.3 `windowByEventTime` / ADR-0006) in
+  * its batch form: the same `window()` / `session_window()` expressions
+  * Structured Streaming uses, minus the watermark (the streaming variant
+  * with watermark-driven emission lives in graft.streaming and is
+  * verified by ScalaTest, since its closure rule isn't SQL-expressible).
+  * Window starts are emitted as epoch seconds so the oracle compare is
+  * timezone- and precision-proof.
+  */
+object TimeWindows extends QueryGroup {
+  import Sql._
+
+  /** Tumbling event-time windows (reference `windowByEventTime`,
+    * Node.scala:315-356: assign to [⌊ts/size⌋·size, +size)).
+    */
+  private val tumbling = Q(
+    "w01_tumbling_window",
+    "1-hour tumbling event-time windows per event_type",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          unix_timestamp(col("w.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+    Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+             event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+
+  /** Sliding windows: 10-minute window, 5-minute slide — every event
+    * lands in exactly 2 windows; the oracle replicates the assignment by
+    * cross-joining the two candidate starts.
+    */
+  private val sliding = Q(
+    "w02_sliding_window",
+    "10-min windows sliding every 5 min",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("n"),
+          col("sum_value"))
+        .orderBy("w_start")
+    },
+    Some(s"""SELECT w_start, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM (SELECT CAST(floor(epoch(ts) / 300) * 300 - off AS BIGINT) AS w_start,
+                          value
+                   FROM events CROSS JOIN (SELECT unnest([0, 300]) AS off))
+             GROUP BY w_start ORDER BY w_start"""))
+
+  /** Session windows: per-user sessions with a 1-hour inactivity gap.
+    * Spark `session_window` opens a new session when the gap since the
+    * previous event is >= the gap duration; the oracle reproduces that
+    * with lag + running sum of session-break flags.
+    */
+  private val session = Q(
+    "w03_session_window",
+    "per-user session windows, 1-hour gap",
+    (s, dir) => {
+      Tables(s, dir).events
+        .groupBy(session_window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+    Some(s"""WITH flagged AS (
+               SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+               FROM events),
+             sessions AS (
+               SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM flagged)
+             SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM sessions GROUP BY user_id, sid
+             ORDER BY user_id, session_start"""))
+
+  /** As-of join — for each click, the most recent view at-or-before it by
+    * the same user. Spark lacks a built-in; rather than a per-key
+    * cartesian (quadratic at 100 TB), this is the scalable union trick:
+    * tag both sides, sort once per user partition, and carry the latest
+    * view id forward with `last(ignoreNulls)` — one shuffle, linear work,
+    * same shape streaming uses for stream-stream point-in-time joins.
+    */
+  private val asofJoin = Q(
+    "w04_asof_join",
+    "point-in-time (as-of) join: click → latest view at-or-before, per user",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(0).as("side"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("long").as("view_id"),
+          col("event_id").as("click_id"),
+          lit(1).as("side"))
+      // views sort before clicks at equal ts => "at-or-before" inclusive
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.union(clicks)
+        .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("click_id"), col("user_id"), col("matched_view").as("view_id"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY click_id"""))
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin)
+}
