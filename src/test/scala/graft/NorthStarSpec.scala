@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the LLM-data operators that have no SQL oracle
+  * (SimHash, winnowing, LSH recall) plus cross-checks of the oracled
+  * ones on small synthetic corpora.
+  */
+class NorthStarSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDF(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = docsDF(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river shore",
+    3L -> "completely different content about spark query engines and shuffles",
+    4L -> "another unrelated document mentioning embeddings and similarity search",
+    5L -> "the quick brown fox jumps over the lazy dog near the river bank")
+
+  test("exact dedup groups identical normalized texts") {
+    val groups = Dedup.exactGroups(docsDF(
+      1L -> "Hello  World", 2L -> "hello world", 3L -> "other"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(groups.toSet == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs find the planted near-dups and nothing else") {
+    val pairs = Dedup.jaccardPairs(corpus, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("minhash LSH pairs == exact jaccard pairs on the corpus") {
+    val exact = Dedup.jaccardPairs(corpus, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashPairs(corpus, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-dups within hamming 3, distinct docs far apart") {
+    val pairs = Dedup.simHashPairs(corpus, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)), "identical docs must collide")
+    assert(!pairs.contains((3L, 4L)), "unrelated docs must not collide")
+  }
+
+  test("winnowing fingerprints overlap heavily for near-dups") {
+    val fps = corpus.select(col("doc_id"),
+      TextFunctions.winnowingFingerprints(col("text"), 5, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Long, b: Long): Double = {
+      val (sa, sb) = (fps(a).toSet, fps(b).toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    assert(overlap(1L, 5L) == 1.0, "identical docs share all fingerprints")
+    assert(overlap(1L, 2L) > 0.5, "near-dup overlap must be high")
+    assert(overlap(1L, 3L) < 0.2, "unrelated overlap must be low")
+  }
+
+  test("brute-force cosine top-k matches a local naive computation") {
+    val rng = new scala.util.Random(1)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rng.nextGaussian().toFloat))).toList
+    val df = vecs.toDF("id", "embedding")
+    val got = Similarity.bruteTopK(df.filter(col("id") < 3), df, 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toList.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val want = (0L until 3L).flatMap { q =>
+      val qv = vecs(q.toInt)._2
+      vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(qv, v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(4).map(p => (q, p._1))
+    }.toList
+    assert(got == want)
+  }
+
+  test("LSH ANN results are a same-bucket subset re-ranked by exact cosine") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val ann = Similarity.lshTopK(emb.filter(col("id") < 5), emb, 3)
+    val brute = Similarity.bruteTopK(emb.filter(col("id") < 5), emb, 1000)
+      .select("q_id", "n_id", "cos_sim")
+    // every ANN score must equal the exact score for that pair
+    val joined = ann.alias("a").join(brute.alias("b"),
+      col("a.q_id") === col("b.q_id") && col("a.n_id") === col("b.n_id"))
+      .filter(col("a.cos_sim") =!= col("b.cos_sim"))
+    assert(joined.count() == 0)
+  }
+
+  test("multimodal feature extraction matches the stub decoder") {
+    val recs = List(
+      Multimodal.MediaRecord(1L, "image", "abcdef".getBytes),
+      Multimodal.MediaRecord(2L, "video", ("x" * 100).getBytes),
+      Multimodal.MediaRecord(3L, "audio", Array[Byte](1, 2, 3)))
+    val got = Multimodal.extractFeatures(spark.createDataset(recs))
+      .collect().map(f => f.media_id -> f).toMap
+    recs.foreach { r =>
+      val (w, h, fr) = Multimodal.decodeStub(r.kind, r.payload)
+      val f = got(r.media_id)
+      assert(f.width == w && f.height == h && f.n_frames == fr)
+      assert(f.n_bytes == r.payload.length.toLong)
+    }
+  }
+
+  test("multimodal rebalance preserves rows") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.fromDocuments(spark, t.documents).toDF()
+    val balanced = Multimodal.rebalanceBySize(media, 4096)
+    assert(balanced.count() == media.count())
+  }
+
+  test("minhash signature is deterministic and has the configured width") {
+    val sig = corpus
+      .select(TextFunctions.minHashSignature(
+        TextFunctions.shingleSet(col("text"), 3), 128).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig.forall(_.size == 128))
+    val sig2 = corpus
+      .select(TextFunctions.minHashSignature(
+        TextFunctions.shingleSet(col("text"), 3), 128).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig.toSeq == sig2.toSeq)
+  }
+}

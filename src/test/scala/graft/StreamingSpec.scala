@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.{CountWindows, EventTimeWindows, GraftMetrics, ManagedForeachSink}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic streaming-semantics tests: one MemoryStream batch per
+  * reference watermark punctuation (SURVEY §7.4.2), so watermark
+  * advances are exact and the reference fixtures replay 1:1.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  test("event-time tumbling window: closure rule (test :278-291)") {
+    // reference fixture a@1, b@3, c@7, d@8 (seconds), 5s windows:
+    // watermark reaches 8 => only window [0,5) closes, values [a, b]
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = EventTimeWindows.tumblingCollect(
+      input.toDF().toDF("ts", "v"), "ts", "v", "5 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("etw1").start()
+    try {
+      input.addData((ts(1), "a"), (ts(3), "b"))
+      q.processAllAvailable() // punctuation 1: watermark -> 3
+      input.addData((ts(7), "c"), (ts(8), "d"))
+      q.processAllAvailable() // punctuation 2: watermark -> 8, [0,5) closes
+      val rows = spark.table("etw1")
+        .selectExpr("unix_timestamp(w_start)", "unix_timestamp(w_end)", "values")
+        .as[(Long, Long, Seq[String])].collect().toList
+      assert(rows == List((0L, 5L, Seq("a", "b"))),
+        s"expected only [0,5)->[a,b] emitted, got $rows")
+    } finally q.stop()
+  }
+
+  test("late event dropped + counted; open window never flushes (ADR-0006/0007)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = EventTimeWindows.tumblingAgg(
+      input.toDF().toDF("ts", "v"), "ts", "v", "5 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("etw2").start()
+    try {
+      input.addData((ts(1), 1.0))
+      q.processAllAvailable()
+      input.addData((ts(8), 4.0)) // watermark -> 8
+      q.processAllAvailable()
+      input.addData((ts(4), 9.0)) // 4 < 8 => dropped (test :294-310)
+      q.processAllAvailable()
+      val emitted = spark.table("etw2")
+        .selectExpr("unix_timestamp(w_start)", "n").as[(Long, Long)]
+        .collect().toList
+      assert(emitted == List((0L, 1L)), s"late row must not reopen [0,5): $emitted")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"expected 1 late drop, got $dropped")
+      // [5,10) stays open at end-of-stream: never emitted (ADR-0006)
+      assert(!emitted.exists(_._1 == 5L))
+    } finally q.stop()
+  }
+
+  test("metrics listener surfaces late drops under the reference name") {
+    implicit val sql = spark.sqlContext
+    val metrics = GraftMetrics.install(spark)
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = EventTimeWindows.tumblingAgg(
+      input.toDF().toDF("ts", "v"), "ts", "v", "5 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("etw3").start()
+    try {
+      input.addData((ts(1), 1.0)); q.processAllAvailable()
+      input.addData((ts(9), 2.0)); q.processAllAvailable()
+      input.addData((ts(2), 3.0)); q.processAllAvailable()
+      // listener events are async — wait bounded for delivery
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (metrics.lateDroppedFor("etw3") < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(metrics.lateDroppedFor("etw3") == 1L)
+      assert(metrics.snapshot().lateEventDroppedTotal >= 1L)
+    } finally { q.stop(); spark.streams.removeListener(metrics) }
+  }
+
+  test("streaming count windows: per-key buffer across batches (SURVEY §2.3)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val out = CountWindows.perKey[String, (String, Int)](
+      input.toDS(), 3, _._1)
+    val q = out.toDF("key", "win").writeStream.outputMode("append")
+      .format("memory").queryName("cw1").start()
+    try {
+      input.addData(("a", 1), ("a", 2), ("b", 10))
+      q.processAllAvailable()
+      assert(spark.table("cw1").count() == 0, "no full window yet")
+      input.addData(("a", 3), ("b", 20), ("b", 30))
+      q.processAllAvailable()
+      val rows = spark.table("cw1").as[(String, Seq[(String, Int)])]
+        .collect().toMap
+      assert(rows("a").map(_._2) == Seq(1, 2, 3))
+      assert(rows("b").map(_._2) == Seq(10, 20, 30))
+    } finally q.stop()
+  }
+
+  test("batch count windows include final partial window per key") {
+    val ds = spark.createDataset(Seq(("k", 1), ("k", 2), ("k", 3), ("k", 4)))
+    val out = CountWindows.perKeyBatch[String, (String, Int)](ds, 3, _._1)
+      .collect().toList.map { case (k, w) => (k, w.map(_._2)) }
+    assert(out.toSet == Set(("k", Seq(1, 2, 3)), ("k", Seq(4))))
+  }
+
+  test("managed foreach sink: open/process/close with close-once (ADR-0005)") {
+    implicit val sql = spark.sqlContext
+    SinkProbe.reset()
+    val input = MemoryStream[Int]
+    val q = input.toDS().writeStream
+      .foreach(new ManagedForeachSink[Int, SinkProbe.Ok](
+        () => new SinkProbe.Ok, (r, i) => r.write(i)))
+      .start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      assert(SinkProbe.processedCount.get() == 3)
+      assert(SinkProbe.closed.get())
+    } finally q.stop()
+  }
+}
