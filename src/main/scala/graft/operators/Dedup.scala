@@ -38,25 +38,35 @@ object Dedup {
       .filter(col("rk") === 1)
       .drop("rk")
 
-  /** All-pairs n-gram Jaccard similarity ≥ threshold, computed exactly
-    * via an inverted shingle index (explode + join on shingle, count
-    * co-occurrences, normalize by set sizes). Exact but quadratic in the
-    * worst case — at 100 TB use [[minHashPairs]] and keep this as the
-    * verification stage on its candidate output.
+  /** (doc_id, distinct-shingle-hash-set) projection shared by the dedup
+    * variants — one fused native expression per row
+    * (TextFunctions.shingleHashes); shingle strings never materialize.
     */
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
+  private def shingled(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // join on a 64-bit shingle hash, not the string — smaller shuffle
-    val inverted = tok.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh_hash"))
-    val inter = inverted.as("a")
-      .join(inverted.as("b"), col("a.sh_hash") === col("b.sh_hash"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+
+  /** Inverted index on the 64-bit shingle hashes (hash joins keep the
+    * shuffle narrow; strings never shuffle).
+    */
+  private def inverted(tok: DataFrame): DataFrame =
+    tok.select(col("doc_id"), explode(col("sh")).as("sh_hash"))
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: count
+    * shared shingles via the inverted index restricted to candidates,
+    * normalize by set sizes, keep pairs ≥ threshold.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, tok: DataFrame, threshold: Double): DataFrame = {
+    val inv = inverted(tok)
     val sizes = tok.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inter = inv.as("ia")
+      .join(candidates, col("ia.doc_id") === col("id_a"))
+      .join(inv.as("ib"),
+        col("ib.doc_id") === col("id_b") &&
+          col("ia.sh_hash") === col("ib.sh_hash"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
@@ -64,6 +74,35 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold — exact, with the
+    * AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07): order each
+    * doc's shingles by (global document frequency asc, hash), index only
+    * the first ⌊(1−t)·|sh|⌋+1 of them. Two sets with Jaccard ≥ t must
+    * share an element within those prefixes, so candidate generation
+    * touches rare shingles first and the frequent-shingle quadratic
+    * blowup disappears; verification then computes the exact score.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val tok = shingled(docs, n)
+    val inv = inverted(tok)
+    val freq = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh_hash"))
+    val prefix = inv.join(freq, "sh_hash")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") <=
+        floor(lit(1.0 - threshold) * col("n_sh")).cast("int") + 1)
+      .select("doc_id", "sh_hash")
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"), col("a.sh_hash") === col("b.sh_hash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, tok, threshold)
   }
 
   /** MinHash + LSH near-duplicate pairs: per-row signature → band-bucket
@@ -78,11 +117,9 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 8): DataFrame = {
     val numHashes = numBands * rowsPerBand
-    val tok = docs
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val tok = shingled(docs, n)
     val sig = tok.select(col("doc_id"),
-      minHashSignature(col("sh"), numHashes).as("sig"))
+      minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
     val buckets = sig
       .select(col("doc_id"),
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("band"))
@@ -95,24 +132,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // exact-Jaccard verify on candidates only
-    val sizes = tok.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inverted = tok.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("sh_hash"))
-    val inter = inverted.as("ia")
-      .join(candidates, col("ia.doc_id") === col("id_a"))
-      .join(inverted.as("ib"),
-        col("ib.doc_id") === col("id_b") &&
-          col("ia.sh_hash") === col("ib.sh_hash"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, tok, threshold)
   }
 
   /** SimHash near-duplicate candidate pairs within a hamming radius.
