@@ -84,6 +84,39 @@ final case class Flow[T](ds: Dataset[T], name: String) {
       spark.createDataset(ds.rdd.zipWithIndex())(e),
       s"$name.zipWithOrdinal")
 
+  /** Reference `ensuring` (Stream.scala:188-228): a finalizer that runs
+    * exactly once per task on any terminal path — completion, failure,
+    * or cancellation — via Spark's task-completion listener (the
+    * distributed analog of the reference's close-once guarantee).
+    */
+  def ensuring(finalizer: () => Unit): Flow[T] =
+    Flow(
+      ds.mapPartitions { it =>
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => finalizer()))
+        it
+      }(ds.encoder),
+      s"$name.ensuring")
+
+  /** Reference `runCancellableIterator` (Node.scala:92-117): a lazy
+    * iterator plus a cancel handle; cancelling aborts the backing jobs
+    * and the iterator terminates with the partitions already fetched.
+    */
+  def runCancellableIterator()(
+      implicit ec: scala.concurrent.ExecutionContext): (Iterator[T], () => Unit) = {
+    val group = s"graft-iter-$name-${System.identityHashCode(this)}"
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, s"cancellable iterator $name", interruptOnCancel = true)
+    val it = ds.toLocalIterator().asScala
+    (it, () => sc.cancelJobGroup(group))
+  }
+
+  /** Reference `JobGraph.printTopology` (JobGraph.scala:16-68): render
+    * the operator tree — here the analyzed logical plan, which IS the
+    * pipeline topology in this engine.
+    */
+  def topology: String = ds.queryExecution.analyzed.treeString
+
   // --- terminals (reference Sink / toList / iterator / foreach) ---------
 
   /** Distributed fold (reference `Sink`, Node.scala:439): requires an

@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational batch: grouping sets, pivot, array aggregation,
+  * date arithmetic, schema-based JSON parsing, regexp extraction,
+  * SQL-parser subqueries, and the remaining analytic window functions —
+  * rounding out SURVEY §2.6.
+  */
+object Relational2 extends QueryGroup {
+  import Sql._
+
+  private val groupingSets = Q(
+    "q21_grouping_sets",
+    "explicit GROUPING SETS ((flag), (status), ()) via the SQL surface",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("gs_lineitem")
+      s.sql(s"""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+                COALESCE(l_linestatus, 'ALL') AS status,
+                COUNT(*) AS n
+                FROM gs_lineitem
+                GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                ORDER BY flag, status""")
+    },
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+            COALESCE(l_linestatus, 'ALL') AS status, COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY flag, status"""))
+
+  /** Pivot — DataFrame `pivot` with pinned values (pinned so the output
+    * schema is static, the scale-safe form: dynamic pivot needs a
+    * values-discovery pass).
+    */
+  private val pivotQ = Q(
+    "q22_pivot",
+    "orders count pivoted by orderstatus per priority",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+            COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
+            COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
+            COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Array aggregation + array functions, compared via a canonical
+    * string join (array columns don't hash stably across engines).
+    */
+  private val arrayAgg = Q(
+    "q23_array_agg",
+    "collect_list + sort_array + array_join per order",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_orderkey")
+        .agg(
+          sort_array(collect_list(col("l_linenumber"))).as("lines"),
+          count(lit(1)).as("n"))
+        .select(col("l_orderkey"),
+          array_join(transform(col("lines"), _.cast("string")), ",").as("line_list"),
+          size(col("lines")).as("n_lines"),
+          element_at(col("lines"), 1).as("first_line"),
+          element_at(col("lines"), -1).as("last_line"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+            array_to_string(list_sort(list(l_linenumber)), ',') AS line_list,
+            len(list(l_linenumber)) AS n_lines,
+            list_sort(list(l_linenumber))[1] AS first_line,
+            list_sort(list(l_linenumber))[-1] AS last_line
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** Date arithmetic: datediff / add_months / ISO day-of-week. */
+  private val dateArith = Q(
+    "q24_date_arith",
+    "date arithmetic on order dates",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .select(
+          col("o_orderkey"),
+          datediff(lit(java.sql.Date.valueOf("1996-01-01")),
+            col("o_orderdate")).as("days_to_96"),
+          add_months(col("o_orderdate"), 3).cast("date").cast("string").as("plus3m"),
+          (weekday(col("o_orderdate")) + 1).as("isodow"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INT)
+              AS days_to_96,
+            CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+            CAST(isodow(o_orderdate) AS INT) AS isodow
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Schema-based JSON parsing (from_json with an explicit schema —
+    * q20 covers path extraction).
+    */
+  private val fromJson = Q(
+    "q25_from_json",
+    "from_json with explicit schema, filter on parsed field",
+    (s, dir) => {
+      Tables(s, dir).events
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .filter(col("k") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** Regexp extraction over part types. */
+  private val regexpExtract = Q(
+    "q26_regexp_extract",
+    "regexp_extract of the trailing word of p_type, grouped",
+    (s, dir) => {
+      Tables(s, dir).part
+        .select(regexp_extract(col("p_type"), "([A-Za-z]+)$", 1).as("last_word"))
+        .groupBy("last_word").agg(count(lit(1)).as("n"))
+        .orderBy("last_word")
+    },
+    Some("""SELECT regexp_extract(p_type, '([A-Za-z]+)$', 1) AS last_word,
+            COUNT(*) AS n FROM part GROUP BY 1 ORDER BY last_word"""))
+
+  /** IN-subquery through the SQL parser (Catalyst rewrites to semi join). */
+  private val inSubquery = Q(
+    "q27_in_subquery",
+    "IN (subquery) via spark.sql, rewritten to a semi join by Catalyst",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.createOrReplaceTempView("sq_orders")
+      t.customer.createOrReplaceTempView("sq_customer")
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n FROM sq_orders
+               WHERE o_custkey IN
+                 (SELECT c_custkey FROM sq_customer WHERE c_acctbal > 5000.0)
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Remaining analytic window functions: ntile / percent_rank /
+    * cume_dist over a total order (exact rational values — engine-safe
+    * doubles).
+    */
+  private val analyticWindows = Q(
+    "q28_window_analytics",
+    "ntile/percent_rank/cume_dist over total price order",
+    (s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir).orders
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+            CAST(ntile(4) OVER w AS INT) AS quartile,
+            percent_rank() OVER w AS pr,
+            cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""))
+
+  /** first/last value window frames. */
+  private val firstLast = Q(
+    "q29_window_first_last",
+    "first_value/last_value per customer by order date",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            first_value(o_orderkey) OVER w AS first_order,
+            last_value(o_orderkey) OVER w AS last_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  /** Approximate distinct count (HLL++): deterministic per engine but
+    * not across engines — rows-only check; AggregatesSpec bounds its
+    * error against the exact count.
+    */
+  private val approxDistinct = Q(
+    "q30_approx_distinct",
+    "approx_count_distinct vs exact per returnflag (rows-only)",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    groupingSets, pivotQ, arrayAgg, dateArith, fromJson, regexpExtract,
+    inSubquery, analyticWindows, firstLast, approxDistinct)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.api.Attempt
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck laws for the pure semantics kernels (SURVEY §5 plan:
+  * ordering, window assignment, recovery prefix laws).
+  */
+object LawsCheck extends Properties("graft.laws") {
+
+  private val attemptsGen: Gen[(List[Int], Boolean)] = for {
+    vals <- Gen.listOf(Gen.chooseNum(-1000, 1000))
+    hasError <- Gen.oneOf(true, false)
+  } yield (vals, hasError)
+
+  private def mk(vals: List[Int], hasError: Boolean): Seq[Attempt[Int]] = {
+    val ok = vals.map(v => Attempt[Int](Some(v), None, None))
+    if (hasError)
+      ok :+ Attempt[Int](None, Some("boom.Err"), Some("msg")) :+
+        Attempt[Int](Some(424242), None, None) // element after the error
+    else ok
+  }
+
+  property("recoverPrefix = success prefix :+ one fallback, then halt") =
+    forAll(attemptsGen) { case (vals, hasError) =>
+      val out = Attempt.recoverPrefix(mk(vals, hasError)) {
+        case ("boom.Err", _) => -1
+      }
+      if (hasError) out == vals :+ -1
+      else out == vals
+    }
+
+  property("recoverWithPrefix = success prefix ++ fallback stream") =
+    forAll(attemptsGen) { case (vals, hasError) =>
+      val out = Attempt.recoverWithPrefix(mk(vals, hasError)) {
+        case ("boom.Err", _) => Seq(-1, -2)
+      }
+      if (hasError) out == vals ++ Seq(-1, -2)
+      else out == vals
+    }
+
+  property("unmatched error always throws (fail-fast)") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 100))) { vals =>
+      val attempts = mk(vals, hasError = true)
+      Prop.throws(classOf[RuntimeException]) {
+        Attempt.recoverPrefix(attempts) { case ("other.Err", _) => 0 }
+      }
+    }
+
+  property("tumbling window assignment: start ≤ ts < start+size, aligned") =
+    forAll(Gen.chooseNum(0L, 4102444800000L), Gen.chooseNum(1L, 86400000L)) {
+      (tsMs, sizeMs) =>
+        // Node.scala:327: start = (ts / windowSizeMs) * windowSizeMs
+        val start = (tsMs / sizeMs) * sizeMs
+        start <= tsMs && tsMs < start + sizeMs && start % sizeMs == 0
+    }
+
+  property("minhash coeff family is in-range and deterministic") =
+    forAll(Gen.chooseNum(1, 256)) { k =>
+      val c1 = graft.functions.TextFunctions.minHashCoeffs(k)
+      val c2 = graft.functions.TextFunctions.minHashCoeffs(k)
+      val p = graft.functions.TextFunctions.MinHashPrime
+      c1 == c2 && c1.size == k &&
+        c1.forall { case (a, b) => a >= 1 && a < p && b >= 0 && b < p }
+    }
+
+  property("simhash hamming bound: chunk blocking is pigeonhole-complete") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.listOfN(3, Gen.chooseNum(0, 63))) { (h, flips) =>
+      val h2 = flips.foldLeft(h)((acc, b) => acc ^ (1L << b))
+      // hamming(h, h2) <= 3 => they agree on >= 1 of the 4 16-bit chunks
+      (0 until 4).exists(c =>
+        ((h >>> (c * 16)) & 0xFFFFL) == ((h2 >>> (c * 16)) & 0xFFFFL))
+    }
+}

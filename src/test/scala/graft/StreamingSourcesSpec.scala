@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sources/sinks + flow-control semantics (SURVEY §2.2 / §2.3
+  * asyncBoundary row): the file streaming source with
+  * `maxFilesPerTrigger` is the engine's backpressure boundary — bounded
+  * work per micro-batch replaces the reference's bounded queue
+  * (ADR-0004's invariant "queue depth ≤ capacity" becomes "files per
+  * trigger ≤ cap").
+  */
+class StreamingSourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("file streaming source with maxFilesPerTrigger caps per-batch work") {
+    val dir = Files.createTempDirectory("graft-stream-src").toFile
+    val out = Files.createTempDirectory("graft-stream-chk").toFile
+    // three separate files => three capped micro-batches
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"file$i", i * 1.5)).toDF("id", "tag", "v")
+        .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+    }
+    val stream = spark.readStream
+      .schema("id LONG, tag STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val q = stream.writeStream
+      .format("memory").queryName("file_src")
+      .option("checkpointLocation", out.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("file_src").count() == 3)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3,
+      s"expected 3 rate-limited batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1), "each batch capped at 1 file")
+  }
+
+  test("stream-stream windowed join with watermarks (SURVEY §2.6 joins row)") {
+    implicit val sql = spark.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val views = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "0 seconds")
+    val v = views.toDF().toDF("v_ts", "v_user").withWatermark("v_ts", "0 seconds")
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 SECONDS") &&
+        col("v_ts") <= col("c_ts"))
+    val q = joined.writeStream.format("memory").queryName("ssj").start()
+    try {
+      views.addData((ts(1), 7L), (ts(20), 7L), (ts(1), 8L))
+      clicks.addData((ts(5), 7L))   // matches view@1 (within 10s)
+      q.processAllAvailable()
+      clicks.addData((ts(25), 7L))  // matches view@20, not view@1
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .selectExpr("unix_timestamp(c_ts)", "c_user", "unix_timestamp(v_ts)")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((5L, 7L, 1L), (25L, 7L, 20L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across batches (SURVEY §2.7)") {
+    implicit val sql = spark.sqlContext
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val input = MemoryStream[(Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("ddww").start()
+    try {
+      input.addData((ts(1), 100L), (ts(2), 100L)) // dup within batch
+      q.processAllAvailable()
+      input.addData((ts(3), 100L), (ts(4), 200L)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("ddww").select("id").as[Long].collect().toList
+      assert(ids.sorted == List(100L, 200L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink observes every micro-batch exactly once") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Int], id: Long) =>
+        seen.add((id, batch.count())); ()
+      }
+      .start()
+    try {
+      input.addData(1, 2, 3); q.processAllAvailable()
+      input.addData(4); q.processAllAvailable()
+      val batches = seen.toArray(Array.empty[(Long, Long)]).toList
+      assert(batches.map(_._2).sum == 4)
+      assert(batches.map(_._1).distinct.size == batches.size, "unique batch ids")
+    } finally q.stop()
+  }
+}
