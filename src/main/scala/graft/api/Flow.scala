@@ -136,6 +136,23 @@ final case class Flow[T](ds: Dataset[T], name: String) {
   def foldOrdered[B](zero: B)(f: (B, T) => B): B =
     ds.toLocalIterator().asScala.foldLeft(zero)(f)
 
+  /** Observed named metrics on the stream — reference per-node metrics
+    * (§2.5) via `Dataset.observe`; values surface in query listeners.
+    */
+  def observe(metricName: String,
+      exprs: org.apache.spark.sql.Column*): Flow[T] =
+    Flow(ds.observe(metricName, exprs.head, exprs.tail: _*),
+      s"$name.observe")
+
+  /** Typed fold through the `Aggregator` UDAF surface (distributed
+    * partial+final; SURVEY §7.3): same contract as [[fold]] but executed
+    * as a Catalyst aggregate rather than an RDD action.
+    */
+  def foldTyped[B: Encoder](zero: B)(f: (B, T) => B, combine: (B, B) => B): B = {
+    val agg = new ManagedSource.FoldAggregator[T, B](zero, f, combine)
+    ds.select(agg.toColumn).head()
+  }
+
   /** Reference `toList` (Stream.scala:81-88). */
   def runToList(): List[T] = ds.collect().toList
 

@@ -94,8 +94,12 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      // prefix length = n - ⌈t·n⌉ + 1 = ⌊(1−t)·n⌋ + 1. The epsilon guards
+      // the FP product ((1-0.8)*35 = 6.999…) from flooring one short —
+      // erring toward a longer prefix only adds candidates, never loses
+      // a true pair.
       .filter(col("rn") <=
-        floor(lit(1.0 - threshold) * col("n_sh")).cast("int") + 1)
+        floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)).cast("int") + 1)
       .select("doc_id", "sh_hash")
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.sh_hash") === col("b.sh_hash"))

@@ -59,6 +59,71 @@ object Similarity {
       when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-Flat ANN: a fixed codebook of `numCentroids` centroids (here
+    * the lowest-id corpus vectors — deterministic; a k-means refinement
+    * would drop in without changing the dataflow) partitions the corpus
+    * by nearest centroid; each query probes its `nProbe` nearest
+    * centroids and exact-scores only those buckets.
+    *
+    * Scale shape: assignment is one broadcast pass over the corpus (the
+    * codebook is tiny), the candidate join is an equi-join on cent_id,
+    * and per-query work drops by ~numCentroids/nProbe. This is the
+    * standard billion-vector layout (IVF) with exact re-ranking.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val cents = corpus.filter(col("id") < numCentroids)
+      .select(col("id").as("cent_id"), col("embedding").as("c_emb"))
+    def nearest(side: DataFrame, idCol: String, embCol: String, keep: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(desc("cent_sim"), asc("cent_id"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("cent_sim", cosine(col(embCol), col("c_emb")))
+        .withColumn("cent_rank", row_number().over(w))
+        .filter(col("cent_rank") <= keep)
+        .select(col(idCol), col("cent_id"))
+    }
+    val assign = nearest(
+      corpus.select(col("id").as("n_id"), col("embedding").as("n_emb")),
+      "n_id", "n_emb", 1)
+    val probes = nearest(
+      queries.select(col("id").as("q_id"), col("embedding").as("q_emb")),
+      "q_id", "q_emb", nProbe)
+    val scored = probes
+      .join(assign, "cent_id")
+      .join(corpus.select(col("id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+      .join(broadcast(queries.select(col("id").as("q_id"),
+        col("embedding").as("q_emb"))), "q_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .distinct() // a neighbor may arrive via multiple probed buckets
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Cosine near-duplicate pairs above a threshold for a (small) query
+    * set — the "embedding-cosine near-dup" face of dedup. Exact
+    * (brute-force per query); at corpus×corpus scale route candidate
+    * generation through [[ivfTopK]]/[[lshTopK]] buckets instead.
+    */
+  def cosineDupPairs(
+      queries: DataFrame, corpus: DataFrame, threshold: Double): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") < col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** LSH-bucketed ANN: queries meet only corpus vectors in the same
     * hyperplane sign-bucket; exact cosine re-ranks within the bucket.
     * Recall < 1 by construction (multi-table probing raises it; one

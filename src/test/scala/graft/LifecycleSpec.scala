@@ -44,6 +44,50 @@ class LifecycleSpec extends AnyFunSuite {
     cancel() // must not throw; remaining jobs (if any) are aborted
   }
 
+  test("ManagedSource: happy path closes once, rows parallelize") {
+    SinkProbe.reset()
+    val flow = graft.api.ManagedSource.read(spark,
+      () => new SinkProbe.Ok)(_ => (1 to 5).toList)
+    assert(SinkProbe.closed.get(), "resource closed after read")
+    assert(flow.runToList().sorted == List(1, 2, 3, 4, 5))
+  }
+
+  test("ManagedSource: read error primary, close error suppressed (ADR-0005)") {
+    SinkProbe.reset()
+    val e = intercept[IllegalArgumentException] {
+      graft.api.ManagedSource.read[SinkProbe.BrokenClose, Int](spark,
+        () => new SinkProbe.BrokenClose)(_ =>
+        throw new IllegalArgumentException("read boom"))
+    }
+    assert(e.getMessage == "read boom")
+    assert(e.getSuppressed.exists(_.getMessage == "close boom"))
+    assert(SinkProbe.closed.get())
+  }
+
+  test("ManagedSource: close-only failure surfaces") {
+    SinkProbe.reset()
+    val e = intercept[IllegalStateException] {
+      graft.api.ManagedSource.read(spark,
+        () => new SinkProbe.BrokenClose)(_ => List(1))
+    }
+    assert(e.getMessage == "close boom")
+  }
+
+  test("foldTyped (Aggregator UDAF surface) agrees with fold") {
+    val f = Flow.fromSeq(spark, (1 to 500).toList)
+    val viaAgg = f.foldTyped(0L)((b, a) => b + a, _ + _)
+    val viaRdd = f.fold(0L)((b, a) => b + a, _ + _)
+    assert(viaAgg == viaRdd && viaAgg == 125250L)
+  }
+
+  test("observe attaches named metrics without changing rows") {
+    import org.apache.spark.sql.functions._
+    val out = Flow.fromSeq(spark, List(1, 2, 3))
+      .observe("flow_metrics", count(lit(1)), sum(col("value")))
+      .runToList()
+    assert(out.sorted == List(1, 2, 3))
+  }
+
   test("topology renders the logical plan (JobGraph.printTopology analog)") {
     val topo = Flow.fromSeq(spark, List(1, 2, 3))
       .map(_ * 2).filter(_ > 2).topology

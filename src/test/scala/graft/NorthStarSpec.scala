@@ -101,6 +101,20 @@ class NorthStarSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("IVF ANN scores equal exact scores; top-1 recall is sane") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val ivf = Similarity.ivfTopK(emb.filter(col("id") < 5), emb, 3)
+    val brute = Similarity.bruteTopK(emb.filter(col("id") < 5), emb, 1000)
+      .select("q_id", "n_id", "cos_sim")
+    val mismatched = ivf.alias("a").join(brute.alias("b"),
+      col("a.q_id") === col("b.q_id") && col("a.n_id") === col("b.n_id"))
+      .filter(col("a.cos_sim") =!= col("b.cos_sim"))
+    assert(mismatched.count() == 0, "IVF re-rank must use exact cosine")
+    assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("multimodal feature extraction matches the stub decoder") {
     val recs = List(
       Multimodal.MediaRecord(1L, "image", "abcdef".getBytes),
