@@ -15,6 +15,42 @@ import org.apache.spark.sql.types._
   * affine family, same tie rules.
   */
 
+/** Cosine similarity between two float-array embeddings, evaluated as
+  * one tight loop per row. Accumulation is strict left-to-right in
+  * double — bit-identical to the higher-order
+  * `aggregate(zip_with(...))` formulation (and to the DuckDB oracle's
+  * `list_reduce`), just ~20× cheaper. Arrays of unequal length compare
+  * over the common prefix.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+}
+
 /** Distinct xxhash64 (seed 42) hashes of `n`-word shingles of a text
   * column, in first-occurrence order — the fused form of
   * split → shingle → hash → distinct that every dedup variant consumes.

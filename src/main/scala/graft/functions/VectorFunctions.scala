@@ -25,7 +25,14 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0), (acc, x) =>
       acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity of two float-array columns. */
-  def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two float-array columns — a native Catalyst
+    * expression ([[graft.expressions.CosineSim]]) with the same strict
+    * left-to-right double accumulation as the higher-order form, one
+    * tight loop per row.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }
