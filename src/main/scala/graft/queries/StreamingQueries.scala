@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Queries that execute REAL Structured Streaming (readStream → window
+  * agg → memory sink, Trigger.AvailableNow) and return the materialized
+  * result. The events parquet drives the stream; the oracle describes
+  * the same result relationally:
+  *
+  *   - complete mode: every window is in the output regardless of
+  *     watermark → oracle = plain windowed GROUP BY.
+  *   - append mode, zero-lateness watermark: a window is emitted iff the
+  *     final watermark (= max event time seen) passed its end → oracle =
+  *     windowed GROUP BY ... HAVING w_end <= max(ts). (ADR-0006 closure
+  *     rule, driver-checkable because the stream is finite.)
+  */
+object StreamingQueries extends QueryGroup {
+  import Sql._
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Read the events table as a file stream (same TIMESTAMP(NANOS)
+    * handling as Tables.events, via explicit long schema + conversion).
+    */
+  private def eventsStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source requires a directory: stream the sf dir
+    // with a glob selecting just the events table
+    s.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  private def runToTable(
+      df: org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  private val completeMode = Q(
+    "s01_stream_tumbling_complete",
+    "streaming tumbling windows, complete mode (all windows emitted)",
+    (s, dir) => {
+      val windowed = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      runToTable(windowed, "complete").orderBy("w_start", "event_type")
+    },
+    Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+             event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
+
+  private val appendMode = Q(
+    "s02_stream_tumbling_append",
+    "streaming tumbling windows, append mode: only watermark-closed windows",
+    (s, dir) => {
+      val windowed = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n"), col("sum_value"))
+      runToTable(windowed, "append").orderBy("w_start")
+    },
+    Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+             COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY 1
+             HAVING w_start + 3600 <= (SELECT floor(epoch(max(ts))) FROM events)
+             ORDER BY w_start"""))
+
+  val all: Seq[Q] = Seq(completeMode, appendMode)
+}
