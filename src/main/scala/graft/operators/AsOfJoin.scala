@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: for each left row, the latest right row
+  * with `right.ts <= left.ts` on the same key.
+  *
+  * Two implementations with identical results:
+  *
+  *   - [[perKey]]: one shuffle, a window per key ordered by time — the
+  *     natural form when keys are plentiful and none is hot.
+  *   - [[bucketed]]: the 100 TB form. Parallelism is keys × time-buckets
+  *     instead of keys: rows partition by (key, ⌊ts/bucket⌋); each
+  *     bucket resolves matches locally, and the only cross-bucket state
+  *     is one "last right event per (key, bucket)" row, which is tiny,
+  *     windowed per key (cheap — `buckets` rows per key, not events),
+  *     and broadcast back. A hot key with a billion events spreads over
+  *     its buckets instead of serializing through one task.
+  */
+object AsOfJoin {
+
+  /** left: (key, ts, left_id); right: (key, ts, right_id).
+    * Output: (left_id, key, right_id nullable).
+    */
+  def perKey(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("key"), col("ts"), col("left_id"),
+      lit(null).cast("long").as("right_id"), lit(1).as("side"))
+    val r = right.select(col("key"), col("ts"),
+      lit(null).cast("long").as("left_id"), col("right_id"), lit(0).as("side"))
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.union(l)
+      .withColumn("matched", last(col("right_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("left_id"), col("key"), col("matched").as("right_id"))
+  }
+
+  def bucketed(left: DataFrame, right: DataFrame, bucketSeconds: Long): DataFrame = {
+    val bucket = (ts: org.apache.spark.sql.Column) =>
+      floor(ts.cast("double") / bucketSeconds).cast("long")
+
+    // stage 1: last right row per (key, bucket) — one small row per pair
+    val rB = right.withColumn("bucket", bucket(col("ts")))
+    val wLast = Window.partitionBy(col("key"), col("bucket"))
+      .orderBy(desc("ts"), desc("right_id"))
+    val lastPerBucket = rB
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("bucket"), col("right_id").as("bucket_last"))
+
+    // stage 2: carry = latest right id from any STRICTLY EARLIER bucket,
+    // per key — windows over the tiny per-bucket summary, not the events
+    val wCarry = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = lastPerBucket
+      .withColumn("carry_in", last(col("bucket_last"), ignoreNulls = true).over(wCarry))
+      .select(col("key"), col("bucket"), col("carry_in"))
+
+    // left rows need the carry of their OWN bucket, including buckets with
+    // no right rows: compute carry for every bucket the left side touches
+    val lB = left.withColumn("bucket", bucket(col("ts")))
+    val leftBuckets = lB.select("key", "bucket").distinct()
+    val rightBuckets = lastPerBucket.select("key", "bucket")
+    val allBuckets = leftBuckets.union(rightBuckets).distinct()
+    val wFill = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketCarry = allBuckets
+      .join(lastPerBucket, Seq("key", "bucket"), "left")
+      // latest right id at the END of each bucket; shift by one bucket to
+      // get the value entering the bucket
+      .withColumn("eob", last(col("bucket_last"), ignoreNulls = true).over(wFill))
+      .withColumn("carry_in", lag(col("eob"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("bucket"))))
+      .select(col("key"), col("bucket"), col("carry_in"))
+
+    // stage 3: resolve within each (key, bucket) partition — the window
+    // only spans one bucket, so a hot key parallelizes across buckets
+    val l = lB.select(col("key"), col("bucket"), col("ts"), col("left_id"),
+      lit(null).cast("long").as("right_id"), lit(1).as("side"))
+    val r = rB.select(col("key"), col("bucket"), col("ts"),
+      lit(null).cast("long").as("left_id"), col("right_id"), lit(0).as("side"))
+    val wLocal = Window.partitionBy(col("key"), col("bucket"))
+      .orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.union(l)
+      .withColumn("local_match", last(col("right_id"), ignoreNulls = true).over(wLocal))
+      .filter(col("side") === 1)
+      .join(bucketCarry, Seq("key", "bucket"), "left")
+      .select(col("left_id"), col("key"),
+        coalesce(col("local_match"), col("carry_in")).as("right_id"))
+  }
+}

@@ -125,5 +125,31 @@ object TimeWindows extends QueryGroup {
               ON c.user_id = v.user_id AND c.ts >= v.ts
             ORDER BY click_id"""))
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin)
+  /** Same as-of semantics through the bucketed scale path
+    * (graft.operators.AsOfJoin.bucketed: keys × time-buckets
+    * parallelism) — identical oracle to w04 by construction.
+    */
+  private val asofBucketed = Q(
+    "w05_asof_join_bucketed",
+    "as-of join via the bucketed scale path (hot keys spread over buckets)",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"))
+      graft.operators.AsOfJoin.bucketed(left, right, 3600L)
+        .select(col("left_id").as("click_id"), col("key").as("user_id"),
+          col("right_id").as("view_id"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+            ORDER BY click_id"""))
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed)
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed (scale-path) as-of join must agree exactly with the
+  * per-key window form, including across-bucket carries, empty buckets,
+  * equal timestamps, and lefts before any right.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, Long, Long)], idCol: String) =
+    rows.toDF("key", "ts_s", idCol)
+      .select(col("key"), timestamp_seconds(col("ts_s")).as("ts"), col(idCol))
+
+  test("bucketed == perKey on a handcrafted edge-case set") {
+    // key 1: left before any right; right exactly at left ts; carry over
+    // an empty bucket gap. key 2: all matches from carry only.
+    val left = df(Seq(
+      (1L, 5L, 100L),   // before any right -> null
+      (1L, 10L, 101L),  // right at ts=10 counts (at-or-before)
+      (1L, 95L, 102L),  // long gap: carry across empty buckets
+      (2L, 50L, 200L),  // carry from bucket 0
+      (3L, 7L, 300L)),  // key with no rights at all -> null
+      "left_id")
+    val right = df(Seq(
+      (1L, 10L, 11L), (1L, 12L, 12L),
+      (2L, 3L, 21L)),
+      "right_id")
+    val expected = Set(
+      (100L, 1L, None), (101L, 1L, Some(11L)), (102L, 1L, Some(12L)),
+      (200L, 2L, Some(21L)), (300L, 3L, None))
+    def toSet(out: org.apache.spark.sql.DataFrame) =
+      out.select("left_id", "key", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(toSet(AsOfJoin.perKey(left, right)) == expected)
+    for (bucket <- Seq(1L, 7L, 30L, 1000L))
+      assert(toSet(AsOfJoin.bucketed(left, right, bucket)) == expected,
+        s"bucket=$bucket")
+  }
+
+  test("bucketed == perKey on the events table (clicks as-of views)") {
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val left = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("left_id"))
+    val right = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("right_id"))
+    val a = AsOfJoin.perKey(left, right)
+      .collect().map(_.toSeq).toSet
+    val b = AsOfJoin.bucketed(left, right, 3600L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
