@@ -218,7 +218,75 @@ object Relational2 extends QueryGroup {
     },
     None)
 
+  /** Salted two-stage aggregation under key skew — result identical to a
+    * plain GROUP BY by construction (the oracle checks exactly that).
+    * events.event_type is the skew case: 5 hot keys over the whole table.
+    */
+  private val saltedAgg = Q(
+    "q31_salted_agg",
+    "salted two-stage aggregation over hot keys == plain GROUP BY",
+    (s, dir) => {
+      graft.operators.Skew.saltedAgg(
+        Tables(s, dir).events, "event_type", "value", 16)
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Exact interpolated percentiles (quantities are integral-valued, so
+    * the linear-interpolation arithmetic is engine-stable).
+    */
+  private val percentiles = Q(
+    "q32_percentile",
+    "exact median / p90 per returnflag",
+    (s, dir) => {
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+            quantile_cont(l_quantity, 0.9) AS p90, COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicates). */
+  private val setOpsAll = Q(
+    "q33_set_ops_all",
+    "INTERSECT ALL / EXCEPT ALL on nation keys (multiset semantics)",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val custN = t.customer.select(col("c_nationkey").as("nationkey"))
+      val suppN = t.supplier.select(col("s_nationkey").as("nationkey"))
+      custN.intersectAll(suppN)
+        .groupBy("nationkey").agg(count(lit(1)).as("n_inter"))
+        .join(
+          custN.exceptAll(suppN)
+            .groupBy("nationkey").agg(count(lit(1)).as("n_except")),
+          Seq("nationkey"), "outer")
+        .select(col("nationkey"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("nationkey")
+    },
+    Some("""WITH i AS (SELECT nationkey, COUNT(*) AS n_inter FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               INTERSECT ALL SELECT s_nationkey FROM supplier)
+              GROUP BY nationkey),
+            e AS (SELECT nationkey, COUNT(*) AS n_except FROM
+              (SELECT c_nationkey AS nationkey FROM customer
+               EXCEPT ALL SELECT s_nationkey FROM supplier)
+              GROUP BY nationkey)
+            SELECT COALESCE(i.nationkey, e.nationkey) AS nationkey,
+              COALESCE(n_inter, 0) AS n_inter,
+              COALESCE(n_except, 0) AS n_except
+            FROM i FULL OUTER JOIN e ON i.nationkey = e.nationkey
+            ORDER BY nationkey"""))
+
   val all: Seq[Q] = Seq(
     groupingSets, pivotQ, arrayAgg, dateArith, fromJson, regexpExtract,
-    inSubquery, analyticWindows, firstLast, approxDistinct)
+    inSubquery, analyticWindows, firstLast, approxDistinct, saltedAgg,
+    percentiles, setOpsAll)
 }

@@ -111,6 +111,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet == Set(("k", Seq(1, 2, 3)), ("k", Seq(4))))
   }
 
+  test("mapGroupsWithState running max carries state across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = graft.streaming.StatefulOps.runningMax(input.toDS())
+    val q = out.toDF("key", "max").writeStream.outputMode("update")
+      .format("memory").queryName("rmax").start()
+    try {
+      input.addData(("a", 3.0), ("a", 7.0), ("b", 1.0))
+      q.processAllAvailable()
+      input.addData(("a", 5.0), ("b", 9.0)) // a stays 7, b rises to 9
+      q.processAllAvailable()
+      val last = spark.table("rmax").as[(String, Double)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(last == Map("a" -> 7.0, "b" -> 9.0))
+    } finally q.stop()
+  }
+
   test("managed foreach sink: open/process/close with close-once (ADR-0005)") {
     implicit val sql = spark.sqlContext
     SinkProbe.reset()
