@@ -74,6 +74,28 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a video payload. `frame_hash` stands in for
+    * decoded frame bytes (deterministic stub).
+    */
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_hash: Long)
+
+  /** Frame sampling: every `everyN`-th frame of each video row expands
+    * into its own record — the row-explosion shape a real video pipeline
+    * uses before per-frame feature extraction (downstream work then
+    * repartitions over frames, not videos, so one long video can't
+    * straggle a task).
+    */
+  def sampleFrames(features: Dataset[MediaFeatures], everyN: Int): Dataset[FrameSample] = {
+    import features.sparkSession.implicits._
+    require(everyN > 0)
+    features.flatMap { f =>
+      if (f.kind == "video")
+        (0 until f.n_frames by everyN).map(i =>
+          FrameSample(f.media_id, i, f.media_id * 1000003L + i))
+      else Nil
+    }
+  }
+
   /** Rebalance a media DataFrame by cumulative payload size so each task
     * decodes a comparable byte volume: range-partition on the running
     * byte sum bucketized to `targetBytesPerTask`. At 100 TB this is the

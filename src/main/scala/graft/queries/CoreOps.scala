@@ -96,19 +96,21 @@ object CoreOps extends QueryGroup {
              FROM lineitem"""))
 
   /** `Stream.grouped` / `windowByCount` (Stream.scala:230-256): tumbling
-    * count windows over a global order. The global `row_number` forces a
-    * single-partition sort — correct but intentionally non-scalable, kept
-    * for reference parity; the scalable per-key variant is the streaming
-    * count-window operator (graft.streaming).
+    * count windows over a global order — via the scalable global rank
+    * (range-partitioned sort + zipWithIndex offsets,
+    * graft.operators.GlobalOrder) instead of a single-partition
+    * `row_number`. The keyed streaming variant is
+    * graft.streaming.CountWindows.
     */
   private val countWindow = Q(
     "c06_count_window",
     "tumbling count windows of 500 rows over global order (reference grouped)",
     (s, dir) => {
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-      Tables(s, dir).lineitem
-        .withColumn("rn", row_number().over(w))
-        .withColumn("win_id", floor((col("rn") - 1) / lit(500)).cast("long"))
+      graft.operators.GlobalOrder.withGlobalIndex(
+        Tables(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_linenumber"))
+        .withColumn("win_id",
+          floor((col("_global_rank") - 1) / lit(500)).cast("long"))
         .groupBy("win_id")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("win_id")
