@@ -74,6 +74,24 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: clamps decoded dimensions into a bounding box
+    * preserving aspect ratio (integer math only — deterministic). The
+    * real pixel work would live in the same typed map.
+    */
+  def resize(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      if (f.width <= maxW && f.height <= maxH) f
+      else {
+        // scale = min(maxW/w, maxH/h) in 1/1024ths, integer arithmetic
+        val s = math.min(maxW * 1024L / f.width, maxH * 1024L / f.height)
+        f.copy(
+          width = math.max(1, (f.width * s / 1024L).toInt),
+          height = math.max(1, (f.height * s / 1024L).toInt))
+      }
+    }
+  }
+
   /** One sampled frame of a video payload. `frame_hash` stands in for
     * decoded frame bytes (deterministic stub).
     */

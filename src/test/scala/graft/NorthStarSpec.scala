@@ -130,6 +130,18 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal resize clamps into the box preserving aspect") {
+    val recs = spark.createDataset(List(
+      Multimodal.MediaFeatures(1L, "image", 10L, 640, 480, 1, 0L),
+      Multimodal.MediaFeatures(2L, "image", 10L, 100, 50, 1, 0L)))
+    val out = Multimodal.resize(recs, 320, 320).collect()
+      .map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(out(2L) == ((100, 50)), "already inside the box: untouched")
+    val (w, h) = out(1L)
+    assert(w <= 320 && h <= 320, "inside the box after resize")
+    assert(math.abs(w.toDouble / h - 640.0 / 480.0) < 0.05, "aspect kept")
+  }
+
   test("multimodal rebalance preserves rows") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val media = Multimodal.fromDocuments(spark, t.documents).toDF()

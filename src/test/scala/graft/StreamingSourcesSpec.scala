@@ -86,6 +86,41 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restart resumes from offsets, exactly-once output") {
+    val src = Files.createTempDirectory("graft-ckpt-src").toFile.getAbsolutePath
+    val chk = Files.createTempDirectory("graft-ckpt-chk").toFile.getAbsolutePath
+    val sink = Files.createTempDirectory("graft-ckpt-out").toFile.getAbsolutePath
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, tag STRING")
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    // run 1 drains the 3 files written so far
+    drain()
+    val afterFirst = spark.read.parquet(sink).count()
+    assert(afterFirst == 3)
+    // new files arrive while the query is down; the restarted query must
+    // process exactly the unseen files (offsets from the checkpoint)
+    (3 until 5).foreach { i =>
+      Seq((i.toLong, s"row$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    drain()
+    val rows = spark.read.parquet(sink).select("id").as[Long].collect().sorted
+    assert(rows.toList == List(0L, 1L, 2L, 3L, 4L),
+      s"exactly-once across restart, got ${rows.toList}")
+  }
+
   test("foreachBatch sink observes every micro-batch exactly once") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Int]
