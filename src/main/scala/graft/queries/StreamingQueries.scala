@@ -80,5 +80,45 @@ object StreamingQueries extends QueryGroup {
              HAVING w_start + 3600 <= (SELECT floor(epoch(max(ts))) FROM events)
              ORDER BY w_start"""))
 
-  val all: Seq[Q] = Seq(completeMode, appendMode)
+  /** Streaming dedup: distinct (user, event_type) keys via
+    * dropDuplicatesWithinWatermark. Only the key set is emitted (which
+    * row survives per key depends on batch arrival order — the key set
+    * itself is deterministic and equals relational DISTINCT).
+    */
+  private val streamDedup = Q(
+    "s03_stream_dedup",
+    "streaming dropDuplicatesWithinWatermark — distinct key set",
+    (s, dir) => {
+      val deduped = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      runToTable(deduped, "append").orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""))
+
+  /** Stream-static enrichment: the streaming fact joins a static
+    * dimension (broadcast — no stream shuffle), then aggregates.
+    */
+  private val streamStaticJoin = Q(
+    "s04_stream_static_join",
+    "streaming events enriched against the static customer dimension",
+    (s, dir) => {
+      val dim = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      runToTable(joined, "complete")
+        .orderBy("c_mktsegment", "event_type")
+    },
+    Some(s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+             ${oSum("value")} AS sum_value
+             FROM events JOIN customer ON user_id = c_custkey
+             GROUP BY c_mktsegment, event_type
+             ORDER BY c_mktsegment, event_type"""))
+
+  val all: Seq[Q] = Seq(completeMode, appendMode, streamDedup, streamStaticJoin)
 }

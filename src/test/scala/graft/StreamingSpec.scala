@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import graft.streaming.{CountWindows, EventTimeWindows, GraftMetrics, ManagedForeachSink}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Deterministic streaming-semantics tests: one MemoryStream batch per
@@ -109,6 +110,28 @@ class StreamingSpec extends AnyFunSuite {
     val out = CountWindows.perKeyBatch[String, (String, Int)](ds, 3, _._1)
       .collect().toList.map { case (k, w) => (k, w.map(_._2)) }
     assert(out.toSet == Set(("k", Seq(1, 2, 3)), ("k", Seq(4))))
+  }
+
+  test("streaming session_window merges within gap, closes via watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("user", "unix_timestamp(w.start) AS s",
+        "unix_timestamp(w.end) AS e", "n")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      input.addData((ts(1), 7L), (ts(5), 7L), (ts(30), 7L))
+      q.processAllAvailable() // watermark -> 30: session [1,15) closed
+      val rows = spark.table("sess").as[(Long, Long, Long, Long)]
+        .collect().toList
+      assert(rows == List((7L, 1L, 15L, 2L)),
+        s"merged session [1, 5+10) with 2 events, got $rows")
+      // the session opened at 30 stays open (end 40 > watermark 30)
+    } finally q.stop()
   }
 
   test("mapGroupsWithState running max carries state across batches") {
