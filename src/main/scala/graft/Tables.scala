@@ -26,10 +26,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    table("events").withColumn("ts", Tables.nanosToMicrosTimestamp("ts"))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  /** Epoch-nanos long column → microsecond timestamp. MUST be the SQL
+    * integral `div`: Column `/` promotes longs to double, and epoch
+    * nanos (~1.7e18) exceed double's 2^53 exact range (ulp = 256 ns
+    * there), which corrupts a large fraction of timestamps by 1 µs
+    * after truncation.
+    */
+  def nanosToMicrosTimestamp(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"timestamp_micros($colName div 1000)")
 }

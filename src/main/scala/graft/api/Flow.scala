@@ -101,13 +101,23 @@ final case class Flow[T](ds: Dataset[T], name: String) {
   /** Reference `runCancellableIterator` (Node.scala:92-117): a lazy
     * iterator plus a cancel handle; cancelling aborts the backing jobs
     * and the iterator terminates with the partitions already fetched.
+    * `toLocalIterator` launches its per-partition jobs lazily from the
+    * consuming thread, so the job group is (re)set around each pull and
+    * cleared after — it can't leak onto unrelated work on this thread.
     */
   def runCancellableIterator()(
       implicit ec: scala.concurrent.ExecutionContext): (Iterator[T], () => Unit) = {
     val group = s"graft-iter-$name-${System.identityHashCode(this)}"
     val sc = spark.sparkContext
-    sc.setJobGroup(group, s"cancellable iterator $name", interruptOnCancel = true)
-    val it = ds.toLocalIterator().asScala
+    val base = ds.toLocalIterator().asScala
+    def inGroup[A](f: => A): A = {
+      sc.setJobGroup(group, s"cancellable iterator $name", interruptOnCancel = true)
+      try f finally sc.clearJobGroup()
+    }
+    val it = new Iterator[T] {
+      override def hasNext: Boolean = inGroup(base.hasNext)
+      override def next(): T = inGroup(base.next())
+    }
     (it, () => sc.cancelJobGroup(group))
   }
 
@@ -167,9 +177,11 @@ final case class Flow[T](ds: Dataset[T], name: String) {
     * processing error is primary with close error suppressed; a
     * close-only failure surfaces.
     */
-  def toManagedSink[R <: AutoCloseable](open: () => R)(
-      process: (R, T) => Unit): Unit =
-    ds.foreachPartition { (it: Iterator[T]) =>
+  def toManagedSink[R <: AutoCloseable](
+      open: () => R,
+      metrics: Option[graft.streaming.GraftMetrics] = None)(
+      process: (R, T) => Unit): Unit = {
+    def run(): Unit = ds.foreachPartition { (it: Iterator[T]) =>
       val resource = open()
       var primary: Throwable = null
       try it.foreach(t => process(resource, t))
@@ -179,11 +191,25 @@ final case class Flow[T](ds: Dataset[T], name: String) {
         catch {
           case ce: Throwable =>
             if (primary != null) primary.addSuppressed(ce)
-            else primary = ce
+            else primary = new ResourceCloseException(ce)
         }
         if (primary != null) throw primary
       }
     }
+    try run()
+    catch {
+      case e: Throwable =>
+        // close-only failures travel as the marker class; count on the
+        // driver (executor accumulators are dropped for failed tasks)
+        val marker = classOf[ResourceCloseException].getSimpleName
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(10).toList
+        if (chain.exists(t => t.getClass.getSimpleName == marker ||
+            (t.getMessage != null && t.getMessage.contains(marker))))
+          metrics.foreach(_.recordCloseFailure())
+        throw e
+    }
+  }
 
   // --- async execution (reference ExecutionHandle, Execution.scala) ----
 

@@ -28,6 +28,26 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects array<float> or array<double> arguments, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  @transient private lazy val leftIsDouble =
+    elemType(left).contains(DoubleType)
+  @transient private lazy val rightIsDouble =
+    elemType(right).contains(DoubleType)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -37,8 +57,8 @@ case class CosineSim(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
       nx += xi * xi
       ny += yi * yi

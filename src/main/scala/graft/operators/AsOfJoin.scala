@@ -50,16 +50,10 @@ object AsOfJoin {
       .filter(col("rn") === 1)
       .select(col("key"), col("bucket"), col("right_id").as("bucket_last"))
 
-    // stage 2: carry = latest right id from any STRICTLY EARLIER bucket,
-    // per key — windows over the tiny per-bucket summary, not the events
-    val wCarry = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = lastPerBucket
-      .withColumn("carry_in", last(col("bucket_last"), ignoreNulls = true).over(wCarry))
-      .select(col("key"), col("bucket"), col("carry_in"))
-
-    // left rows need the carry of their OWN bucket, including buckets with
-    // no right rows: compute carry for every bucket the left side touches
+    // stage 2: carry = latest right id entering each bucket, per key —
+    // windowed over the tiny per-(key,bucket) summary, not the events.
+    // Left rows need the carry of their OWN bucket, including buckets
+    // with no right rows, so carry is computed for every touched bucket.
     val lB = left.withColumn("bucket", bucket(col("ts")))
     val leftBuckets = lB.select("key", "bucket").distinct()
     val rightBuckets = lastPerBucket.select("key", "bucket")

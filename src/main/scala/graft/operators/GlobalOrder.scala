@@ -19,10 +19,15 @@ object GlobalOrder {
     * `orderCols`). Ties must be broken by the caller's key choice —
     * include a unique column for a deterministic order.
     */
-  def withGlobalIndex(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+  def withGlobalIndex(df: DataFrame, orderCols: Seq[String]): DataFrame =
+    withGlobalIndexCols(df, orderCols.map(col))
+
+  /** Column-expression form (supports desc / computed sort keys). */
+  def withGlobalIndexCols(df: DataFrame,
+      orderExprs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val sorted = df
-      .repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+      .repartitionByRange(orderExprs: _*)
+      .sortWithinPartitions(orderExprs: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField("_global_rank", LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>

@@ -114,18 +114,30 @@ object Multimodal {
     }
   }
 
-  /** Rebalance a media DataFrame by cumulative payload size so each task
-    * decodes a comparable byte volume: range-partition on the running
-    * byte sum bucketized to `targetBytesPerTask`. At 100 TB this is the
-    * difference between a 10-minute and a 10-hour straggler stage.
+  /** Rebalance a media DataFrame so each task decodes a comparable byte
+    * volume: rows are globally ranked by payload size (scalable rank —
+    * range partition + offsets, no single-task window) and dealt
+    * round-robin over `ceil(totalBytes / targetBytesPerTask)` buckets,
+    * so every bucket receives an even mix of large and small payloads.
+    * At 100 TB this is the difference between a 10-minute and a
+    * 10-hour straggler stage.
     */
   def rebalanceBySize(media: DataFrame, targetBytesPerTask: Long): DataFrame = {
+    require(targetBytesPerTask > 0)
     val sized = media.withColumn("_sz", length(col("payload")).cast("long"))
-    val bucketed = sized.withColumn("_bucket",
-      (sum(col("_sz")).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("_sz").desc, col("media_id")))
-        / targetBytesPerTask).cast("long"))
-    bucketed.repartition(col("_bucket")).drop("_sz", "_bucket")
+    val total = Option(sized.agg(sum(col("_sz"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (total == 0L) media
+    else {
+      val numBuckets =
+        math.max(1L, (total + targetBytesPerTask - 1) / targetBytesPerTask)
+          .min(Int.MaxValue.toLong).toInt
+      GlobalOrder.withGlobalIndexCols(sized,
+        Seq(col("_sz").desc, col("media_id").asc))
+        .withColumn("_bucket", pmod(col("_global_rank"), lit(numBuckets.toLong)))
+        .repartition(numBuckets, col("_bucket"))
+        .drop("_sz", "_bucket", "_global_rank")
+    }
   }
 
   /** Build a MediaRecord dataset from the documents table — the text

@@ -32,7 +32,7 @@ object StreamingQueries extends QueryGroup {
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", graft.Tables.nanosToMicrosTimestamp("ts"))
   }
 
   private def runToTable(

@@ -16,7 +16,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * | ssp_boundary_queue_depth        | ≈ progress.numInputRows per trigger (micro-batch is the boundary) |
   * | ssp_boundary_producer_block_ms  | ≈ durationMs.triggerExecution        |
   * | ssp_unhandled_error_total       | query-terminated-with-exception count |
-  * | ssp_resource_close_fail_total   | incremented by managed sinks         |
+  * | ssp_resource_close_fail_total   | ResourceCloseException markers: counted by Flow.toManagedSink(metrics=...) and on query termination |
   * | ssp_parmap_inflight             | not applicable: Spark schedules tasks; use executor metrics |
   *
   * Scoping follows the reference's per-execution collectors
@@ -61,7 +61,11 @@ final class GraftMetrics extends StreamingQueryListener {
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
-    if (event.exception.isDefined) errors.incrementAndGet()
+    event.exception.foreach { msg =>
+      errors.incrementAndGet()
+      if (msg.contains(classOf[graft.api.ResourceCloseException].getSimpleName))
+        closeFails.incrementAndGet()
+    }
 
   def recordCloseFailure(): Unit = closeFails.incrementAndGet()
 

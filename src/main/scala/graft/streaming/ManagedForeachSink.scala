@@ -30,7 +30,7 @@ final class ManagedForeachSink[T, R <: AutoCloseable](
       catch {
         case ce: Throwable =>
           if (errorOrNull != null) { errorOrNull.addSuppressed(ce) }
-          else throw ce
+          else throw new graft.api.ResourceCloseException(ce)
       }
     }
 }

@@ -93,6 +93,19 @@ class ExecutionSpec extends AnyFunSuite {
     assert(messages.contains("process boom"))
   }
 
+  test("close failures report into the metrics accumulator") {
+    SinkProbe.reset()
+    val metrics = graft.streaming.GraftMetrics.install(spark)
+    try {
+      intercept[SparkException] {
+        Flow.fromDataset(spark.createDataset(1 to 3).coalesce(1))
+          .toManagedSink(() => new SinkProbe.BrokenClose,
+            Some(metrics))((r, i) => r.write(i))
+      }
+      assert(metrics.snapshot().resourceCloseFailTotal >= 1L)
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("managed sink: close-only failure surfaces (ADR-0005)") {
     SinkProbe.reset()
     val e = intercept[SparkException] {
