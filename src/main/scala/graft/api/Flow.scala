@@ -56,6 +56,25 @@ final case class Flow[T](ds: Dataset[T], name: String) {
     Flow(ds.repartition(parallelism).map(f), s"$name.parMap")
   }
 
+  /** Reference `parMap` with the full ADR-0002 ordering contract:
+    * output order == input order even under skewed per-element latency
+    * (the reference's order-restoring gather, Stream.scala:116-165).
+    * Ordinals are pinned before the shuffle, work spreads over
+    * `parallelism` tasks, and the global order is restored by a range
+    * sort on the ordinal.
+    */
+  def parMapOrdered[U: Encoder](parallelism: Int)(f: T => U)(
+      implicit eto: Encoder[(T, Long)], euo: Encoder[(U, Long)]): Flow[U] = {
+    require(parallelism > 0, s"parallelism must be > 0, got $parallelism")
+    import org.apache.spark.sql.functions.col
+    val mapped = zipWithOrdinal.ds
+      .repartition(parallelism)
+      .map { case (t, ord) => (f(t), ord) }
+    Flow(
+      mapped.orderBy(col("_2")).map(_._1),
+      s"$name.parMapOrdered")
+  }
+
   /** Element-level recovery surface: a throwing `f` yields an in-band
     * [[Attempt]] failure instead of failing the query — the distributed
     * analog of the reference's `recover` family, whose error source is

@@ -83,6 +83,16 @@ class FlowSpec extends AnyFunSuite {
     assert(out == (1 to 100).map(_ * 2).toList)
   }
 
+  test("parMapOrdered restores input order under skewed latency (test :82-94)") {
+    val rng = new scala.util.Random(3)
+    val delays = (1 to 60).map(i => i -> rng.nextInt(8)).toMap
+    val out = Flow.fromSeq(spark, (1 to 60).toList)
+      .parMapOrdered(4) { i => Thread.sleep(delays(i)); i * 10 }
+      .runToList()
+    assert(out == (1 to 60).map(_ * 10).toList,
+      "output order must equal input order despite skewed task latency")
+  }
+
   test("recover: prefix then one fallback then halt (docs/examples.md:131-137)") {
     // List(1, 0, 2).map(10 / _) recovers to List(10, 99)
     val attempts = Flow.fromDataset(
