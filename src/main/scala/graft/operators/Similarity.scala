@@ -135,14 +135,31 @@ object Similarity {
       k: Int,
       numPlanes: Int = 8,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"),
-      bucketExpr(col("embedding"), planes).as("bucket"))
-    val c = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"),
-      bucketExpr(col("embedding"), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("n_id"))
+      seed: Long = 42L,
+      numTables: Int = 1): DataFrame = {
+    require(numTables >= 1)
+    // one bucket column per table (independent plane sets); a candidate
+    // qualifies if it shares ANY table's bucket with the query — the
+    // standard OR-construction that trades extra bucket joins for recall
+    val tables = (0 until numTables).map { t =>
+      (s"bucket_$t", hyperplanes(numPlanes, dim, seed + t))
+    }
+    def withBuckets(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      tables.foldLeft(
+        df.select(col("id").as(idAs), col("embedding").as(embAs))) {
+        case (acc, (name, planes)) =>
+          acc.withColumn(name, bucketExpr(col(embAs), planes))
+      }
+    val q = withBuckets(queries, "q_id", "q_emb")
+    val c = withBuckets(corpus, "n_id", "n_emb")
+    val scored = tables.map { case (name, _) =>
+      c.join(broadcast(q), c(name) === q(name))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+    }.reduce(_ union _)
+      .distinct()
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+      .join(c.select(col("n_id"), col("n_emb")), "n_id")
       .select(col("q_id"), col("n_id"),
         cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))

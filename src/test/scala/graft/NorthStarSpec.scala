@@ -101,6 +101,19 @@ class NorthStarSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("multi-table LSH (OR-construction) only adds candidates") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val one = Similarity.lshTopK(q, emb, 50, numTables = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val two = Similarity.lshTopK(q, emb, 50, numTables = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(one.subsetOf(two), "second table must only widen the candidate set")
+    assert(two.size >= one.size)
+  }
+
   test("IVF ANN scores equal exact scores; top-1 recall is sane") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
