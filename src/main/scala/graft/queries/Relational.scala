@@ -412,17 +412,20 @@ object Relational extends QueryGroup {
                AND l_shipdate < o_orderdate + INTERVAL 30 DAY
              GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
-  /** Correlated scalar-subquery shape (expressed as aggregate+join —
-    * the plan Catalyst would rewrite the subquery into anyway).
+  /** Correlated scalar-subquery shape. Computed as a window over the
+    * group key — one shuffle — instead of the aggregate+self-join form
+    * (two hash exchanges of the fact table) the SQL subquery would
+    * naively rewrite into; same exact-decimal average, same result.
     */
   private val aboveAvg = Q(
     "q19_scalar_subquery",
     "lineitems above their order's average quantity",
     (s, dir) => {
-      val t = Tables(s, dir)
-      val avgPer = t.lineitem.groupBy(col("l_orderkey").as("k"))
-        .agg(davg(col("l_quantity")).as("avg_qty"))
-      t.lineitem.join(avgPer, col("l_orderkey") === col("k"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      Tables(s, dir).lineitem
+        .withColumn("avg_qty",
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .over(w).cast("double") / count(lit(1)).over(w))
         .filter(col("l_quantity") > col("avg_qty"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"))
