@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.functions.TextFunctions.fingerprint
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed training-data curation pipeline — the end-to-end flow
+  * the individual north-star operators exist for:
+  *
+  *   documents → quality filter → near-dup removal (MinHash-LSH,
+  *   keep-lowest-id) → content fingerprinting → curated corpus
+  *
+  * Every stage is one of the already-verified operators; the
+  * composition itself stays a single declarative plan (no
+  * materialization between stages), so Catalyst fuses the per-row
+  * stages into the scan and the only shuffles are the dedup joins.
+  */
+object Curation {
+
+  /** Quality gate shared with TextAnalysis.qualityScore (n08). */
+  private def qualityOk: org.apache.spark.sql.Column = {
+    val nChars = length(col("text")).cast("double")
+    val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+    val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+    (size(split(col("text"), " ")) >= 5) &&
+      (punct / nChars < 0.2) && (digits / nChars < 0.3)
+  }
+
+  /** Curate a documents table: returns the surviving rows with their
+    * content fingerprint. Near-dup policy: for every pair with n-gram
+    * Jaccard ≥ `threshold` (MinHash-LSH candidates, exact-verified),
+    * the higher doc_id is dropped — deterministic keep-first.
+    */
+  def pipeline(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val quality = docs.filter(qualityOk)
+    val dupIds = Dedup.minHashPairs(quality, n, threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    quality
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        fingerprint(col("text")).as("fp"))
+  }
+}
