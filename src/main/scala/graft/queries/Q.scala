@@ -39,11 +39,17 @@ object Sql {
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(28, 6))).cast("double") / count(lit(1))
 
-  /** DuckDB-side equivalent of [[dsum]]. */
+  /** DuckDB-side equivalent of [[dsum]]. The decimal→double cast goes
+    * through VARCHAR: DuckDB's direct decimal→double converts the
+    * scaled int128 to double and THEN divides by 10^scale (two
+    * roundings), which can differ by 1 ulp from Spark's correctly
+    * rounded BigDecimal→double once the scaled sum exceeds 2^53;
+    * string→double parsing single-rounds on both engines.
+    */
   def oSum(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
 
   /** DuckDB-side equivalent of [[davg]]. */
   def oAvg(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+    s"${oSum(expr)} / COUNT(*)"
 }

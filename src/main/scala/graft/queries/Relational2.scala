@@ -285,8 +285,72 @@ object Relational2 extends QueryGroup {
             FROM i FULL OUTER JOIN e ON i.nationkey = e.nationkey
             ORDER BY nationkey"""))
 
+  /** Pearson correlation from exact decimal component sums (built-in
+    * `corr()` accumulates doubles in partition order — not reproducible
+    * across engines; the manual form is: every Σ is exact, the final
+    * double formula is identical IEEE arithmetic on both sides).
+    */
+  private val corrManual = Q(
+    "q34_correlation",
+    "exact-sum Pearson correlation of quantity vs extendedprice",
+    (s, dir) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum(x).as("sx"), dsum(y).as("sy"),
+          dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+        .select(col("l_returnflag"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"),
+          col("n").cast("long").as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""WITH sums AS (
+               SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 ${oSum("l_quantity")} AS sx,
+                 ${oSum("l_extendedprice")} AS sy,
+                 ${oSum("l_quantity * l_extendedprice")} AS sxy,
+                 ${oSum("l_quantity * l_quantity")} AS sxx,
+                 ${oSum("l_extendedprice * l_extendedprice")} AS syy
+               FROM lineitem GROUP BY l_returnflag)
+             SELECT l_returnflag,
+               (n * sxy - sx * sy) /
+                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                 AS corr_qty_price,
+               CAST(n AS BIGINT) AS n_rows
+             FROM sums ORDER BY l_returnflag"""))
+
+  /** Deterministic argmax via max(struct): the struct comparison makes
+    * the tiebreak explicit (price, then orderkey), unlike max_by whose
+    * tie choice is undefined. Oracle expresses the same via rank=1.
+    */
+  private val argmax = Q(
+    "q35_argmax",
+    "most expensive order per customer via max(struct) with explicit tiebreak",
+    (s, dir) => {
+      Tables(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+          col("m.o_orderkey").as("top_order"),
+          col("m.o_totalprice").as("top_price"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey AS top_order, o_totalprice AS top_price
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey"""))
+
   val all: Seq[Q] = Seq(
     groupingSets, pivotQ, arrayAgg, dateArith, fromJson, regexpExtract,
     inSubquery, analyticWindows, firstLast, approxDistinct, saltedAgg,
-    percentiles, setOpsAll)
+    percentiles, setOpsAll, corrManual, argmax)
 }
