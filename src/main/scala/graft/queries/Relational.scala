@@ -180,7 +180,7 @@ object Relational extends QueryGroup {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
     },
-    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM
             (SELECT o_custkey, o_orderkey, o_totalprice,
                     row_number() OVER (PARTITION BY o_custkey
                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -327,7 +327,7 @@ object Relational extends QueryGroup {
         .orderBy("p_partkey")
     },
     Some("""SELECT p_partkey, upper(p_name) AS uname,
-            substr(p_name, 1, 8) AS prefix, length(p_name) AS name_len,
+            substr(p_name, 1, 8) AS prefix, CAST(length(p_name) AS INT) AS name_len,
             p_brand || '|' || p_type AS brand_type,
             replace(p_name, ' ', '_') AS snake
             FROM part ORDER BY p_partkey"""))
@@ -452,7 +452,7 @@ object Relational extends QueryGroup {
         .orderBy("event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS n,
-            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
             MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type"""))

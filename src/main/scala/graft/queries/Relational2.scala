@@ -49,9 +49,9 @@ object Relational2 extends QueryGroup {
         .orderBy("o_orderpriority")
     },
     Some("""SELECT o_orderpriority,
-            COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_f,
-            COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_o,
-            COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_p
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_f,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_o,
+            CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_p
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
   /** Array aggregation + array functions, compared via a canonical
@@ -75,7 +75,7 @@ object Relational2 extends QueryGroup {
     },
     Some("""SELECT l_orderkey,
             array_to_string(list_sort(list(l_linenumber)), ',') AS line_list,
-            len(list(l_linenumber)) AS n_lines,
+            CAST(len(list(l_linenumber)) AS INT) AS n_lines,
             list_sort(list(l_linenumber))[1] AS first_line,
             list_sort(list(l_linenumber))[-1] AS last_line
             FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
@@ -119,7 +119,7 @@ object Relational2 extends QueryGroup {
         .orderBy("event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS n,
-            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events
             WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
             GROUP BY event_type ORDER BY event_type"""))

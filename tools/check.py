@@ -42,6 +42,9 @@ def compare(name, got: pd.DataFrame, want: pd.DataFrame):
     got, want = norm(got), norm(want)
     if list(got.columns) != list(want.columns):
         return f"SCHEMA got={list(got.columns)} want={list(want.columns)}"
+    for c in got.columns:
+        if str(got[c].dtype) != str(want[c].dtype):
+            return f"DTYPE col={c} got={got[c].dtype} want={want[c].dtype}"
     if len(got) != len(want):
         return f"ROWS got={len(got)} want={len(want)}"
     # driver hashes values; emulate exact-compare after row sort
