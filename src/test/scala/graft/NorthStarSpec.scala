@@ -30,6 +30,13 @@ class NorthStarSpec extends AnyFunSuite {
     assert(groups.toSet == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("exactDedup keeps one survivor per normalized text (lowest id)") {
+    val out = Dedup.exactDedup(docsDF(
+      1L -> "Hello  World", 2L -> "hello world", 3L -> "other", 4L -> "other"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toList == List(1L, 3L))
+  }
+
   test("jaccard pairs find the planted near-dups and nothing else") {
     val pairs = Dedup.jaccardPairs(corpus, 3, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -112,6 +112,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet == Set(("k", Seq(1, 2, 3)), ("k", Seq(4))))
   }
 
+  test("non-zero watermark delay admits events within allowed lateness") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = EventTimeWindows.tumblingAgg(
+      input.toDF().toDF("ts", "v"), "ts", "v", "5 seconds", delay = "5 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("etw4").start()
+    try {
+      input.addData((ts(1), 1.0)); q.processAllAvailable()
+      input.addData((ts(10), 2.0)); q.processAllAvailable() // watermark -> 5
+      input.addData((ts(6), 3.0))  // 6 >= 5: accepted into [5,10)
+      q.processAllAvailable()
+      input.addData((ts(4), 9.0))  // 4 < 5: dropped
+      input.addData((ts(20), 4.0)) // watermark -> 15: closes [0,5) and [5,10)
+      q.processAllAvailable()
+      val emitted = spark.table("etw4")
+        .selectExpr("unix_timestamp(w_start)", "n", "sum_value")
+        .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+      assert(emitted == List((0L, 1L, 1.0), (5L, 1L, 3.0), (10L, 1L, 2.0)),
+        s"late-but-within-delay event must join [5,10): $emitted")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L, s"only the ts=4 event drops, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming session_window merges within gap, closes via watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
