@@ -123,21 +123,28 @@ final case class Flow[T](ds: Dataset[T], name: String) {
     * `toLocalIterator` launches its per-partition jobs lazily from the
     * consuming thread, so the job group is (re)set around each pull and
     * cleared after — it can't leak onto unrelated work on this thread.
+    * A cancelled flag is checked on every pull, so a cancel issued
+    * *between* pulls terminates the iterator too (cancelJobGroup alone
+    * only aborts jobs already running).
     */
   def runCancellableIterator()(
       implicit ec: scala.concurrent.ExecutionContext): (Iterator[T], () => Unit) = {
     val group = s"graft-iter-$name-${System.identityHashCode(this)}"
     val sc = spark.sparkContext
     val base = ds.toLocalIterator().asScala
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     def inGroup[A](f: => A): A = {
       sc.setJobGroup(group, s"cancellable iterator $name", interruptOnCancel = true)
       try f finally sc.clearJobGroup()
     }
     val it = new Iterator[T] {
-      override def hasNext: Boolean = inGroup(base.hasNext)
-      override def next(): T = inGroup(base.next())
+      override def hasNext: Boolean = !cancelled.get() && inGroup(base.hasNext)
+      override def next(): T = {
+        if (cancelled.get()) throw new NoSuchElementException("iterator cancelled")
+        inGroup(base.next())
+      }
     }
-    (it, () => sc.cancelJobGroup(group))
+    (it, () => { cancelled.set(true); sc.cancelJobGroup(group) })
   }
 
   /** Reference `JobGraph.printTopology` (JobGraph.scala:16-68): render
