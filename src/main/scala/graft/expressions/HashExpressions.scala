@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -13,6 +13,12 @@ import org.apache.spark.sql.types._
   * loop per row (~15× faster on the sf0.1 dedup bench) while producing
   * bit-identical results: same xxhash64 seed (42, Spark's default), same
   * affine family, same tie rules.
+  *
+  * All four implement `doGenCode` (not `CodegenFallback`): the generated
+  * code calls the expression's own `compute` method through a codegen
+  * reference object, so the enclosing stage keeps whole-stage codegen —
+  * one virtual call per row instead of a fallback that re-enters the
+  * interpreter and boxes an `InternalRow` per row.
   */
 
 /** Cosine similarity between two float-array embeddings, evaluated as
@@ -21,12 +27,18 @@ import org.apache.spark.sql.types._
   * `aggregate(zip_with(...))` formulation (and to the DuckDB oracle's
   * `list_reduce`), just ~20× cheaper. Arrays of unequal length compare
   * over the common prefix.
+  *
+  * Degenerate inputs yield SQL null, never NaN: empty common prefix,
+  * zero-norm input, or a null array element (parquet list columns are
+  * `containsNull=true` by default even when no nulls exist, so element
+  * nulls are handled at runtime rather than rejected at analysis).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
@@ -48,15 +60,17 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val rightIsDouble =
     elemType(right).contains(DoubleType)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  /** Boxed so both the interpreted and generated paths share one body;
+    * null means "no defined cosine" (empty / zero norm / null element).
+    */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (leftIsDouble) x.getDouble(i) else x.getFloat(i).toDouble
       val yi = if (rightIsDouble) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi
@@ -64,7 +78,26 @@ case class CosineSim(left: Expression, right: Expression)
       ny += yi * yi
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val tmp = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $tmp = $ref.compute($x, $y);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp.doubleValue();
+         |}
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -79,12 +112,12 @@ case class CosineSim(left: Expression, right: Expression)
   * shingle (same rule as TextFunctions.wordShingles).
   */
 case class WordShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0, s"shingle width must be > 0, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
     val text = input.toString
     val toks = text.split(" ", -1)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -112,9 +145,18 @@ case class WordShingleHashes(child: Expression, n: Int)
     new GenericArrayData(arr)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
   private def hashOf(s: String): Long =
     XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType, 42L)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this,
+      classOf[WordShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
 
   override protected def withNewChildInternal(c: Expression): WordShingleHashes =
     copy(child = c)
@@ -126,7 +168,7 @@ case class WordShingleHashes(child: Expression, n: Int)
   * skipping the string re-hash.
   */
 case class MinHashSigFromHashes(child: Expression, coeffs: Seq[(Long, Long)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L
   private val as: Array[Long] = coeffs.map(_._1).toArray
@@ -134,8 +176,7 @@ case class MinHashSigFromHashes(child: Expression, coeffs: Seq[(Long, Long)])
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
@@ -154,6 +195,15 @@ case class MinHashSigFromHashes(child: Expression, coeffs: Seq[(Long, Long)])
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashFromHashes", this,
+      classOf[MinHashSigFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSigFromHashes =
     copy(child = c)
 }
@@ -164,7 +214,7 @@ case class MinHashSigFromHashes(child: Expression, coeffs: Seq[(Long, Long)])
   * DataFrame-level and expression-level signatures agree.
   */
 case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L
   private val as: Array[Long] = coeffs.map(_._1).toArray
@@ -172,8 +222,7 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
@@ -192,6 +241,14 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
     new GenericArrayData(mins)
   }
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
+  }
+
   override protected def withNewChildInternal(c: Expression): MinHashSig =
     copy(child = c)
 }
@@ -201,12 +258,11 @@ case class MinHashSig(child: Expression, coeffs: Seq[(Long, Long)])
   * output bit — identical semantics to the unrolled HOF version.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -225,7 +281,15 @@ case class SimHash64(child: Expression)
       if (votes(b) >= 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.compute($x);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =

@@ -29,7 +29,11 @@ object AsOfJoin {
       lit(null).cast("long").as("right_id"), lit(1).as("side"))
     val r = right.select(col("key"), col("ts"),
       lit(null).cast("long").as("left_id"), col("right_id"), lit(0).as("side"))
-    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("side"))
+    // tie rule: among right rows sharing (key, ts), the max right_id wins —
+    // ascending right_id puts it last, so last(ignoreNulls) picks it. This
+    // matches bucketed()'s stage-1 pick (desc(right_id), rn = 1).
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("side"), col("right_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.union(l)
       .withColumn("matched", last(col("right_id"), ignoreNulls = true).over(w))
@@ -75,8 +79,9 @@ object AsOfJoin {
       lit(null).cast("long").as("right_id"), lit(1).as("side"))
     val r = rB.select(col("key"), col("bucket"), col("ts"),
       lit(null).cast("long").as("left_id"), col("right_id"), lit(0).as("side"))
+    // same tie rule as perKey: max right_id wins at equal (key, ts)
     val wLocal = Window.partitionBy(col("key"), col("bucket"))
-      .orderBy(col("ts"), col("side"))
+      .orderBy(col("ts"), col("side"), col("right_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.union(l)
       .withColumn("local_match", last(col("right_id"), ignoreNulls = true).over(wLocal))

@@ -109,9 +109,10 @@ object TimeWindows extends QueryGroup {
           lit(null).cast("long").as("view_id"),
           col("event_id").as("click_id"),
           lit(1).as("side"))
-      // views sort before clicks at equal ts => "at-or-before" inclusive
+      // views sort before clicks at equal ts => "at-or-before" inclusive;
+      // view_id breaks (user, ts) ties deterministically (max view wins)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("side"))
+        .orderBy(col("ts"), col("side"), col("view_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       views.union(clicks)
         .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))

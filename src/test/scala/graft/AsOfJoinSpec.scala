@@ -43,6 +43,25 @@ class AsOfJoinSpec extends AnyFunSuite {
         s"bucket=$bucket")
   }
 
+  test("tied (key, ts) right rows resolve deterministically to max right_id") {
+    // three right rows at the exact click ts, plus an earlier decoy; both
+    // implementations must pick 33 (max right_id at the tie), not an
+    // arbitrary one — and must agree with each other.
+    val left = df(Seq((1L, 10L, 100L), (1L, 11L, 101L)), "left_id")
+    val right = df(Seq(
+      (1L, 10L, 31L), (1L, 10L, 33L), (1L, 10L, 32L), (1L, 5L, 9L)),
+      "right_id")
+    val expected = Set((100L, 1L, Some(33L)), (101L, 1L, Some(33L)))
+    def toSet(out: org.apache.spark.sql.DataFrame) =
+      out.select("left_id", "key", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(toSet(AsOfJoin.perKey(left, right)) == expected)
+    for (bucket <- Seq(1L, 7L, 1000L))
+      assert(toSet(AsOfJoin.bucketed(left, right, bucket)) == expected,
+        s"bucket=$bucket")
+  }
+
   test("bucketed == perKey on the events table (clicks as-of views)") {
     val ev = Tables(spark, "/root/testdata/sf0.001").events
     val left = ev.filter(col("event_type") === "click")

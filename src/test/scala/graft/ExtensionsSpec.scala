@@ -27,6 +27,70 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sim == sim2)
   }
 
+  test("cosine: degenerate inputs yield null, never NaN") {
+    GraftFunctions.register(spark)
+    def one(sql: String): org.apache.spark.sql.Row =
+      spark.sql(s"SELECT $sql AS c").head()
+    // zero-norm vector
+    assert(one("graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))").isNullAt(0))
+    // empty arrays
+    assert(one("graft_cosine(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>))").isNullAt(0))
+    // null element inside the compared prefix
+    assert(one("graft_cosine(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").isNullAt(0))
+    // null argument
+    assert(one("graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))").isNullAt(0))
+  }
+
+  test("cosine: codegen path is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(64)((Array.fill(16)(rng.nextFloat()),
+      Array.fill(16)(rng.nextFloat())))
+    val df = rows.toDF("a", "b")
+    val hof = df.select(
+      (graft.functions.VectorFunctions.dotProduct(col("a"), col("b")) /
+        (graft.functions.VectorFunctions.l2Norm(col("a")) *
+          graft.functions.VectorFunctions.l2Norm(col("b")))).as("c"))
+      .collect().map(_.getDouble(0))
+    val native = df.select(
+      graft.functions.VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(hof.zip(native).forall { case (x, y) =>
+      java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+    })
+  }
+
+  test("native expressions participate in whole-stage codegen (no fallback)") {
+    import org.apache.spark.sql.functions.col
+    // parquet-backed so the projection is a real codegen stage (a local
+    // Seq folds into LocalTableScan and would vacuously pass/fail)
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val emb = t.embeddings.select(
+      graft.functions.VectorFunctions.cosine(
+        col("embedding"), col("embedding")).as("c"))
+    val doc = t.documents.select(
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("h"))
+    for (df <- Seq(emb, doc)) {
+      val physical = df.queryExecution.executedPlan.toString()
+      assert(physical.contains("*("), // the WholeStageCodegen span marker
+        s"expected whole-stage codegen, got:\n$physical")
+    }
+    // the real guard: none of the native expressions fall back to the
+    // interpreter inside an otherwise-codegen'd stage
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    for (c <- Seq(classOf[graft.expressions.CosineSim],
+        classOf[graft.expressions.WordShingleHashes],
+        classOf[graft.expressions.MinHashSig],
+        classOf[graft.expressions.MinHashSigFromHashes],
+        classOf[graft.expressions.SimHash64]))
+      assert(!classOf[CodegenFallback].isAssignableFrom(c),
+        s"${c.getSimpleName} must implement doGenCode")
+    // self-cosine through the generated path is exactly 1.0
+    assert(emb.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    assert(doc.head().getSeq[Long](0).nonEmpty)
+  }
+
   test("SQL shingle hashes agree with the DataFrame-level function") {
     GraftFunctions.register(spark)
     import spark.implicits._

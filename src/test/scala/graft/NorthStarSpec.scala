@@ -150,6 +150,25 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal features are octet-based for non-ASCII text (n11 parity)") {
+    import spark.implicits._
+    // 'héllo wörld' is 11 characters but 13 UTF-8 octets; the stub (and
+    // therefore the n11 oracle) must sum the first min(16, octets) BYTES,
+    // not codepoints — a codepoint-based width would differ here.
+    val text = "héllo wörld — ützíñ"
+    val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val octetSum = utf8.take(16).map(_ & 0xff).sum
+    val docs = Seq((0L, text, "de", "web", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.extractFeatures(
+      Multimodal.fromDocuments(spark, docs)).head()
+    assert(f.n_bytes == utf8.length.toLong, "n_bytes counts octets")
+    assert(f.width == 16 + octetSum % 640, "width sums the first 16 octets")
+    assert(f.height == 16 + utf8.length % 480)
+    val codepointSum = text.take(16).map(_.toInt).sum
+    assert(octetSum != codepointSum, "fixture genuinely exercises the gap")
+  }
+
   test("multimodal resize clamps into the box preserving aspect") {
     val recs = spark.createDataset(List(
       Multimodal.MediaFeatures(1L, "image", 10L, 640, 480, 1, 0L),
