@@ -158,17 +158,41 @@ object Relational2 extends QueryGroup {
   /** Remaining analytic window functions: ntile / percent_rank /
     * cume_dist over a total order (exact rational values — engine-safe
     * doubles).
+    *
+    * NOT a `Window.orderBy(...)` with no partition — that serializes the
+    * whole table through one task. The order key here is unique
+    * (totalprice, orderkey), so each analytic has a closed form over the
+    * scalable global rank (range partition + zipWithIndex offsets,
+    * operators/GlobalOrder.scala) and a broadcast total count:
+    * pr = (rank−1)/(n−1), cd = rank/n, and ntile via SQL's uneven-bucket
+    * rule (the first n mod k buckets hold ⌈n/k⌉ rows).
     */
   private val analyticWindows = Q(
     "q28_window_analytics",
-    "ntile/percent_rank/cume_dist over total price order",
+    "ntile/percent_rank/cume_dist over total price order (closed forms, no global window)",
     (s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(s, dir).orders
-        .select(col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+      val orders = Tables(s, dir).orders
+      val n = orders.count() // parquet metadata count — no data scan
+      val ranked = graft.operators.GlobalOrder.withGlobalIndex(
+        orders.select("o_orderkey", "o_totalprice"),
+        Seq("o_totalprice", "o_orderkey"))
+      val r = col("_global_rank")
+      val base = n / 4
+      val rem = n % 4
+      val big = rem * (base + 1) // rows living in the ⌈n/4⌉-sized buckets
+      // integer DIV (not floor of a double) so ranks beyond 2^53 stay exact
+      val quartile = expr(
+        s"""CASE WHEN _global_rank <= $big
+           |  THEN (_global_rank - 1) DIV ${base + 1} + 1
+           |  ELSE (_global_rank - 1 - $big) DIV ${math.max(base, 1L)} + $rem + 1
+           |END""".stripMargin)
+      val pr =
+        if (n <= 1) lit(0.0)
+        else (r - 1).cast("double") / lit((n - 1).toDouble)
+      ranked.select(col("o_orderkey"),
+        quartile.cast("int").as("quartile"),
+        pr.as("pr"),
+        (r.cast("double") / lit(n.toDouble)).as("cd"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey,

@@ -24,6 +24,47 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("no partition-less window function in any registered query plan") {
+    // Window.orderBy(...) without partitionBy funnels every row through
+    // ONE task — fine at sf0.001, fatal at 100 TB. Global-order analytics
+    // must go through GlobalOrder closed forms instead (see q28).
+    Registry.all.filterNot(_.name.startsWith("s0")).foreach { q =>
+      val offenders = q.run(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"${q.name} plans a partition-less Window:\n${offenders.mkString("\n")}")
+    }
+  }
+
+  test("q28 closed forms == Spark window analytics, including uneven ntile") {
+    // n = 10 is NOT divisible by 4 (bucket sizes 3,3,2,2) — the driver
+    // fixtures are, so the uneven branch is pinned here.
+    import spark.implicits._
+    val n = 10L
+    val df = (1L to n).map(i => (i, (i * 37 % 11).toDouble)).toDF("k", "v")
+    val ranked = GlobalOrder.withGlobalIndex(df, Seq("v", "k"))
+    val base = n / 4; val rem = n % 4; val big = rem * (base + 1)
+    val closed = ranked.select(col("k"),
+      expr(s"""CASE WHEN _global_rank <= $big
+              |  THEN (_global_rank - 1) DIV ${base + 1} + 1
+              |  ELSE (_global_rank - 1 - $big) DIV $base + $rem + 1
+              |END""".stripMargin).cast("int").as("quartile"),
+      ((col("_global_rank") - 1).cast("double") / (n - 1).toDouble).as("pr"),
+      (col("_global_rank").cast("double") / n.toDouble).as("cd"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val w = Window.orderBy(col("v"), col("k"))
+    val viaWindow = df.select(col("k"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(closed == viaWindow)
+  }
+
   test("GlobalOrder.withGlobalIndex matches single-partition row_number") {
     val t = Tables(spark, dir)
     val viaGlobal = GlobalOrder.withGlobalIndex(
