@@ -87,9 +87,27 @@ object Similarity {
         .filter(col("cent_rank") <= keep)
         .select(col(idCol), col("cent_id"))
     }
-    val assign = nearest(
-      corpus.select(col("id").as("n_id"), col("embedding").as("n_emb")),
-      "n_id", "n_emb", 1)
+    // Corpus → nearest centroid is keep=1, so it needs no window at all:
+    // fold the (sorted, one-row, broadcast) codebook per corpus row — an
+    // argmax in the scan stage with ZERO corpus shuffle. The window form
+    // above would shuffle corpus × numCentroids rows by n_id; at 100 TB
+    // that exchange is the whole cost of the assignment. Tie rule matches
+    // the window (desc sim, asc cent_id): ascending fold + strict '>'.
+    val codebook = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("c_emb"))))
+        .as("codebook"))
+    val assign = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("best", aggregate(
+        col("codebook"),
+        struct(lit(-2.0).as("sim"), lit(-1L).as("cent_id")),
+        (acc, c) => {
+          val sim = cosine(col("n_emb"), c.getField("c_emb"))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"), c.getField("cent_id").as("cent_id")))
+            .otherwise(acc)
+        }))
+      .select(col("n_id"), col("best.cent_id").as("cent_id"))
     val probes = nearest(
       queries.select(col("id").as("q_id"), col("embedding").as("q_emb")),
       "q_id", "q_emb", nProbe)
