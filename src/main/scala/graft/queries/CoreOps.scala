@@ -170,7 +170,121 @@ object CoreOps extends QueryGroup {
     Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** `Stream.parMap` (Stream.scala:103-186) through the real Flow API:
+    * explicit parallelism re-width + typed per-element map. The oracle is
+    * a plain projection — parMap must be a pure parallelism knob with no
+    * semantic effect on the result set.
+    */
+  private val parMapProject = Q(
+    "c10_parmap",
+    "Flow.parMap(8): re-widthed typed map over lineitem (reference parMap)",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .as[(Long, Int, Double)]
+      graft.api.Flow.fromDataset(src, "c10")
+        .parMap(8) { case (ok, ln, qty) => (ok, ln, qty * 3.0) }
+        .ds.toDF("l_orderkey", "l_linenumber", "qty3")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity * 3.0 AS qty3
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** `Stream.iterator` (Stream.scala:268-302): the lazy driver-side pull
+    * terminal. The top-k runs distributed (TakeOrderedAndProject); the
+    * 20-row result is then genuinely drained through
+    * `toLocalIterator` — the operator under test — and re-lifted so the
+    * driver can hash-compare it.
+    */
+  private val iteratorDrain = Q(
+    "c11_iterator_take",
+    "top-20 drained through Flow.iterator (reference iterator terminal)",
+    (s, dir) => {
+      import s.implicits._
+      val topk = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)
+        .as[(Long, Long, Double)]
+      val drained = graft.api.Flow.fromDataset(topk, "c11").iterator().toList
+      drained.toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""))
+
+  /** `ManagedSink` / `foreach` (Node.scala:370-437, Stream.scala:70-79):
+    * rows leave the engine through toManagedSink (open-once / close-always
+    * per partition), land in an in-process sink, and are re-lifted for
+    * the hash compare. The in-JVM registry stands in for the external
+    * system a managed sink writes to (valid in local mode, where
+    * executors share the JVM); the lifecycle contract itself is
+    * cluster-safe and pinned by LifecycleSpec/ExecutionSpec.
+    */
+  private val managedSinkRoundtrip = Q(
+    "c12_managed_sink",
+    "customer rows through toManagedSink into a collecting resource",
+    (s, dir) => {
+      import s.implicits._
+      val key = java.util.UUID.randomUUID().toString
+      val q = LocalSink.open(key)
+      try {
+        val src = Tables(s, dir).customer
+          .select(col("c_custkey"), col("c_name"))
+          .as[(Long, String)]
+        graft.api.Flow.fromDataset(src, "c12")
+          .toManagedSink(() => LocalSink.resource(key)) {
+            (r, row) => r.write(row)
+          }
+        q.iterator().asScala.toSeq
+          .toDF("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      } finally LocalSink.close(key)
+    },
+    Some("""SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"""))
+
+  /** In-process managed-sink target: a JVM-static registry so executor
+    * tasks (same JVM in local mode) and the driver see one queue — the
+    * closure captures only the key string, never the queue.
+    */
+  private[queries] object LocalSink {
+    import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+    private val sinks =
+      new ConcurrentHashMap[String, ConcurrentLinkedQueue[(Long, String)]]()
+
+    def open(key: String): ConcurrentLinkedQueue[(Long, String)] = {
+      val q = new ConcurrentLinkedQueue[(Long, String)]()
+      sinks.put(key, q)
+      q
+    }
+
+    def close(key: String): Unit = sinks.remove(key)
+
+    /** One writer per partition task, closed by toManagedSink's ADR-0005
+      * lifecycle.
+      */
+    def resource(key: String): Writer = new Writer(key)
+
+    final class Writer(key: String) extends AutoCloseable {
+      def write(row: (Long, String)): Unit = {
+        val q = sinks.get(key)
+        require(q != null, s"sink $key used after close")
+        q.add(row)
+      }
+      override def close(): Unit = () // no buffered state; registry-owned
+    }
+  }
+
+  private implicit class JIterAsScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
   val all: Seq[Q] = Seq(
     mapProject, filterPredicate, flatMapExplode, unionAppend, foldSum,
-    countWindow, recoverCase, orderedTake, distinctRows)
+    countWindow, recoverCase, orderedTake, distinctRows,
+    parMapProject, iteratorDrain, managedSinkRoundtrip)
 }
