@@ -126,6 +126,15 @@ final case class Flow[T](ds: Dataset[T], name: String) {
     * A cancelled flag is checked on every pull, so a cancel issued
     * *between* pulls terminates the iterator too (cancelJobGroup alone
     * only aborts jobs already running).
+    *
+    * Iterator-contract guarantees (matching the reference's clean
+    * QueueEnd termination, Node.scala:92-117):
+    *   - a `true` hasNext is latched: a cancel arriving before the
+    *     following next() does not turn it into NoSuchElementException —
+    *     the already-fetched element is delivered;
+    *   - a cancel landing mid-pull surfaces as exhaustion
+    *     (hasNext = false), not as the scheduler's job-cancelled
+    *     SparkException.
     */
   def runCancellableIterator()(
       implicit ec: scala.concurrent.ExecutionContext): (Iterator[T], () => Unit) = {
@@ -138,10 +147,25 @@ final case class Flow[T](ds: Dataset[T], name: String) {
       try f finally sc.clearJobGroup()
     }
     val it = new Iterator[T] {
-      override def hasNext: Boolean = !cancelled.get() && inGroup(base.hasNext)
+      private var ready = false // latched: base.hasNext returned true
+      override def hasNext: Boolean = ready || (!cancelled.get() && {
+        ready =
+          try inGroup(base.hasNext)
+          catch {
+            // our own cancellation aborting the in-flight partition fetch
+            // is clean termination, not an error
+            case e: org.apache.spark.SparkException if cancelled.get() => false
+          }
+        ready
+      })
       override def next(): T = {
-        if (cancelled.get()) throw new NoSuchElementException("iterator cancelled")
-        inGroup(base.next())
+        if (!hasNext) throw new NoSuchElementException("iterator exhausted")
+        ready = false
+        try inGroup(base.next())
+        catch {
+          case e: org.apache.spark.SparkException if cancelled.get() =>
+            throw new NoSuchElementException("iterator cancelled mid-pull")
+        }
       }
     }
     (it, () => { cancelled.set(true); sc.cancelJobGroup(group) })

@@ -44,6 +44,18 @@ class LifecycleSpec extends AnyFunSuite {
     cancel() // must not throw; remaining jobs (if any) are aborted
   }
 
+  test("runCancellableIterator: cancel after a true hasNext still delivers") {
+    val (it, cancel) = Flow.fromDataset(
+      spark.createDataset(1 to 10).coalesce(1)).runCancellableIterator()
+    assert(it.hasNext)
+    cancel()
+    // Iterator contract: the latched true hasNext guarantees this next()
+    assert(it.next() == 1)
+    // and after the latch is consumed, cancellation means clean exhaustion
+    assert(!it.hasNext)
+    intercept[NoSuchElementException](it.next())
+  }
+
   test("ManagedSource: happy path closes once, rows parallelize") {
     SinkProbe.reset()
     val flow = graft.api.ManagedSource.read(spark,
