@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * | ssp_boundary_producer_block_ms  | ≈ durationMs.triggerExecution        |
   * | ssp_unhandled_error_total       | query-terminated-with-exception count |
   * | ssp_resource_close_fail_total   | ResourceCloseException markers: counted by Flow.toManagedSink(metrics=...) and on query termination |
-  * | ssp_parmap_inflight             | not applicable: Spark schedules tasks; use executor metrics |
+  * | ssp_parmap_inflight             | [[ParMapInflightGauge]]: live running-task count from scheduler task events (parMap's pool IS the Spark scheduler here) |
   *
   * Scoping follows the reference's per-execution collectors
   * (Metrics.scala:96-111): metrics are keyed by query name, global
@@ -89,5 +89,41 @@ object GraftMetrics {
     val m = new GraftMetrics
     spark.streams.addListener(m)
     m
+  }
+}
+
+/** `ssp_parmap_inflight` (reference `Metrics.scala:6-15`,
+  * `docs/adr/metric-schema.md:5-13`): the reference gauges elements
+  * in-flight inside parMap's private worker pool. In this engine parMap's
+  * pool IS the Spark scheduler (one element batch per task), so the
+  * equivalent executor-derived gauge is the live running-task count,
+  * tracked from scheduler task start/end events. `peak` records the
+  * high-water mark — the observed effective parallelism of the run.
+  */
+final class ParMapInflightGauge extends org.apache.spark.scheduler.SparkListener {
+  import org.apache.spark.scheduler.{SparkListenerTaskEnd, SparkListenerTaskStart}
+  private val running = new AtomicLong()
+  private val high = new AtomicLong()
+
+  override def onTaskStart(event: SparkListenerTaskStart): Unit = {
+    val v = running.incrementAndGet()
+    high.accumulateAndGet(v, (a: Long, b: Long) => math.max(a, b))
+  }
+
+  override def onTaskEnd(event: SparkListenerTaskEnd): Unit =
+    running.decrementAndGet()
+
+  /** Current ssp_parmap_inflight value. */
+  def inflight: Long = running.get()
+
+  /** High-water mark since install. */
+  def peak: Long = high.get()
+}
+
+object ParMapInflightGauge {
+  def install(spark: SparkSession): ParMapInflightGauge = {
+    val g = new ParMapInflightGauge
+    spark.sparkContext.addSparkListener(g)
+    g
   }
 }

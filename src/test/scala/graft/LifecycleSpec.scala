@@ -44,6 +44,23 @@ class LifecycleSpec extends AnyFunSuite {
     cancel() // must not throw; remaining jobs (if any) are aborted
   }
 
+  test("ssp_parmap_inflight gauge tracks live task concurrency") {
+    import graft.streaming.ParMapInflightGauge
+    val gauge = ParMapInflightGauge.install(spark)
+    import spark.implicits._
+    // 8-way parMap with per-element latency: tasks must overlap
+    Flow.fromDataset(spark.createDataset(1 to 64))
+      .parMap(8) { i => Thread.sleep(50); i * 2 }
+      .fold(0L)((a, b) => a + b, _ + _)
+    // listener events are delivered async — poll for quiescence
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (gauge.inflight != 0 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(gauge.inflight == 0, "gauge returns to zero after the job")
+    assert(gauge.peak >= 2,
+      s"8 concurrent 50ms tasks must overlap, peak=${gauge.peak}")
+  }
+
   test("runCancellableIterator: cancel after a true hasNext still delivers") {
     val (it, cancel) = Flow.fromDataset(
       spark.createDataset(1 to 10).coalesce(1)).runCancellableIterator()
