@@ -244,6 +244,31 @@ object CoreOps extends QueryGroup {
     },
     Some("""SELECT c_custkey, c_name FROM customer ORDER BY c_custkey"""))
 
+  /** `Stream.ensuring` (Stream.scala:188-228) on the executed path: the
+    * per-task finalizer (close-once contract pinned by LifecycleSpec)
+    * must be result-transparent — the oracle is the bare projection.
+    */
+  private val ensuringFinalizer = Q(
+    "c13_ensuring",
+    "projection under a per-task ensuring finalizer (reference ensuring)",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir).nation
+        .select(col("n_nationkey"), col("n_name"))
+        .as[(Int, String)] // n_nationkey is int32 in the parquet schema
+      graft.api.Flow.fromDataset(src, "c13")
+        .ensuring(() => EnsuringProbe.fired.incrementAndGet())
+        .map { case (k, n) => (k, n.toLowerCase) }
+        .ds.toDF("n_nationkey", "name_lower")
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, lower(n_name) AS name_lower FROM nation
+            ORDER BY n_nationkey"""))
+
+  private[queries] object EnsuringProbe {
+    val fired = new java.util.concurrent.atomic.AtomicLong()
+  }
+
   /** In-process managed-sink target: a JVM-static registry so executor
     * tasks (same JVM in local mode) and the driver see one queue — the
     * closure captures only the key string, never the queue.
@@ -286,5 +311,5 @@ object CoreOps extends QueryGroup {
   val all: Seq[Q] = Seq(
     mapProject, filterPredicate, flatMapExplode, unionAppend, foldSum,
     countWindow, recoverCase, orderedTake, distinctRows,
-    parMapProject, iteratorDrain, managedSinkRoundtrip)
+    parMapProject, iteratorDrain, managedSinkRoundtrip, ensuringFinalizer)
 }

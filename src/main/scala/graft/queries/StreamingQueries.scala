@@ -120,5 +120,33 @@ object StreamingQueries extends QueryGroup {
              GROUP BY c_mktsegment, event_type
              ORDER BY c_mktsegment, event_type"""))
 
-  val all: Seq[Q] = Seq(completeMode, appendMode, streamDedup, streamStaticJoin)
+  /** Reference `fromQueue`/`fromBlockingQueue` (Stream.scala:305-318):
+    * elements originate in a driver-side in-memory queue and stream from
+    * there. MemoryStream IS that queue in Structured Streaming; the rows
+    * are pre-enqueued (AvailableNow) so the result is deterministic and
+    * equals the relational aggregate of the same data.
+    */
+  private val streamFromQueue = Q(
+    "s05_stream_from_queue",
+    "in-memory queue source (reference fromQueue): per-type aggregate",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlContext: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir).events
+        .select(col("event_type"), col("value"))
+        .as[(String, Double)]
+        .collect() // driver-side by design: the queue is the source
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)]
+      rows.grouped(10000).foreach(b => input.addData(b.toSeq))
+      val agg = input.toDF().toDF("event_type", "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      runToTable(agg, "complete").orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(
+    completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue)
 }
