@@ -62,6 +62,37 @@ class AsOfJoinSpec extends AnyFunSuite {
         s"bucket=$bucket")
   }
 
+  test("randomized agreement with a sequential model, ties included") {
+    // tiny ts domain (0..19) over 200 events per run forces many
+    // duplicate (key, ts) pairs on both sides; fixed seed keeps it
+    // deterministic. Model: max right_id among rights at the max
+    // right ts <= left ts for the key.
+    val rng = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val lefts = Seq.tabulate(100)(i =>
+        (rng.nextInt(5).toLong + 1, rng.nextInt(20).toLong, 100L + i))
+      val rights = Seq.tabulate(100)(i =>
+        (rng.nextInt(5).toLong + 1, rng.nextInt(20).toLong, 500L + i))
+      val model: Map[Long, Option[Long]] = lefts.map { case (k, ts, lid) =>
+        val cand = rights.filter(r => r._1 == k && r._2 <= ts)
+        lid -> (if (cand.isEmpty) None else {
+          val maxTs = cand.map(_._2).max
+          Some(cand.filter(_._2 == maxTs).map(_._3).max)
+        })
+      }.toMap
+      val l = df(lefts, "left_id")
+      val r = df(rights, "right_id")
+      def toMapOut(out: org.apache.spark.sql.DataFrame) =
+        out.select("left_id", "key", "right_id")
+          .collect().map(row => row.getLong(0) ->
+            (if (row.isNullAt(2)) None else Some(row.getLong(2)))).toMap
+      assert(toMapOut(AsOfJoin.perKey(l, r)) == model, s"perKey round $round")
+      for (bucket <- Seq(1L, 3L, 100L))
+        assert(toMapOut(AsOfJoin.bucketed(l, r, bucket)) == model,
+          s"bucketed($bucket) round $round")
+    }
+  }
+
   test("bucketed == perKey on the events table (clicks as-of views)") {
     val ev = Tables(spark, "/root/testdata/sf0.001").events
     val left = ev.filter(col("event_type") === "click")
