@@ -35,4 +35,43 @@ object GlobalOrder {
     }
     df.sparkSession.createDataFrame(indexed, schema)
   }
+
+  /** Appends `_start_offset` — the EXCLUSIVE running total of `value`
+    * over the global order of `orderExprs` (the sum of all earlier rows;
+    * first row gets 0). The distributed prefix sum: range partition on
+    * the order keys, one tiny job for per-partition totals, broadcast
+    * the scanned offsets, then a single in-order pass per partition —
+    * the same two-job shape (and cost) as [[withGlobalIndex]], where a
+    * `SUM(...) OVER (ORDER BY ...)` window would serialize every row
+    * through one task. Null values count as 0.
+    */
+  def withRunningTotal(df: DataFrame,
+      orderExprs: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    val tagged = df.withColumn("_rt_v", coalesce(value.cast("long"), lit(0L)))
+    val sorted = tagged
+      .repartitionByRange(orderExprs: _*)
+      .sortWithinPartitions(orderExprs: _*)
+    val vIdx = sorted.schema.fieldIndex("_rt_v")
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = sum before partition i
+    val schema = StructType(sorted.schema.fields :+
+      StructField("_start_offset", LongType, nullable = false))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        row
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema).drop("_rt_v")
+  }
 }

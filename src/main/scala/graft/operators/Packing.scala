@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining pipelines: documents are laid out in
+  * a deterministic global order and chunked into fixed token-budget
+  * packs ("concatenate then chunk" — the standard way training examples
+  * are packed so no context-window tokens are wasted).
+  *
+  * Each document's `start_off` is the exclusive running total of token
+  * counts over the order; its pack is the one its first token lands in
+  * (`start_off DIV budget`). Documents may straddle a boundary — the
+  * consumer slices them, exactly as a token-stream packer would.
+  *
+  * Scale shape: the running total is the distributed prefix sum
+  * ([[GlobalOrder.withRunningTotal]]: range partition + per-partition
+  * totals + broadcast offsets), NOT a partition-less
+  * `SUM(...) OVER (ORDER BY ...)` window, which would push the whole
+  * corpus through a single task.
+  */
+object Packing {
+
+  /** docs: (doc_id, text, ...). Output: (doc_id, n_tokens, start_off,
+    * pack_id) in doc_id order. `budget` is the pack size in tokens
+    * (whitespace tokens here, matching TextAnalysis.tokenStats).
+    */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    val toks = docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    GlobalOrder.withRunningTotal(toks, Seq(col("doc_id")), col("n_tokens"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("_start_offset").as("start_off"),
+        expr(s"_start_offset DIV $budget").as("pack_id"))
+  }
+
+  /** Pack-level summary: how full each pack is — the packing-efficiency
+    * readout (tokens per pack vs budget, docs per pack).
+    */
+  def packStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy("pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_started"))
+      .withColumn("budget", lit(budget))
+}

@@ -169,6 +169,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(octetSum != codepointSum, "fixture genuinely exercises the gap")
   }
 
+  test("sequence packing: offsets are gapless and packs chunk the token stream") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val packed = graft.operators.Packing.packSequences(t.documents, 128L)
+      .orderBy("doc_id").collect()
+    // gapless layout: each doc starts where the previous one ended
+    packed.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getInt(1),
+          s"doc ${b.getLong(0)} offset must continue doc ${a.getLong(0)}")
+      case _ => ()
+    }
+    assert(packed.head.getLong(2) == 0L, "first doc starts at offset 0")
+    // pack id is the chunk of the first token
+    packed.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / 128L)
+    }
+    // multiple packs actually exist at this corpus size
+    assert(packed.map(_.getLong(3)).distinct.length > 1)
+  }
+
   test("multimodal resize clamps into the box preserving aspect") {
     val recs = spark.createDataset(List(
       Multimodal.MediaFeatures(1L, "image", 10L, 640, 480, 1, 0L),

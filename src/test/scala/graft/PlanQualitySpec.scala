@@ -65,6 +65,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(closed == viaWindow)
   }
 
+  test("GlobalOrder.withRunningTotal matches single-partition window sum") {
+    val t = Tables(spark, dir)
+    val src = t.orders.select("o_orderkey", "o_custkey")
+    val viaPrefix = GlobalOrder.withRunningTotal(
+      src, Seq(col("o_orderkey")), col("o_custkey"))
+      .select(col("o_orderkey"), col("_start_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = Window.orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val viaWindow = src
+      .withColumn("off",
+        coalesce(sum(col("o_custkey")).over(w), lit(0L)))
+      .select(col("o_orderkey"), col("off"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaPrefix == viaWindow)
+  }
+
   test("GlobalOrder.withGlobalIndex matches single-partition row_number") {
     val t = Tables(spark, dir)
     val viaGlobal = GlobalOrder.withGlobalIndex(
