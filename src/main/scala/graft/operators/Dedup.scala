@@ -85,7 +85,13 @@ object Dedup {
     * blowup disappears; verification then computes the exact score.
     */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // the shingle table feeds candidate generation (twice, via the prefix
+    // self-join) AND verification (twice) — without materialization the
+    // per-row shingle hashing recomputes up to 6× across the diamond.
+    // MEMORY_AND_DISK: spills instead of OOM at corpus scale; a 100 TB
+    // pipeline would persist or write out exactly this intermediate.
     val tok = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = inverted(tok)
     val freq = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -101,6 +107,7 @@ object Dedup {
       .filter(col("rn") <=
         floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)).cast("int") + 1)
       .select("doc_id", "sh_hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = prefix.as("a")
       .join(prefix.as("b"), col("a.sh_hash") === col("b.sh_hash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -121,7 +128,10 @@ object Dedup {
       numBands: Int = 16,
       rowsPerBand: Int = 8): DataFrame = {
     val numHashes = numBands * rowsPerBand
+    // same diamond as jaccardPairs: the shingle table feeds the signature
+    // once and the exact verify twice — materialize instead of re-hashing
     val tok = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = tok.select(col("doc_id"),
       minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
     val buckets = sig
@@ -129,6 +139,9 @@ object Dedup {
         explode(lshBands(col("sig"), numBands, rowsPerBand)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"),
         col("band.band_key").as("band_key"))
+      // both sides of the candidate self-join read this; without
+      // materialization the minhash signatures compute twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band_id") === col("b.band_id") &&
