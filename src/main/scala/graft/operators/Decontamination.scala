@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.TextFunctions.shingleHashes
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents whose n-gram shingle
+  * sets are substantially contained in some benchmark/eval document —
+  * the standard pre-training hygiene step (a training doc that contains
+  * an eval item inflates downstream scores).
+  *
+  * Containment (not Jaccard) is the right asymmetry: a short eval item
+  * buried in a long training doc still contaminates. Score per corpus
+  * doc = max over benchmark docs of |S_doc ∩ S_bench| / |S_doc|.
+  *
+  * Scale shape: shingles are 64-bit hashes computed scan-side
+  * ([[graft.functions.TextFunctions.shingleHashes]] native expression);
+  * the benchmark side is small by nature (eval suites) and broadcasts,
+  * so the corpus is never shuffled — overlap counting is a broadcast
+  * hash join on the shingle hash followed by a (doc, bench) aggregate.
+  */
+object Decontamination {
+
+  /** docs/benchmark: (doc_id, text, ...). Output: one row per
+    * contaminated corpus doc — (doc_id, bench_id of the strongest match,
+    * containment ∈ [threshold, 1]), ties on containment broken by lowest
+    * bench_id. Self-pairs (same id in both sets) are excluded.
+    */
+  def flagContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val corpusTok = docs
+      .select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val benchInv = benchmark
+      .select(col("doc_id").as("bench_id"),
+        explode(shingleHashes(col("text"), n)).as("h"))
+    val corpusInv = corpusTok.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sizes = corpusTok.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val overlap = corpusInv
+      .join(broadcast(benchInv), "h")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("containment"), asc("bench_id"))
+    overlap.join(sizes, "doc_id")
+      .withColumn("containment", col("inter").cast("double") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+}

@@ -208,6 +208,58 @@ class NorthStarSpec extends AnyFunSuite {
     assert(balanced.count() == media.count())
   }
 
+  test("stratified systematic sampling: exact per-stratum fractions") {
+    val df = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val out = operators.Sampling
+      .stratifiedSystematic(df, col("lang"), col("doc_id"), 7)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // 50 rows per stratum, every 7th in doc_id order => ceil(50/7) = 8 each
+    assert(out.count(_._2 == "a") == 8)
+    assert(out.count(_._2 == "b") == 8)
+    // stratum "a" = even ids 0,2,..; ranks 1,8,15,.. => ids 0,14,28,..
+    assert(out.filter(_._2 == "a").map(_._1) ==
+      Set(0L, 14L, 28L, 42L, 56L, 70L, 84L, 98L))
+    // deterministic: same input, same sample
+    val again = operators.Sampling
+      .stratifiedSystematic(df, col("lang"), col("doc_id"), 7)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(again == out)
+  }
+
+  test("decontamination flags containment, asymmetrically") {
+    // doc 10 fully contains bench 1's text (plus more); doc 11 unrelated.
+    val docs = docsDF(
+      10L -> ("the quick brown fox jumps over the lazy dog " +
+        "and then the training document keeps going with extra content"),
+      11L -> "nothing in common with any benchmark item at all here")
+    val bench = docsDF(1L -> "the quick brown fox jumps over the lazy dog")
+    val out = operators.Decontamination
+      .flagContaminated(docs, bench, 3, 0.3)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Double]("containment")))
+    assert(out.map(_._1).toSet == Set(10L), "only the containing doc flags")
+    assert(out.head._2 == 1L)
+    // bench has 7 3-shingles, all present in doc 10's 17 => 7/17
+    assert(math.abs(out.head._3 - 7.0 / 17.0) < 1e-12)
+    // reversed roles: the short bench text is NOT 30% of nothing — the
+    // long doc as bench against the short doc as corpus scores higher
+    val rev = operators.Decontamination
+      .flagContaminated(bench, docs, 3, 0.3).collect()
+    assert(rev.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    assert(rev.head.getAs[Double]("containment") == 1.0,
+      "short doc fully contained in the long one")
+  }
+
+  test("decontamination breaks ties on lowest bench_id") {
+    val docs = docsDF(10L -> "alpha beta gamma delta")
+    val bench = docsDF(
+      2L -> "alpha beta gamma delta", 1L -> "alpha beta gamma delta")
+    val out = operators.Decontamination
+      .flagContaminated(docs, bench, 3, 0.3).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("bench_id") == 1L)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
