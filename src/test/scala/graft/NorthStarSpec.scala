@@ -260,6 +260,30 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getAs[Long]("bench_id") == 1L)
   }
 
+  test("repetition stats: planted repeats produce the exact ratios") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.repetitionStats(docsDF(
+      1L -> "a b a b a b",         // 6 tokens, 2 distinct; top bigram "a b" 3/5
+      2L -> "all words differ here completely",
+      3L -> "x",                   // 1 token: no bigrams/trigrams
+      4L -> "w w w w"))            // all same
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("dup_word_frac") == 4.0 / 6)
+    assert(d1.getAs[Double]("top_bigram_frac") == 3.0 / 5)
+    assert(d1.getAs[Double]("dup_trigram_frac") == 2.0 / 4)
+    assert(!d1.getAs[Boolean]("rep_ok"))
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("dup_word_frac") == 0.0)
+    assert(d2.getAs[Double]("top_bigram_frac") == 1.0 / 4)
+    assert(d2.getAs[Double]("dup_trigram_frac") == 0.0)
+    val d3 = out(3L)
+    assert(d3.isNullAt(d3.fieldIndex("top_bigram_frac")))
+    assert(d3.isNullAt(d3.fieldIndex("dup_trigram_frac")))
+    assert(d3.getAs[Boolean]("rep_ok"), "a 1-token doc is not repetitive")
+    assert(out(4L).getAs[Double]("top_bigram_frac") == 1.0)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
