@@ -29,4 +29,31 @@ object Sampling {
       .filter(pmod(col("_rk"), lit(k)) === 1)
       .drop("_rk")
   }
+
+  /** Deterministic training-mixture resampling: replicate (weight > 1)
+    * or thin (weight < 1) each source to its target epoch weight,
+    * expressed in integer per-mille so the realized fraction is EXACT —
+    * a source at 2500‰ yields floor(2.5·n) ± 1 rows with zero RNG state.
+    * The fractional remainder is spread by `id % 1000` (systematic, not
+    * random — reproducible across engines, runs, and cluster sizes).
+    * Sources absent from the map keep weight 1000‰ (pass-through).
+    *
+    * Scale shape: per-row arithmetic + a row explosion by its own copy
+    * count; no shuffle at all. Emitted copies carry `copy_idx` so a
+    * downstream packer/shuffler can decorrelate epochs.
+    */
+  def mixtureUpsample(
+      df: DataFrame, id: Column, source: Column,
+      perMille: Map[String, Int]): DataFrame = {
+    require(perMille.values.forall(_ >= 0), "weights must be >= 0")
+    val w = perMille.foldLeft(lit(1000)) { case (els, (s, v)) =>
+      when(source === s, lit(v)).otherwise(els)
+    }
+    val copies = floor(w.cast("long") / 1000).cast("long") +
+      when(pmod(id, lit(1000)) < w % 1000, 1L).otherwise(0L)
+    df.withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .drop("_n")
+  }
 }

@@ -154,4 +154,37 @@ object TextAnalysis {
           coalesce(col("top_bigram_frac"), lit(0.0)) < 0.2 &&
           coalesce(col("dup_trigram_frac"), lit(0.0)) < 0.3)
   }
+
+  /** Top-`k` most salient terms per document by TF-IDF. The score is the
+    * rational form `tf * N / df` (not `tf * ln(N/df)`): libm `ln` is not
+    * bit-reproducible across engines, the rational form is — and it
+    * induces the identical per-document ranking since `ln` is monotonic
+    * and `tf` multiplies a positive constant either way.
+    *
+    * Scale shape: term counting is one (doc, term)-keyed aggregation
+    * with map-side partials; document frequency is a second,
+    * vocabulary-sized aggregation reusing the first; the df join is a
+    * plain equi-join on term (AQE broadcasts it when the vocabulary is
+    * small); top-k is a window partitioned BY DOCUMENT. No global order,
+    * no driver materialization — the corpus total lands via a broadcast
+    * one-row cross join.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
 }

@@ -284,6 +284,43 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out(4L).getAs[Double]("top_bigram_frac") == 1.0)
   }
 
+  test("tf-idf ranks the rare term above the ubiquitous one") {
+    import graft.operators.TextAnalysis
+    val docs = docsDF(
+      1L -> "common common zebra",
+      2L -> "common other words",
+      3L -> "common filler text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score"))).toMap
+    // doc 1: zebra tf=1 df=1 score=3; common tf=2 df=3 score=2
+    assert(out((1L, 1)) == (("zebra", 1L, 1L, 3.0)))
+    assert(out((1L, 2)) == (("common", 2L, 3L, 2.0)))
+    // doc 2: both uniques score 3.0, tie broken alphabetically
+    assert(out((2L, 1))._1 == "other" && out((2L, 2))._1 == "words")
+  }
+
+  test("mixture upsample realizes exact per-mille fractions, seedless") {
+    import graft.operators.Sampling
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = Sampling.mixtureUpsample(
+      df, col("doc_id"), col("source"), Map("a" -> 2500, "b" -> 300))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // a: 1000 rows at 2.5x => 2*1000 + |{even ids with id%1000 < 500}| = 2500
+    assert(out("a") == 2500L)
+    // b: 1000 rows at 0.3x => |{odd ids with id%1000 < 300}| = 300
+    assert(out("b") == 300L)
+    // copy_idx distinguishes replicas: doc 0 (weight 2500, 0 % 1000 < 500)
+    val copies = Sampling.mixtureUpsample(
+      df, col("doc_id"), col("source"), Map("a" -> 2500, "b" -> 300))
+      .filter(col("doc_id") === 0).select("copy_idx").as[Long]
+      .collect().sorted
+    assert(copies.toList == List(0L, 1L, 2L))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
