@@ -321,6 +321,49 @@ class NorthStarSpec extends AnyFunSuite {
     assert(copies.toList == List(0L, 1L, 2L))
   }
 
+  test("connected components: chains close transitively, matches union-find") {
+    import graft.operators.Clustering
+    // a 6-node chain (worst case for plain propagation), a triangle, an
+    // isolated edge — plus a seeded random graph checked against a model
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val rng = new scala.util.Random(42)
+    val random = Seq.fill(40)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val edges = (fixed ++ random).toDF("id_a", "id_b")
+    val got = Clustering.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    // union-find model
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (fixed ++ random).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = (fixed ++ random).flatMap(e => Seq(e._1, e._2)).distinct
+    val model = nodes.map { v =>
+      // representative = min id in the component
+      val r = find(v)
+      v -> nodes.filter(find(_) == r).min
+    }.toMap
+    assert(got == model)
+  }
+
+  test("dupClusters keeps exactly one survivor per near-dup cluster") {
+    import graft.operators.Clustering
+    val out = Clustering.dupClusters(corpus, 3, 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[Boolean]("keep")))
+    // docs 1,2,5 are a cluster (component 1); 3 and 4 singletons
+    assert(out.toSet == Set(
+      (1L, 1L, true), (2L, 1L, false), (5L, 1L, false),
+      (3L, 3L, true), (4L, 4L, true)))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
