@@ -155,6 +155,33 @@ object TextAnalysis {
           coalesce(col("dup_trigram_frac"), lit(0.0)) < 0.3)
   }
 
+  /** PII redaction patterns, applied in declared order (emails first —
+    * their local parts contain digit runs that must not be half-eaten by
+    * the generic long-number rule). ASCII-only character classes so the
+    * Java-regex (Spark) and RE2 (cross-engine) interpretations coincide.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("longnum", "[0-9]{8,}", "<ID>"))
+
+  /** PII scrubbing: redact emails, IPv4 addresses, and 8+-digit runs
+    * (account/phone-shaped identifiers), with per-category match counts
+    * (counted on the ORIGINAL text; replacements then apply
+    * sequentially). Pure per-row regex work in the scan stage.
+    */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    docs.select(
+      (col("doc_id") +:
+        PiiPatterns.map { case (name, pat, _) =>
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as(s"n_$name")
+        }) :+ scrubbed.as("scrubbed"): _*)
+  }
+
   /** Top-`k` most salient terms per document by TF-IDF. The score is the
     * rational form `tf * N / df` (not `tf * ln(N/df)`): libm `ln` is not
     * bit-reproducible across engines, the rational form is — and it

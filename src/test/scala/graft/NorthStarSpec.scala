@@ -364,6 +364,24 @@ class NorthStarSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 4L, true)))
   }
 
+  test("pii scrub redacts planted emails, IPs, and long digit runs") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.scrubPii(docsDF(
+      1L -> "contact alice.b+test@example.co.uk or 10.0.255.1 ref 123456789",
+      2L -> "clean text with short 1234 number"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[String]("scrubbed") ==
+      "contact <EMAIL> or <IP> ref <ID>")
+    assert(d1.getAs[Int]("n_email") == 1)
+    assert(d1.getAs[Int]("n_ipv4") == 1)
+    assert(d1.getAs[Int]("n_longnum") == 1)
+    val d2 = out(2L)
+    assert(d2.getAs[String]("scrubbed") == "clean text with short 1234 number")
+    assert(d2.getAs[Int]("n_email") + d2.getAs[Int]("n_ipv4") +
+      d2.getAs[Int]("n_longnum") == 0)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
