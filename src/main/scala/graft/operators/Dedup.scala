@@ -92,14 +92,15 @@ object Dedup {
     // pipeline would persist or write out exactly this intermediate.
     val tok = shingled(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = inverted(tok)
+    // carry each doc's shingle count through the explode instead of
+    // re-deriving it with a second (count-over-partition) window later
+    val inv = tok.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("sh_hash"))
     val freq = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("sh_hash"))
     val prefix = inv.join(freq, "sh_hash")
       .withColumn("rn", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       // prefix length = n - ⌈t·n⌉ + 1 = ⌊(1−t)·n⌋ + 1. The epsilon guards
       // the FP product ((1-0.8)*35 = 6.999…) from flooring one short —
       // erring toward a longer prefix only adds candidates, never loses
