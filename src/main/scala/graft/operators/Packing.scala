@@ -47,4 +47,31 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens_started"))
       .withColumn("budget", lit(budget))
+
+  /** Sliding-window document chunking (the RAG/eval-context complement
+    * of [[packSequences]]): split each document into `chunkTokens`-token
+    * chunks whose starts step by `chunkTokens - overlap`, so consecutive
+    * chunks share `overlap` tokens; the final chunk may be shorter. Pure
+    * per-row explode — each row's chunk count depends only on its own
+    * length, no shuffle, no state.
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(sequence(lit(0), size(col("ts")) - 1, lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("start"),
+        least(size(col("ts")) - col("start"), lit(chunkTokens))
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ts"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

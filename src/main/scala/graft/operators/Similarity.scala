@@ -28,6 +28,24 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
+  /** Unit-L2 normalization in tall (vec_id, dim, v_unit) form — the
+    * standard pre-index step (after it, cosine = dot product). The
+    * squared norm is a strict left fold (parity-safe: `(0+x₀²)+x₁²…` is
+    * IEEE-identical to DuckDB's `list_reduce`), `sqrt` is
+    * correctly-rounded everywhere, and a zero-norm vector yields nulls
+    * rather than NaNs. Pure per-row work in the scan stage.
+    */
+  def l2NormalizeTall(embeddings: DataFrame): DataFrame = {
+    val norm2 = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    embeddings
+      .select(col("vec_id"), sqrt(norm2).as("norm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        when(col("norm") > 0, col("v").cast("double") / col("norm"))
+          .as("v_unit"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, embedding array<float>). Self-pairs
     * excluded.

@@ -382,6 +382,38 @@ class NorthStarSpec extends AnyFunSuite {
       d2.getAs[Int]("n_longnum") == 0)
   }
 
+  test("chunking: overlapping windows cover every token, last chunk short") {
+    import graft.operators.Packing
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val out = Packing.chunkDocs(docsDF(1L -> doc), 4, 1) // step 3
+      .orderBy("chunk_idx")
+      .collect()
+      .map(r => (r.getAs[Int]("chunk_idx"), r.getAs[Int]("start"),
+        r.getAs[Int]("n_chunk_tokens"), r.getAs[String]("chunk_text")))
+    assert(out.toList == List(
+      (0, 0, 4, "t1 t2 t3 t4"),
+      (1, 3, 4, "t4 t5 t6 t7"),
+      (2, 6, 4, "t7 t8 t9 t10"),
+      (3, 9, 1, "t10")))
+    // zero overlap partitions exactly
+    val noOv = Packing.chunkDocs(docsDF(1L -> doc), 5, 0).collect()
+    assert(noOv.map(_.getAs[Int]("n_chunk_tokens")).sum == 10)
+  }
+
+  test("l2 normalize: unit norms, zero vector yields nulls") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.l2NormalizeTall(emb)
+      .orderBy("vec_id", "dim").collect()
+    assert(rows(0).getAs[Double]("v_unit") == 0.6)
+    assert(rows(1).getAs[Double]("v_unit") == 0.8)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("v_unit")))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("v_unit")))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
