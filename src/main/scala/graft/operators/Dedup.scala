@@ -153,6 +153,50 @@ object Dedup {
     verifyJaccard(candidates, tok, threshold)
   }
 
+  /** Per-document duplicate-n-gram coverage — the exact-substring dedup
+    * metric of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") as used by the Dolma/Gopher pipelines: the
+    * fraction of a document's tokens lying inside some word n-gram that
+    * also appears in at least `minDf` distinct documents.
+    *
+    * Scale shape: n-grams are hashed to 64 bits inside the scan stage
+    * (strings never shuffle); the document-frequency aggregate is one
+    * hash-agg on the gram hash with map-side partials; coverage is a
+    * per-row interval union over each doc's own duplicated-gram start
+    * positions (dedup + flatten of [p, p+n) windows) — no corpus²
+    * anywhere, and the only shuffles are the df agg, the pos⋈dup
+    * equi-join on the hash, and the per-doc fan-in aggregate.
+    */
+  def dupNgramCoverage(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        when(size(col("ts")) >= n,
+          transform(sequence(lit(0), size(col("ts")) - n),
+            i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
+          .otherwise(array().cast("array<bigint>")).as("ghs"))
+    val pos = base.select(col("doc_id"),
+      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    val dupGrams = pos.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gh")
+    val perDoc = pos.join(dupGrams, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        collect_set(col("pos")).as("ps"))
+    val covered = size(array_distinct(flatten(
+      transform(col("ps"), p => sequence(p, p + n - 1)))))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(when(col("ps").isNotNull, covered), lit(0))
+          .as("n_dup_covered"),
+        (coalesce(when(col("ps").isNotNull, covered), lit(0)).cast("double") /
+          col("n_tokens")).as("dup_coverage_frac"))
+  }
+
   /** SimHash near-duplicate candidate pairs within a hamming radius.
     * Blocking: split the 64-bit hash into 4 16-bit chunks; any pair with
     * hamming ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so candidates are

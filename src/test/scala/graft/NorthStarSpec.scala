@@ -414,6 +414,27 @@ class NorthStarSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(rows(3).fieldIndex("v_unit")))
   }
 
+  test("dup n-gram coverage: shared span covered, unique and short docs zero") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val out = Dedup.dupNgramCoverage(docsDF(
+      1L -> s"a1 a2 $span b1",            // span at token pos 2..11 of 13
+      2L -> s"$span c1 c2 c3",            // span at token pos 0..9 of 13
+      3L -> (1 to 13).map(i => s"u$i").mkString(" "), // unique, no dup grams
+      4L -> "tiny doc under eight tokens"), 8)        // < 8 tokens, no grams
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dup_grams"), r.getAs[Int]("n_dup_covered")))
+    // the 10-token shared span yields 3 shared 8-grams in each doc,
+    // covering exactly the 10 span tokens (interval union of overlaps)
+    assert(out.toList == List(
+      (1L, 13, 3L, 10), (2L, 13, 3L, 10), (3L, 13, 0L, 0), (4L, 5, 0L, 0)))
+    val fracs = Dedup.dupNgramCoverage(docsDF(
+      1L -> s"a1 a2 $span b1", 2L -> s"$span c1 c2 c3"), 8)
+      .orderBy("doc_id").collect()
+      .map(_.getAs[Double]("dup_coverage_frac"))
+    assert(fracs.forall(f => math.abs(f - 10.0 / 13) < 1e-15))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
