@@ -46,6 +46,31 @@ object Similarity {
           .as("v_unit"))
   }
 
+  /** Per-vector int8 scalar quantization (the standard 4× memory
+    * compression step before an ANN index) in tall (vec_id, dim, q) form:
+    * affine min/max mapping onto 0..255 with round-half-up realized as
+    * `floor(x·255 + 0.5)` — `floor` is exact in IEEE double, so the code
+    * is bit-identical across engines where a `round()` builtin is not.
+    * `dequant` is the reconstruction; a constant vector (zero range)
+    * quantizes to 0 and reconstructs its own value. Pure per-row scan
+    * work, no shuffle.
+    */
+  def quantizeInt8Tall(embeddings: DataFrame): DataFrame = {
+    val mn = array_min(col("embedding")).cast("double")
+    val mx = array_max(col("embedding")).cast("double")
+    embeddings
+      .select(col("vec_id"), mn.as("mn"), mx.as("mx"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("mn"), col("mx"),
+        when(col("mx") > col("mn"),
+          floor((col("v").cast("double") - col("mn")) /
+            (col("mx") - col("mn")) * 255 + 0.5).cast("int"))
+          .otherwise(0).as("q"))
+      .select(col("vec_id"), col("dim"), col("q"),
+        (col("mn") + col("q").cast("double") / 255 * (col("mx") - col("mn")))
+          .as("dequant"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, embedding array<float>). Self-pairs
     * excluded.

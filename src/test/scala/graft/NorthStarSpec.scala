@@ -435,6 +435,29 @@ class NorthStarSpec extends AnyFunSuite {
     assert(fracs.forall(f => math.abs(f - 10.0 / 13) < 1e-15))
   }
 
+  test("int8 quantization: exact codes, constant vectors, error bound") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),   // range 3 -> codes v*85
+      (2L, Array(7.5f, 7.5f, 7.5f)),          // constant -> q=0, dequant=7.5
+      (3L, Array(-1.0f, 0.3f, 0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8Tall(emb)
+      .orderBy("vec_id", "dim").collect()
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec(1L).map(_.getAs[Int]("q")).toList == List(0, 85, 170, 255))
+    assert(byVec(2L).map(_.getAs[Int]("q")).toList == List(0, 0, 0))
+    assert(byVec(2L).map(_.getAs[Double]("dequant")).forall(_ == 7.5))
+    // reconstruction error is at most half a quantization step
+    val orig = Map(0 -> -1.0, 1 -> 0.3, 2 -> 0.9, 3 -> 1.0)
+    val step = 2.0 / 255
+    byVec(3L).foreach { r =>
+      val err = math.abs(r.getAs[Double]("dequant") -
+        orig(r.getAs[Int]("dim")))
+      assert(err <= step / 2 + 1e-12, s"err $err exceeds half-step")
+    }
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
