@@ -458,6 +458,30 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("source reputation: gate follows source stats, not the row") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "clean words flow nicely across here", "good"),
+      (2L, "more clean words flow nicely here too", "good"),
+      (3L, "12345 99 888 777 66", "good"),            // bad doc, good source
+      (4L, "1111 2222 3333 4444 5555", "bad"),
+      (5L, "9999 8888 7777 6666 5555", "bad"),
+      (6L, "00 11 22 33 44 55", "bad"),
+      (7L, "fine text but tiny source here", "small"),
+      (8L, "also fine text but tiny source", "small"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.sourceReputation(docs, minDocs = 3, minKeepRate = 0.5)
+      .orderBy("doc_id").collect()
+    val ok = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("src_ok")).toMap
+    // good: 2/3 pass -> gated in (even the bad doc 3); bad: 0/3 -> out;
+    // small: high quality but only 2 docs -> out
+    assert(ok == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false, 7L -> false, 8L -> false))
+    val good = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(good.getAs[Long]("src_n_docs") == 3L)
+    assert(math.abs(good.getAs[Double]("src_keep_rate") - 2.0 / 3) < 1e-15)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
