@@ -57,6 +57,74 @@ object Clustering {
     labels.select(col("id"), col("lb").as("component"))
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column — the
+    * codebook-training step IVF indexing and semantic dedup assume
+    * (MLlib's KMeans is random-init and non-reproducible across engines;
+    * this one is pinned down to the bit).
+    *
+    * Determinism contract: init = the embeddings of the `k` lowest
+    * vec_ids; assignment = argmin of squared L2 computed as a strict
+    * left fold (ties → lowest centroid id); new centroids = per-dim
+    * exact decimal means (order-independent). Every arithmetic step is
+    * single-rounded IEEE double in a fixed order, so any engine replays
+    * it exactly.
+    *
+    * Scale shape: the k×dim codebook is driver-held model state (the
+    * standard distributed-KMeans pattern — MLlib does the same): each
+    * iteration broadcasts it as literals into a scan-stage assignment
+    * expression (no shuffle), then one (cluster, dim)-keyed aggregate
+    * with map-side partials computes the means; only k×dim rows are
+    * ever collected. The double-cast corpus is persisted across
+    * iterations. Empty clusters keep their previous centroid.
+    *
+    * Output: (vec_id, cluster, dist2) — final assignment and its
+    * squared distance.
+    */
+  def kmeansLloyd(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: IndexedSeq[Seq[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1)).toIndexedSeq
+    def assigned: DataFrame = {
+      val ds = cents.zipWithIndex.map { case (c, i) =>
+        aggregate(
+          zip_with(col("emb"), typedLit(c), (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (a, x) => a + x).as(s"d$i")
+      }
+      val withD = e.select(col("vec_id") +: col("emb") +: ds: _*)
+      val best = least(cents.indices.map(i => col(s"d$i")): _*)
+      val cluster = cents.indices.foldRight(lit(-1)) { (i, els) =>
+        when(col(s"d$i") === best, lit(i)).otherwise(els)
+      }
+      withD.select(col("vec_id"), col("emb"),
+        cluster.as("cluster"), best.as("dist2"))
+    }
+    // `iters` counts ASSIGNMENT rounds: assign → means → … → assign,
+    // so the codebook updates iters-1 times and the final assignment
+    // (the output) uses the last codebook.
+    (1 until iters).foreach { _ =>
+      val means = assigned
+        .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("v").cast(
+          org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
+          count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cluster"))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    // `e` stays persisted for the caller's terminal action on the
+    // returned plan (same policy as the dedup diamonds).
+    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
   /** End-to-end near-dup clustering over a corpus: exact n-gram Jaccard
     * pairs ([[Dedup.jaccardPairs]] — swap in [[Dedup.minHashPairs]] for
     * the approximate scale path, same shape) → connected components →

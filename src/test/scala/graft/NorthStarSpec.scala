@@ -482,6 +482,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(math.abs(good.getAs[Double]("src_keep_rate") - 2.0 / 3) < 1e-15)
   }
 
+  test("kmeans: converges to the planted 2-cluster split, ties pick low cid") {
+    import graft.operators.Clustering
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.0f, 11.0f)))
+      .toDF("vec_id", "embedding")
+    // init = vecs 1,2 (both in the near cluster); after two Lloyd rounds
+    // the far pair has pulled centroid 1 away: split is {1,2} vs {3,4}
+    val out = Clustering.kmeansLloyd(emb, 2, 2).orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    // a point exactly equidistant from both init centroids goes to cid 0
+    val tie = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(5.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val t = Clustering.kmeansLloyd(tie, 2, 1).orderBy("vec_id").collect()
+    assert(t.find(_.getAs[Long]("vec_id") == 3L).get.getAs[Int]("cluster") == 0)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
