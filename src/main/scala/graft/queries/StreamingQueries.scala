@@ -147,6 +147,45 @@ object StreamingQueries extends QueryGroup {
     Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Stream-stream inner join with watermarks + a time-range condition
+    * (the canonical funnel join: purchase within 30 minutes of a view).
+    * Both watermarks plus the range predicate bound the join state —
+    * Spark evicts a buffered view once the purchase-side watermark
+    * passes v_ts + 30 min, so state is O(events in the window), not
+    * O(stream). The stream is finite (AvailableNow), so the emitted
+    * pair set equals the relational time-range join.
+    */
+  private val streamStreamJoin = Q(
+    "s06_stream_stream_join",
+    "watermarked stream-stream join: purchases within 30 min of a view",
+    (s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("view_id"), col("purchase_id"),
+          col("v_user").as("user_id"))
+      runToTable(joined, "append").orderBy("view_id", "purchase_id")
+    },
+    Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+              v.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON v.user_id = p.user_id AND p.ts >= v.ts
+                 AND p.ts <= v.ts + INTERVAL 30 MINUTE
+            ORDER BY view_id, purchase_id"""))
+
   val all: Seq[Q] = Seq(
-    completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue)
+    completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
+    streamStreamJoin)
 }
