@@ -169,14 +169,21 @@ object Dedup {
     */
   def dupNgramCoverage(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
     require(n > 0, s"n must be > 0, got $n")
-    val base = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
-        when(size(col("ts")) >= n,
-          transform(sequence(lit(0), size(col("ts")) - n),
-            i => xxhash64(concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
-          .otherwise(array().cast("array<bigint>")).as("ghs"))
-    val pos = base.select(col("doc_id"),
-      posexplode(col("ghs")).as(Seq("pos", "gh")))
+    // explode positions FIRST, then hash each gram as a flat codegen'd
+    // projection — building an array-of-hashes per doc and exploding it
+    // would push the whole-gram HOF (CodegenFallback, interpreted) into
+    // the generate and cost ~20× on the scan stage
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val pos = toks
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - n)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(n))))
+          .as("gh"))
+      // feeds both the df aggregate and the candidate join (diamond) —
+      // same materialization policy as the other dedup intermediates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = pos.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
@@ -187,7 +194,7 @@ object Dedup {
         collect_set(col("pos")).as("ps"))
     val covered = size(array_distinct(flatten(
       transform(col("ps"), p => sequence(p, p + n - 1)))))
-    base.select(col("doc_id"), col("n_tokens"))
+    toks.select(col("doc_id"), size(col("ts")).as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
