@@ -125,6 +125,38 @@ object Clustering {
     assigned.select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication = k-means
+    * cluster the embeddings, then compare pairs only WITHIN a cluster
+    * and drop the higher vec_id of every pair with cosine ≥ `threshold`.
+    *
+    * Scale shape: this is the whole point of the algorithm — the
+    * within-cluster equi-join on `cluster` replaces the corpus² cosine
+    * matrix with Σ cluster² work, and k is chosen to make clusters
+    * shuffle-partition-sized (AQE splits a skewed giant cluster like any
+    * other skewed join key). The pair scoring reuses the native
+    * [[graft.functions.VectorFunctions.cosine]] expression in the join
+    * stage. Output: (vec_id, cluster, keep).
+    */
+  def semDedup(
+      embeddings: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assign = kmeansLloyd(embeddings, k, iters).select("vec_id", "cluster")
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+      .join(assign, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dropped = e.as("a")
+      .join(e.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorFunctions
+        .cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    e.select("vec_id", "cluster")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("is_dup"), lit(false))).as("keep"))
+  }
+
   /** End-to-end near-dup clustering over a corpus: exact n-gram Jaccard
     * pairs ([[Dedup.jaccardPairs]] — swap in [[Dedup.minHashPairs]] for
     * the approximate scale path, same shape) → connected components →

@@ -502,6 +502,19 @@ class NorthStarSpec extends AnyFunSuite {
     assert(t.find(_.getAs[Long]("vec_id") == 3L).get.getAs[Int]("cluster") == 0)
   }
 
+  test("semdedup: near-parallel pair in a cluster drops the higher id") {
+    import graft.operators.Clustering
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.0f, 11.0f)))
+      .toDF("vec_id", "embedding")
+    // clusters are {1,2} and {3,4}; cos(3,4) ≈ 0.9989 ≥ 0.9 → drop 4;
+    // cos(1,2) is null (zero-norm side) → both kept
+    val out = Clustering.semDedup(emb, 2, 2, 0.9).orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
