@@ -185,7 +185,46 @@ object StreamingQueries extends QueryGroup {
                  AND p.ts <= v.ts + INTERVAL 30 MINUTE
             ORDER BY view_id, purchase_id"""))
 
+  /** Streaming sessionization: per-user `session_window` with a 30-min
+    * inactivity gap, append mode, zero-lateness watermark. A session is
+    * emitted iff the final watermark (= max event time) passed its end
+    * (= last event + gap) — the oracle replays that with gaps-and-islands
+    * SQL plus the closure HAVING, mirroring the s02 rule.
+    */
+  private val streamSessions = Q(
+    "s07_stream_sessionization",
+    "streaming session windows (30-min gap): watermark-closed sessions",
+    (s, dir) => {
+      val sessions = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("sum_value"))
+      runToTable(sessions, "append").orderBy("user_id", "session_start")
+    },
+    Some(s"""WITH flagged AS (
+               SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)
+                        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+               FROM events),
+             sessions AS (
+               SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM flagged)
+             SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM sessions GROUP BY user_id, sid
+             HAVING MAX(ts) + INTERVAL 30 MINUTE <=
+               (SELECT MAX(ts) FROM events)
+             ORDER BY user_id, session_start"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
-    streamStreamJoin)
+    streamStreamJoin, streamSessions)
 }
