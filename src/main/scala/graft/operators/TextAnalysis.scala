@@ -182,6 +182,32 @@ object TextAnalysis {
         }) :+ scrubbed.as("scrubbed"): _*)
   }
 
+  /** Tokenizer-fit step: fit a frequency vocabulary of the `vocabSize`
+    * most frequent whitespace terms (ties broken lexicographically, so
+    * the fitted vocab is deterministic at any parallelism), then score
+    * every document's out-of-vocabulary rate against it — the standard
+    * "will this corpus tokenize well" diagnostic before BPE training.
+    *
+    * Scale shape: one term-keyed count aggregate with map-side partials
+    * (vocabulary-sized output), a TakeOrdered top-V (vocabSize rows —
+    * never the corpus), and an explicitly broadcast left join of the
+    * fitted vocab back over the exploded corpus feeding one per-doc
+    * fan-in aggregate.
+    */
+  def fitVocabOovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    terms.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_terms"))
+  }
+
   /** Top-`k` most salient terms per document by TF-IDF. The score is the
     * rational form `tf * N / df` (not `tf * ln(N/df)`): libm `ln` is not
     * bit-reproducible across engines, the rational form is — and it

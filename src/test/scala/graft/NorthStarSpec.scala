@@ -515,6 +515,24 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
   }
 
+  test("vocab/oov: top-V by count with lexicographic ties, exact rates") {
+    import graft.operators.TextAnalysis
+    val docs = docsDF(
+      1L -> "a a a b b c",     // counts: a=3 b=2 c=1(+1 below)=2 d=1
+      2L -> "c d a b")
+    // V=2 -> vocab {a, b}? counts: a=4, b=3, c=2, d=1 -> {a,b}
+    val out = TextAnalysis.fitVocabOovRate(docs, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms"),
+        r.getAs[Long]("n_oov")))
+    assert(out.toList == List((1L, 6L, 1L), (2L, 4L, 2L)))
+    // tie at the boundary: b and c both count 2 -> lexicographic keeps b
+    val tied = docsDF(1L -> "a a b c", 2L -> "b c a")
+    val t = TextAnalysis.fitVocabOovRate(tied, 2)
+      .orderBy("doc_id").collect()
+    assert(t.map(_.getAs[Long]("n_oov")).toList == List(1L, 1L))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
