@@ -224,7 +224,58 @@ object StreamingQueries extends QueryGroup {
                (SELECT MAX(ts) FROM events)
              ORDER BY user_id, session_start"""))
 
+  /** LEFT OUTER stream-stream join: matched pairs emit like the inner
+    * join; an UNMATCHED view emits (with null purchase) only when the
+    * watermark passes its join-window end and its buffered state is
+    * evicted. On the finite stream the final watermark is max(ts), so
+    * the null rows are exactly the matchless views whose window closed —
+    * views still inside the window at end-of-stream are withheld (they
+    * could still match), and the oracle encodes precisely that.
+    */
+  private val streamStreamOuter = Q(
+    "s08_stream_stream_outer",
+    "left-outer stream-stream join: null rows only for watermark-closed views",
+    (s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("view_id"))
+        .withWatermark("v_ts", "0 seconds")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("view_id"), col("purchase_id"),
+          col("v_user").as("user_id"))
+      runToTable(joined, "append").orderBy("view_id", "purchase_id")
+    },
+    Some("""WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+            p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+            matched AS (
+              SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                v.user_id
+              FROM v JOIN p
+                ON v.user_id = p.user_id AND p.ts >= v.ts
+                   AND p.ts <= v.ts + INTERVAL 30 MINUTE),
+            unmatched AS (
+              SELECT v.event_id AS view_id,
+                CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+              FROM v
+              WHERE v.event_id NOT IN (SELECT view_id FROM matched)
+                AND v.ts + INTERVAL 30 MINUTE <=
+                  (SELECT LEAST(MAX(ts) FILTER (WHERE event_type = 'view'),
+                                MAX(ts) FILTER (WHERE event_type = 'purchase'))
+                   FROM events))
+            SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+            ORDER BY view_id, purchase_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
-    streamStreamJoin, streamSessions)
+    streamStreamJoin, streamSessions, streamStreamOuter)
 }
