@@ -533,6 +533,71 @@ class NorthStarSpec extends AnyFunSuite {
     assert(t.map(_.getAs[Long]("n_oov")).toList == List(1L, 1L))
   }
 
+  test("kmeans matches a seeded Scala model (fold order, ties, decimal means)") {
+    import graft.operators.Clustering
+    val rng = new scala.util.Random(42)
+    val dim = 4
+    val vecs = (1L to 24L).map(i =>
+      i -> Array.fill(dim)((rng.nextInt(21) - 10).toFloat))
+    val (k, iters) = (3, 2)
+    // model: replicate the operator's exact arithmetic in plain Scala
+    def dist2(v: Array[Float], c: IndexedSeq[Double]): Double =
+      v.indices.foldLeft(0.0)((a, i) =>
+        a + (v(i).toDouble - c(i)) * (v(i).toDouble - c(i)))
+    var cents: IndexedSeq[IndexedSeq[Double]] =
+      vecs.sortBy(_._1).take(k).map(_._2.map(_.toDouble).toIndexedSeq).toIndexedSeq
+    def assign(): Map[Long, Int] = vecs.map { case (id, v) =>
+      val ds = cents.map(dist2(v, _))
+      id -> ds.indices.minBy(i => (ds(i), i))
+    }.toMap
+    (1 until iters).foreach { _ =>
+      val a = assign()
+      cents = cents.indices.map { cid =>
+        val members = vecs.filter(p => a(p._1) == cid)
+        if (members.isEmpty) cents(cid)
+        else (0 until dim).map { d =>
+          val s = members.map(m => BigDecimal(m._2(d).toDouble)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+          s.toDouble / members.size
+        }
+      }
+    }
+    val expected = assign()
+    val got = Clustering.kmeansLloyd(
+      vecs.toDF("vec_id", "embedding"), k, iters)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster"))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("dup n-gram coverage matches a brute-force model on a seeded corpus") {
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val n = 3
+    val docs = (1L to 20L).map(i =>
+      i -> Seq.fill(4 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" "))
+    val grams: Map[Long, Seq[(Int, String)]] = docs.map { case (id, t) =>
+      val ts = t.split(" ")
+      id -> (if (ts.length < n) Seq.empty[(Int, String)]
+             else (0 to ts.length - n).map(p =>
+               p -> ts.slice(p, p + n).mkString(" ")))
+    }.toMap
+    val df = grams.values.flatten.groupBy(_._2)
+      .map { case (g, _) => g -> grams.count(_._2.exists(_._2 == g)) }
+    val expected = docs.map { case (id, t) =>
+      val dup = grams(id).filter(g => df(g._2) >= 2)
+      val covered = dup.flatMap(g => g._1 until g._1 + n).distinct.size
+      (id, t.split(" ").length, dup.size.toLong, covered)
+    }
+    val got = graft.operators.Dedup
+      .dupNgramCoverage(docsDF(docs: _*), n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_dup_grams"), r.getAs[Int]("n_dup_covered")))
+    assert(got.toList == expected.toList)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
