@@ -48,6 +48,32 @@ object Packing {
         sum(col("n_tokens")).as("n_tokens_started"))
       .withColumn("budget", lit(budget))
 
+  /** Length-bucketed micro-batch assignment — the inference-serving
+    * complement of [[packSequences]]: group documents of similar token
+    * length (`bucket = n_tokens DIV bucketWidth`) so each padded batch
+    * wastes minimal compute, then number off fixed-size batches inside
+    * every bucket in deterministic (n_tokens, doc_id) order.
+    *
+    * Scale shape: the only wide operation is a window partitioned BY
+    * BUCKET — parallelism is the bucket count and there is no global
+    * order; a skewed giant bucket is a skewed partition like any other
+    * (AQE-splittable since the within-bucket order is arbitrary apart
+    * from determinism).
+    */
+  def lengthBucketBatches(
+      docs: DataFrame, bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(batchSize > 0, s"batchSize must be > 0, got $batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("n_tokens"), col("doc_id"))
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens DIV $bucketWidth").cast("int"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"(rn - 1) DIV $batchSize").cast("int"))
+      .drop("rn")
+  }
+
   /** Sliding-window document chunking (the RAG/eval-context complement
     * of [[packSequences]]): split each document into `chunkTokens`-token
     * chunks whose starts step by `chunkTokens - overlap`, so consecutive

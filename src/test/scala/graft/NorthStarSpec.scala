@@ -598,6 +598,21 @@ class NorthStarSpec extends AnyFunSuite {
     assert(got.toList == expected.toList)
   }
 
+  test("length buckets: similar lengths batch together, batches are full") {
+    import graft.operators.Packing
+    val docs = docsDF((1L to 10L).map(i =>
+      i -> Seq.fill(if (i <= 6) 3 else 20)("w").mkString(" ")): _*)
+    // width 16: lengths 3 -> bucket 0 (6 docs), 20 -> bucket 1 (4 docs)
+    val out = Packing.lengthBucketBatches(docs, 16, 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Int]("batch_idx")))
+    assert(out.count(_._2 == 0) == 6 && out.count(_._2 == 1) == 4)
+    // bucket 0: docs 1-4 form batch 0, docs 5-6 the remainder batch 1
+    assert(out.filter(_._2 == 0).map(_._3).toList == List(0, 0, 0, 0, 1, 1))
+    assert(out.filter(_._2 == 1).map(_._3).forall(_ == 0))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
