@@ -56,4 +56,36 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
       .drop("_n")
   }
+
+  /** Leakage-safe train/val/test split: the split key is the document's
+    * NEAR-DUP CLUSTER representative ([[Clustering.dupClusters]]), not
+    * the document itself, so near-duplicates can never straddle a split
+    * boundary (the classic eval-contamination bug a per-doc split
+    * invites). The bucket hash is a fixed LCG over the representative —
+    * plain 64-bit integer arithmetic, reproducible in any engine, no RNG
+    * state (same policy as [[stratifiedSystematic]]).
+    *
+    * Scale shape: adds only per-row arithmetic on top of the connected
+    * components (which is the scale-dominant part, see n22); the split
+    * assignment itself is shuffle-free.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      trainPerMille: Int = 800,
+      valPerMille: Int = 100): DataFrame = {
+    require(trainPerMille > 0 && valPerMille >= 0 &&
+      trainPerMille + valPerMille < 1000,
+      s"per-mille weights must fit in [0, 1000): $trainPerMille/$valPerMille")
+    val bucket = (col("component") * lit(1103515245L) + lit(12345L)) %
+      lit(2147483648L) % lit(1000L)
+    Clustering.dupClusters(docs, n, threshold)
+      .select(col("doc_id"), col("component"),
+        bucket.cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, lit("train"))
+          .when(col("bucket") < trainPerMille + valPerMille, lit("val"))
+          .otherwise(lit("test")))
+  }
 }

@@ -613,6 +613,26 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.filter(_._2 == 1).map(_._3).forall(_ == 0))
   }
 
+  test("leakage-safe split: near-dups share a split, assignment is stable") {
+    import graft.operators.Sampling
+    val shared = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = docsDF(
+      1L -> shared,
+      2L -> shared,                                   // exact dup of 1
+      3L -> (shared + " extra"),                      // near-dup of 1
+      4L -> (1 to 30).map(i => s"u$i").mkString(" ")) // unrelated
+    val out = Sampling.leakageSafeSplit(docs, 3, 0.8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component"),
+        r.getAs[String]("split")))
+    assert(out.map(_._2).take(3).distinct.length == 1) // one cluster
+    assert(out.map(_._3).take(3).distinct.length == 1) // hence one split
+    // determinism: rerun yields the identical assignment
+    val again = Sampling.leakageSafeSplit(docs, 3, 0.8)
+      .orderBy("doc_id").collect().map(_.getAs[String]("split"))
+    assert(again.toList == out.map(_._3).toList)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
