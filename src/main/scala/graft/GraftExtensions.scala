@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSim, MinHashSigFromHashes, SimHash64, WordShingleHashes}
+import graft.expressions.{CosineSim, MinHashSigFromHashes, SimHash64, SpaceTokenCount, WordShingleHashes}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,7 +41,10 @@ object GraftFunctions {
         TextFunctions.minHashCoeffs(litInt(es(1), "signature width")))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[SpaceTokenCount].getName, "graft_token_count"),
+      (es: Seq[Expression]) => SpaceTokenCount(es(0))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =
@@ -51,8 +54,12 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the SQL functions plus the
+  * engine optimizer rules ([[graft.expressions.RewriteSizeOfSplit]]).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.expressions.RewriteSizeOfSplit)
+  }
 }

@@ -28,6 +28,18 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    installOptimizations(spark)
     spark
+  }
+
+  /** Engine optimizer rules for a live session (the
+    * `spark.sql.extensions=graft.GraftExtensions` path installs the
+    * same set at build time). Idempotent.
+    */
+  def installOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.expressions.RewriteSizeOfSplit)
+    val current = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      current ++ rules.filterNot(current.contains)
   }
 }

@@ -91,6 +91,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(doc.head().getSeq[Long](0).nonEmpty)
   }
 
+  test("token count: byte scan equals size(split) on every edge case") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val cases = Seq("", " ", "a", "a b", "a  b", " a", "a ", "  ",
+      "héllo wörld", "多字节 字符 x")
+    val got = cases.toDF("s")
+      .selectExpr("graft_token_count(s) AS n").collect().map(_.getInt(0))
+    val expected = cases.map(_.split(" ", -1).length)
+    assert(got.toList == expected.toList)
+    // null in, null out
+    assert(spark.sql("SELECT graft_token_count(CAST(NULL AS STRING)) AS n")
+      .head().isNullAt(0))
+  }
+
+  test("optimizer rule rewrites size(split(text, ' ')) to the byte scan") {
+    import org.apache.spark.sql.functions._
+    GraftSession.installOptimizations(spark)
+    // build on range() so constant folding can't collapse the projection
+    val s = concat(lit("a b "), col("id").cast("string"))
+    val df = spark.range(3).select(size(split(s, " ")).as("n"))
+    assert(df.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("spacetokencount"))
+    assert(df.collect().map(_.getInt(0)).toList == List(3, 3, 3))
+    // a non-space separator is left untouched
+    val other = spark.range(1)
+      .select(size(split(concat(lit("a,b,"), col("id").cast("string")), ","))
+        .as("n"))
+    assert(!other.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("spacetokencount"))
+    assert(other.head().getInt(0) == 3)
+  }
+
   test("SQL shingle hashes agree with the DataFrame-level function") {
     GraftFunctions.register(spark)
     import spark.implicits._
