@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salted equi-join for a skewed fact side: each fact row gets a
+    * deterministic salt in [0, saltFactor); the dimension side is
+    * replicated once per salt value (explode of a literal range), and
+    * the join key becomes (key, salt) — a hot key's rows spread over
+    * `saltFactor` reducers instead of melting one. Semantically
+    * identical to `fact JOIN dim ON key` for a dimension UNIQUE on the
+    * key (each fact row meets exactly one replica of its dim row).
+    *
+    * This is the manual fallback for when AQE's skew-join splitting
+    * can't help (e.g. the skewed side feeds from an already-skewed
+    * upstream stage, or the join is forced sort-merge by a later
+    * operator); prefer AQE where it applies. Replication cost is
+    * |dim| × saltFactor rows — meant for dimension-sized right sides.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int = 16): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be > 0, got $saltFactor")
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()),
+        lit(saltFactor.toLong)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Two-stage salted sum/count aggregation. `valueCol` is summed
     * exactly (decimal) so salting can't perturb the result vs a plain
     * groupBy — the invariant the oracle checks.

@@ -257,6 +257,27 @@ object Relational2 extends QueryGroup {
     Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Salted JOIN against a unique dimension == the plain join — the
+    * invariant that makes the pattern safe to deploy on a hot fact key.
+    */
+  private val saltedJoin = Q(
+    "q36_salted_join",
+    "salted fact-dim join over l_orderkey == plain join (aggregated)",
+    (s, dir) => {
+      val fact = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val dim = Tables(s, dir).orders
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(fact, dim, "okey", 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Sql.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+             ${oSum("l_quantity")} AS sum_qty
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** Exact interpolated percentiles (quantities are integral-valued, so
     * the linear-interpolation arithmetic is engine-stable).
     */
@@ -376,5 +397,5 @@ object Relational2 extends QueryGroup {
   val all: Seq[Q] = Seq(
     groupingSets, pivotQ, arrayAgg, dateArith, fromJson, regexpExtract,
     inSubquery, analyticWindows, firstLast, approxDistinct, saltedAgg,
-    percentiles, setOpsAll, corrManual, argmax)
+    percentiles, setOpsAll, corrManual, argmax, saltedJoin)
 }

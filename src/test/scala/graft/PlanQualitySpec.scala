@@ -82,6 +82,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(viaPrefix == viaWindow)
   }
 
+  test("saltedJoin over a unique dim equals the plain join, row for row") {
+    val t = Tables(spark, dir)
+    val fact = t.lineitem
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"))
+    val dim = t.orders
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("okey"), r.getAs[Int]("l_linenumber"),
+        r.getAs[String]("o_orderpriority"))
+    val salted = graft.operators.Skew.saltedJoin(fact, dim, "okey", 8)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    val plain = fact.join(dim, "okey")
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(salted.toList == plain.toList)
+  }
+
   test("GlobalOrder.withGlobalIndex matches single-partition row_number") {
     val t = Tables(spark, dir)
     val viaGlobal = GlobalOrder.withGlobalIndex(
