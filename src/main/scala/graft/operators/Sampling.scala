@@ -57,6 +57,28 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Per-source token-budget capping — the "no source dominates the
+    * mix" governance rule: within each source, documents are taken in
+    * deterministic doc_id order until the token budget is exhausted; a
+    * document is kept iff its exclusive running-total start offset is
+    * still under the budget (the crossing document is kept, matching
+    * [[Packing.packSequences]]' start-based convention).
+    *
+    * Scale shape: one window partitioned BY SOURCE (parallelism = source
+    * count — same story as [[stratifiedSystematic]]); the running total
+    * is integer arithmetic, so the kept set is engine-independent.
+    */
+  def capSourceTokens(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("kept", col("start_off") < budget)
+  }
+
   /** Leakage-safe train/val/test split: the split key is the document's
     * NEAR-DUP CLUSTER representative ([[Clustering.dupClusters]]), not
     * the document itself, so near-duplicates can never straddle a split

@@ -633,6 +633,22 @@ class NorthStarSpec extends AnyFunSuite {
     assert(again.toList == out.map(_._3).toList)
   }
 
+  test("source token cap: crossing doc kept, later docs dropped, per source") {
+    import graft.operators.Sampling
+    val docs = Seq(
+      (1L, "a b c d", "s1"),   // off 0, kept
+      (2L, "e f g", "s1"),     // off 4, kept (crosses the 6-token budget)
+      (3L, "h i", "s1"),       // off 7, dropped
+      (4L, "x y z", "s2"))     // other source, fresh budget
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.capSourceTokens(docs, 6L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_off"),
+        r.getAs[Boolean]("kept")))
+    assert(out.toList == List(
+      (1L, 0L, true), (2L, 4L, true), (3L, 7L, false), (4L, 0L, true)))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
