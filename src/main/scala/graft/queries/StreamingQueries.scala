@@ -275,7 +275,28 @@ object StreamingQueries extends QueryGroup {
             SELECT * FROM matched UNION ALL SELECT * FROM unmatched
             ORDER BY view_id, purchase_id"""))
 
+  /** Arbitrary keyed state (`mapGroupsWithState`) as a driver-checked
+    * query: [[graft.streaming.StatefulOps.runningMax]] per user over the
+    * event stream. MAX is order-insensitive, so the update-mode output
+    * on the finite stream equals the relational aggregate regardless of
+    * within-group arrival order — which is what makes this stateful op
+    * oracle-checkable where a buffer-emitting one is not.
+    */
+  private val streamStateful = Q(
+    "s09_stream_stateful_max",
+    "mapGroupsWithState running per-user max == relational MAX",
+    (s, dir) => {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val mx = graft.streaming.StatefulOps.runningMax(ev)
+        .toDF("user_id", "max_value")
+      runToTable(mx, "update").orderBy("user_id")
+    },
+    Some("""SELECT user_id, MAX(value) AS max_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
-    streamStreamJoin, streamSessions, streamStreamOuter)
+    streamStreamJoin, streamSessions, streamStreamOuter, streamStateful)
 }
