@@ -114,6 +114,36 @@ object Multimodal {
     }
   }
 
+  /** One fixed-size analysis window of an audio payload; `energy` is
+    * the window's byte-value sum (integer-exact stub for RMS energy).
+    */
+  final case class AudioWindow(
+      media_id: Long, win_idx: Int, n_win_bytes: Int, energy: Long)
+
+  /** Audio windowing: each audio payload explodes into consecutive
+    * `windowBytes`-byte analysis frames with a per-frame energy — the
+    * VAD / silence-trim shape an audio pipeline runs before feature
+    * extraction (as with [[sampleFrames]], downstream work repartitions
+    * over frames so one long recording can't straggle a task). The
+    * energy is an integer byte sum — a deterministic stand-in for RMS
+    * over decoded PCM; the windowing, explosion, and schema are the
+    * real thing.
+    */
+  def audioWindows(
+      media: Dataset[MediaRecord], windowBytes: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(windowBytes > 0, s"windowBytes must be > 0, got $windowBytes")
+    media.flatMap { r =>
+      if (r.kind != "audio") Iterator.empty
+      else r.payload.grouped(windowBytes).zipWithIndex.map { case (w, i) =>
+        var s = 0L
+        var j = 0
+        while (j < w.length) { s += w(j) & 0xff; j += 1 }
+        AudioWindow(r.media_id, i, w.length, s)
+      }
+    }
+  }
+
   /** Rebalance a media DataFrame so each task decodes a comparable byte
     * volume: rows are globally ranked by payload size (scalable rank —
     * range partition + offsets, no single-task window) and dealt

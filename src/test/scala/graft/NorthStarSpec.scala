@@ -649,6 +649,23 @@ class NorthStarSpec extends AnyFunSuite {
       (1L, 0L, true), (2L, 4L, true), (3L, 7L, false), (4L, 0L, true)))
   }
 
+  test("audio windows: full frames then remainder, exact byte energies") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRecord
+    val media = Seq(
+      MediaRecord(1L, "audio", Array.tabulate(10)(i => (i + 1).toByte)),
+      MediaRecord(2L, "image", Array[Byte](1, 2, 3)), // non-audio: skipped
+      MediaRecord(3L, "audio", Array.emptyByteArray)) // empty: no windows
+      .toDS()
+    val out = Multimodal.audioWindows(media, 4)
+      .orderBy("media_id", "win_idx").collect()
+      .map(w => (w.media_id, w.win_idx, w.n_win_bytes, w.energy))
+    assert(out.toList == List(
+      (1L, 0, 4, 1L + 2 + 3 + 4),
+      (1L, 1, 4, 5L + 6 + 7 + 8),
+      (1L, 2, 2, 9L + 10)))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
