@@ -153,6 +153,24 @@ object Dedup {
     verifyJaccard(candidates, tok, threshold)
   }
 
+  /** Incremental (snapshot) dedup — the daily-ingest shape: a NEW batch
+    * of documents is admitted only if its normalized-text fingerprint
+    * is unseen in the existing corpus AND it is the first occurrence
+    * within the batch itself (lowest doc_id wins, as everywhere).
+    *
+    * Scale shape: the corpus side reduces to its distinct fingerprint
+    * set (in production a bucketed/Bloom-indexed table maintained
+    * across ingests); admission is one left-anti equi-join on the
+    * 16-byte fingerprint plus the usual within-batch first-occurrence
+    * window. New text never shuffles — only fingerprints do.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val knownFps = corpus
+      .select(fingerprint(col("text")).as("fp")).distinct()
+    exactDedup(newDocs)
+      .join(knownFps, Seq("fp"), "left_anti")
+  }
+
   /** Per-document duplicate-n-gram coverage — the exact-substring dedup
     * metric of Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better") as used by the Dolma/Gopher pipelines: the

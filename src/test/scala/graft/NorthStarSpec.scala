@@ -666,6 +666,18 @@ class NorthStarSpec extends AnyFunSuite {
       (1L, 2, 2, 9L + 10)))
   }
 
+  test("incremental dedup: corpus hits and batch-internal dups both drop") {
+    val corpus = docsDF(1L -> "alpha beta gamma", 2L -> "delta epsilon")
+    val batch = docsDF(
+      10L -> "alpha beta gamma",  // already in corpus -> dropped
+      11L -> "fresh new text",    // admitted
+      12L -> "fresh new text",    // batch-internal dup -> dropped
+      13L -> "Delta  Epsilon")    // normalizes to a corpus hit -> dropped
+    val admitted = Dedup.incrementalDedup(batch, corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toList
+    assert(admitted == List(11L))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
