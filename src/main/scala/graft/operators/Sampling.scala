@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Keep rows whose 1-based rank within their stratum (ordered by
-    * `orderCol`) is ≡ 1 (mod k).
+    * `orderCol`) is ≡ 1 (mod k) — expressed as `(rank − 1) % k == 0` so
+    * the identity case k = 1 keeps every row (`rank % k == 1` would
+    * keep none: any rank mod 1 is 0).
     */
   def stratifiedSystematic(
       df: DataFrame, stratum: Column, order: Column, k: Int): DataFrame = {
     require(k > 0, s"sampling interval must be > 0, got $k")
     val w = Window.partitionBy(stratum).orderBy(order)
     df.withColumn("_rk", row_number().over(w))
-      .filter(pmod(col("_rk"), lit(k)) === 1)
+      .filter(pmod(col("_rk") - 1, lit(k)) === 0)
       .drop("_rk")
   }
 

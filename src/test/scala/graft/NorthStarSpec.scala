@@ -225,6 +225,10 @@ class NorthStarSpec extends AnyFunSuite {
       .stratifiedSystematic(df, col("lang"), col("doc_id"), 7)
       .select("doc_id", "lang").as[(Long, String)].collect().toSet
     assert(again == out)
+    // identity case: k = 1 keeps every row
+    assert(operators.Sampling
+      .stratifiedSystematic(df, col("lang"), col("doc_id"), 1)
+      .count() == 100L)
   }
 
   test("decontamination flags containment, asymmetrically") {
