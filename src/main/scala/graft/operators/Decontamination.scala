@@ -32,9 +32,13 @@ object Decontamination {
       benchmark: DataFrame,
       n: Int,
       threshold: Double): DataFrame = {
+    // feeds both the inverted index and the size table (diamond) —
+    // persist so the native shingle hashing runs once over the corpus,
+    // same policy as the Dedup intermediates
     val corpusTok = docs
       .select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchInv = benchmark
       .select(col("doc_id").as("bench_id"),
         explode(shingleHashes(col("text"), n)).as("h"))

@@ -40,6 +40,12 @@ object Sampling {
     * random — reproducible across engines, runs, and cluster sizes).
     * Sources absent from the map keep weight 1000‰ (pass-through).
     *
+    * The exactness guarantee assumes ids are reasonably dense/uniform
+    * modulo 1000 (sequential doc ids are). Block-allocated ids that
+    * collide mod 1000 skew the realized remainder — pre-map such ids
+    * through a hash (losing the cross-engine SQL oracle) or a dense
+    * rank before reweighting.
+    *
     * Scale shape: per-row arithmetic + a row explosion by its own copy
     * count; no shuffle at all. Emitted copies carry `copy_idx` so a
     * downstream packer/shuffler can decorrelate epochs.
@@ -102,8 +108,12 @@ object Sampling {
     require(trainPerMille > 0 && valPerMille >= 0 &&
       trainPerMille + valPerMille < 1000,
       s"per-mille weights must fit in [0, 1000): $trainPerMille/$valPerMille")
-    val bucket = (col("component") * lit(1103515245L) + lit(12345L)) %
-      lit(2147483648L) % lit(1000L)
+    // pre-reduce the representative mod 2^31 so the LCG multiply can't
+    // overflow Long (max product ≈ 2.4e18 < 2^63) — Spark would wrap
+    // sign-preserving while DuckDB errors, so the unreduced form isn't
+    // engine-portable for ids beyond ~8.4e9
+    val bucket = (pmod(col("component"), lit(2147483648L)) * lit(1103515245L) +
+      lit(12345L)) % lit(2147483648L) % lit(1000L)
     Clustering.dupClusters(docs, n, threshold)
       .select(col("doc_id"), col("component"),
         bucket.cast("int").as("bucket"))

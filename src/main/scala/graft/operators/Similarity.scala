@@ -136,6 +136,11 @@ object Similarity {
     // above would shuffle corpus × numCentroids rows by n_id; at 100 TB
     // that exchange is the whole cost of the assignment. Tie rule matches
     // the window (desc sim, asc cent_id): ascending fold + strict '>'.
+    // A null cosine (zero-norm / null-element embedding) coalesces to
+    // -2.0 so the row still lands in the FIRST centroid's bucket — the
+    // window form ranks all-null ties by asc cent_id the same way; the
+    // init sim sits below the coalesce floor so centroid 0 always wins
+    // the degenerate fold.
     val codebook = cents
       .agg(sort_array(collect_list(struct(col("cent_id"), col("c_emb"))))
         .as("codebook"))
@@ -143,9 +148,10 @@ object Similarity {
       .crossJoin(broadcast(codebook))
       .withColumn("best", aggregate(
         col("codebook"),
-        struct(lit(-2.0).as("sim"), lit(-1L).as("cent_id")),
+        struct(lit(-3.0).as("sim"), lit(-1L).as("cent_id")),
         (acc, c) => {
-          val sim = cosine(col("n_emb"), c.getField("c_emb"))
+          val sim = coalesce(cosine(col("n_emb"), c.getField("c_emb")),
+            lit(-2.0))
           when(sim > acc.getField("sim"),
             struct(sim.as("sim"), c.getField("cent_id").as("cent_id")))
             .otherwise(acc)

@@ -72,13 +72,13 @@ object TimeWindows extends QueryGroup {
         .orderBy("user_id", "session_start")
     },
     Some(s"""WITH flagged AS (
-               SELECT user_id, ts, value,
+               SELECT user_id, ts, event_id, value,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                         >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
                FROM events),
              sessions AS (
                SELECT user_id, ts, value,
-                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
                FROM flagged)
              SELECT user_id,

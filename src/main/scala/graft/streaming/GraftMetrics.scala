@@ -111,7 +111,10 @@ final class ParMapInflightGauge extends org.apache.spark.scheduler.SparkListener
   }
 
   override def onTaskEnd(event: SparkListenerTaskEnd): Unit =
-    running.decrementAndGet()
+    // clamp at zero: tasks already running when the listener is
+    // installed deliver only their end event, and a permanent negative
+    // offset would misreport every later reading
+    running.accumulateAndGet(-1L, (a: Long, d: Long) => math.max(0L, a + d))
 
   /** Current ssp_parmap_inflight value. */
   def inflight: Long = running.get()
