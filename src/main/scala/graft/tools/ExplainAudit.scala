@@ -14,7 +14,8 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q02_join_agg", "q03_multi_join",
-        "c02_filter", "w01_tumbling_window", "n03_dedup_minhash_lsh")
+        "c02_filter", "w01_tumbling_window", "n03_dedup_minhash_lsh",
+        "n27_dup_ngram_coverage", "n31_semdedup", "q36_salted_join")
     val spark = GraftSession.build("graft-explain")
     names.foreach { name =>
       println(s"\n=== $name ===")

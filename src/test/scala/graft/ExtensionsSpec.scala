@@ -123,6 +123,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(other.head().getInt(0) == 3)
   }
 
+  test("GraftExtensions injection path: functions + rule in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val prev = spark // force-init the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // new session object on the SAME SparkContext, extensions applied at
+    // build time (the spark.sql.extensions=graft.GraftExtensions path)
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply)
+      .getOrCreate()
+    try {
+      assert(s2 ne prev)
+      assert(s2.sql("SELECT graft_token_count('a b') AS n").head().getInt(0) == 2)
+      val df = s2.range(2).select(
+        size(split(concat(lit("a b "), col("id").cast("string")), " ")).as("n"))
+      assert(df.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("spacetokencount"))
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("SQL shingle hashes agree with the DataFrame-level function") {
     GraftFunctions.register(spark)
     import spark.implicits._
