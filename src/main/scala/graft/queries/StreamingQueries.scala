@@ -39,12 +39,27 @@ object StreamingQueries extends QueryGroup {
       df: org.apache.spark.sql.DataFrame,
       mode: String): org.apache.spark.sql.DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    // Streaming state partitions are fixed at the FIRST run from
+    // spark.sql.shuffle.partitions and must be sized to the state, not
+    // to the batch-analytics core count: every micro-batch checkpoints
+    // each state-store partition, so a small-state stream on a 32-core
+    // session pays 4× the per-batch store overhead for nothing. 8 keys
+    // the overhead to the actual state size here; a real deployment
+    // sizes it to projected state bytes per partition.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, prevShuffle.toInt).toString)
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    spark.table(name)
   }
 
   private val completeMode = Q(
