@@ -65,6 +65,33 @@ object LawsCheck extends Properties("graft.laws") {
         c1.forall { case (a, b) => a >= 1 && a < p && b >= 0 && b < p }
     }
 
+  property("SpaceTokenCount == size(split(s, ' ')) on arbitrary unicode") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(3)), Gen.const(" "), Gen.const("é"),
+      Gen.const("字"), Gen.const("\t"),
+      Gen.const("𝒳"))).map(_.mkString)) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.unsafe.types.UTF8String
+      val got = graft.expressions.SpaceTokenCount(Literal(s))
+        .eval(null).asInstanceOf[Int]
+      got == s.split(" ", -1).length &&
+        got == graft.expressions.SpaceTokenCount(Literal(s))
+          .compute(UTF8String.fromString(s))
+    }
+
+  property("int8 quantization round-trip error is within half a step") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f))) { vs =>
+      val mn = vs.min.toDouble
+      val mx = vs.max.toDouble
+      vs.forall { v =>
+        val q = if (mx > mn)
+          math.floor((v.toDouble - mn) / (mx - mn) * 255 + 0.5) else 0.0
+        val deq = mn + q / 255 * (mx - mn)
+        val halfStep = if (mx > mn) (mx - mn) / 255 / 2 else 0.0
+        q >= 0 && q <= 255 && math.abs(deq - v.toDouble) <= halfStep + 1e-9
+      }
+    }
+
   property("simhash hamming bound: chunk blocking is pigeonhole-complete") =
     forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
       Gen.listOfN(3, Gen.chooseNum(0, 63))) { (h, flips) =>
