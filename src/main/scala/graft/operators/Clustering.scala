@@ -31,8 +31,13 @@ object Clustering {
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = bi.select(col("u").as("id")).distinct()
-      .withColumn("lb", col("id"))
+    // seed with min(id, min neighbor) — exactly what round one of the
+    // loop would compute from identity labels, for one aggregate instead
+    // of that round's two joins + count; saves a full iteration on every
+    // graph
+    var labels = bi.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("lb"))
+      .select(col("u").as("id"), col("lb"))
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
