@@ -138,4 +138,36 @@ class StreamingSourcesSpec extends AnyFunSuite {
       assert(batches.map(_._1).distinct.size == batches.size, "unique batch ids")
     } finally q.stop()
   }
+
+  test("RocksDB state store: stateful agg across batches, same results") {
+    // the production default for large state (HDFS-backed in-memory is
+    // the dev default); the engine's stateful queries must run under it
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val agg = input.toDF().toDF("k", "v")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val name = "graft_rocksdb_test"
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData((1L, 1.0), (2L, 2.0)); q.processAllAvailable()
+        input.addData((1L, 3.0)); q.processAllAvailable()
+        val rows = spark.table(name).orderBy("k").collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n"), r.getAs[Double]("s")))
+        assert(rows.toList == List((1L, 2L, 4.0), (2L, 1L, 2.0)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
