@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSim, MinHashSigFromHashes, SimHash64, SpaceTokenCount, WordShingleHashes}
+import graft.expressions.{CosineSim, MinHashSigFromHashes, NfcNormalize, SimHash64, SpaceTokenCount, WordShingleHashes}
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -44,7 +44,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es(0))),
     (FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[SpaceTokenCount].getName, "graft_token_count"),
-      (es: Seq[Expression]) => SpaceTokenCount(es(0))))
+      (es: Seq[Expression]) => SpaceTokenCount(es(0))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,16 @@ object TextFunctions {
       ColumnBridge.expression(text), n))
   }
 
+  /** Unicode NFC normalization ([[graft.expressions.NfcNormalize]]) —
+    * run before [[fingerprint]]/shingling on any non-ASCII corpus so
+    * composed and decomposed encodings dedup together.
+    */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.NfcNormalize(
+      ColumnBridge.expression(text)))
+  }
+
   /** MinHash signature over pre-hashed shingles ([[shingleHashes]]). */
   def minHashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge

@@ -682,6 +682,23 @@ class NorthStarSpec extends AnyFunSuite {
     assert(admitted == List(11L))
   }
 
+  test("nfc: decomposed text composes, so the two encodings dedup together") {
+    import graft.functions.TextFunctions
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301" // e + combining acute
+    assert(composed != decomposed)
+    val out = docsDF(1L -> composed, 2L -> decomposed)
+      .select(col("doc_id"), TextFunctions.nfc(col("text")).as("t"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == composed && out(1) == composed)
+    // after NFC the fingerprints collide => exact dedup unifies them
+    val groups = Dedup.exactGroups(
+      docsDF(1L -> composed, 2L -> decomposed)
+        .select(col("doc_id"), TextFunctions.nfc(col("text")).as("text")))
+      .collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_copies") == 2L)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
