@@ -54,6 +54,17 @@ object TextFunctions {
       ColumnBridge.expression(hashes), minHashCoeffs(numHashes)))
   }
 
+  /** 256-bin byte histogram of the text's UTF-8 encoding
+    * ([[graft.expressions.ByteHistogram]]): one scan-stage pass per row;
+    * diversity statistics (distinct bytes, Σc², max count) derive from
+    * it as integer-exact array folds.
+    */
+  def byteHistogram(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ByteHistogram(
+      ColumnBridge.expression(text)))
+  }
+
   // --- MinHash -----------------------------------------------------------
 
   /** Mersenne prime 2^31-1; base hashes and the affine family stay below

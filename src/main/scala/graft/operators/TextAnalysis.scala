@@ -240,4 +240,37 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
+
+  /** Byte-level diversity statistics — the log-free form of the Gopher
+    * character-entropy quality gate. A [[graft.expressions.ByteHistogram]]
+    * pass in the scan stage yields per-row byte counts; the statistics
+    * are integer folds over the fixed 256-bin array, so every output is
+    * either an exact integer or a SINGLE double division — bit-identical
+    * across engines with no ordered-FP accumulation and no libm calls
+    * (ln/log2 are not cross-engine exact, which is why this reports the
+    * Simpson index Σp² and its inverse "effective alphabet size" instead
+    * of Shannon entropy: same ordering of documents, exact parity).
+    *
+    * Scale shape: pure per-row expression work, no shuffle at all.
+    */
+  def byteDiversity(docs: DataFrame): DataFrame = {
+    val h = byteHistogram(col("text"))
+    docs
+      .select(col("doc_id"), h.as("hist"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("n_bytes"),
+        size(filter(col("hist"), c => c > 0)).as("distinct_bytes"),
+        aggregate(col("hist"), lit(0L), (a, c) => a + c * c).as("sum_c2"),
+        array_max(col("hist")).as("max_c"))
+      .select(col("doc_id"), col("n_bytes"), col("distinct_bytes"),
+        when(col("n_bytes") === 0, lit(null))
+          .otherwise(col("max_c").cast("double") / col("n_bytes"))
+          .as("top_byte_frac"),
+        when(col("n_bytes") === 0, lit(null))
+          .otherwise(col("sum_c2").cast("double") /
+            (col("n_bytes") * col("n_bytes"))).as("simpson"),
+        when(col("n_bytes") === 0, lit(null))
+          .otherwise((col("n_bytes") * col("n_bytes")).cast("double") /
+            col("sum_c2")).as("effective_bytes"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{LanguageModel, TextAnalysis}
+
+/** Round-4 LLM-data-pipeline additions (continues NorthStar's n-series):
+  * byte-diversity quality gating and corpus-bigram LM fluency scoring.
+  * Both follow the house FP policy (Q.scala): no libm in oracled output,
+  * integer-exact folds, decimal-summed means.
+  */
+object NorthStar2 extends QueryGroup {
+  import Sql._
+
+  /** The oracle rebuilds the per-byte counts relationally (hex-pair
+    * extraction over `encode(text)`, the n11 octet machinery) and
+    * aggregates Σc² / max c / distinct count — all integers until the
+    * final single divisions, so parity is exact with no ordered-FP fold.
+    */
+  private val byteDiversity = Q(
+    "n39_byte_diversity",
+    "byte-histogram diversity stats: Simpson index, effective alphabet",
+    (s, dir) => TextAnalysis.byteDiversity(Tables(s, dir).documents)
+      .orderBy("doc_id"),
+    Some("""WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                octet_length(encode(text)) AS n
+              FROM documents),
+            e AS (
+              SELECT doc_id, n,
+                substr(h, CAST(2 * unnest(range(n)) + 1 AS INT), 2) AS hb
+              FROM b),
+            c AS (
+              SELECT doc_id, ANY_VALUE(n) AS n, hb, COUNT(*) AS c
+              FROM e GROUP BY doc_id, hb),
+            st AS (
+              SELECT doc_id, ANY_VALUE(n) AS n, COUNT(*) AS dk,
+                CAST(SUM(c * c) AS BIGINT) AS sum_c2, MAX(c) AS max_c
+              FROM c GROUP BY doc_id)
+            SELECT d.doc_id,
+              CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+              CAST(COALESCE(st.dk, 0) AS INT) AS distinct_bytes,
+              CASE WHEN octet_length(encode(d.text)) = 0 THEN NULL
+                   ELSE CAST(st.max_c AS DOUBLE) / st.n END AS top_byte_frac,
+              CASE WHEN octet_length(encode(d.text)) = 0 THEN NULL
+                   ELSE CAST(st.sum_c2 AS DOUBLE) / (st.n * st.n)
+              END AS simpson,
+              CASE WHEN octet_length(encode(d.text)) = 0 THEN NULL
+                   ELSE CAST(st.n * st.n AS DOUBLE) / st.sum_c2
+              END AS effective_bytes
+            FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+            ORDER BY d.doc_id"""))
+
+  /** The oracle retrains the identical bigram model relationally; the
+    * HUGEINT sum of bigram counts is cast back to BIGINT (DuckDB
+    * SUM(BIGINT) widens), and the mean goes through the shared
+    * decimal-sum machinery.
+    */
+  private val bigramFluency = Q(
+    "n40_bigram_fluency",
+    "corpus bigram-LM mean likelihood (ppm) as a fluency gate",
+    (s, dir) => LanguageModel.bigramFluency(Tables(s, dir).documents)
+      .orderBy("doc_id"),
+    Some(s"""WITH t AS (
+               SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+             bg AS (
+               SELECT doc_id, ts[i + 1] AS w1, ts[i + 2] AS w2
+               FROM (SELECT doc_id, ts, unnest(range(len(ts) - 1)) AS i
+                     FROM t WHERE len(ts) >= 2)),
+             c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+                    FROM c12 GROUP BY 1),
+             v AS (SELECT COUNT(DISTINCT w) AS v
+                   FROM (SELECT unnest(ts) AS w FROM t)),
+             sc AS (
+               SELECT doc_id,
+                 CAST((c12.c12 + 1) * 1000000 AS DOUBLE) / (c1.c1 + v.v)
+                   AS p_ppm
+               FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+               CROSS JOIN v),
+             pd AS (
+               SELECT doc_id, COUNT(*) AS n_bigrams,
+                 ${oAvg("p_ppm")} AS mean_bigram_ppm
+               FROM sc GROUP BY doc_id)
+             SELECT d.doc_id,
+               COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+               pd.mean_bigram_ppm,
+               pd.mean_bigram_ppm >= 1000 AS fluency_ok
+             FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+             ORDER BY d.doc_id"""))
+
+  val all: Seq[Q] = Seq(byteDiversity, bigramFluency)
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 relational additions: RANGE-frame windows (value-based frames
+  * vs the ROWS frames of q08/q28) and Expand-based multi-distinct
+  * aggregation — both common OLAP shapes the earlier batches didn't
+  * exercise. Reference capability anchor: the reference's windowing is
+  * count/event-time based (`Node.scala:283,327`); a value-range frame is
+  * the relational generalization of its event-time window, expressed
+  * here with Spark's native `rangeBetween` so Catalyst plans one
+  * partitioned sort instead of a per-row self-join.
+  */
+object Relational3 extends QueryGroup {
+  import Sql._
+
+  /** Trailing 1-hour per-user sum via a RANGE frame on epoch seconds.
+    * Scale shape: one shuffle on user_id + one sort per partition; the
+    * frame is evaluated by a sliding accumulator over the sorted run
+    * (O(n) per partition), never a self-join. The windowed double sum
+    * goes through DECIMAL(28,6) so peer-group accumulation order cannot
+    * show up in the last bits (same FP policy as Sql.dsum).
+    */
+  private val rangeFrame = Q(
+    "q37_range_frame",
+    "per-user trailing 1-hour RANGE-frame count and sum over events",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("sec"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("sec")
+        .rangeBetween(-3599L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("sec"),
+          count(lit(1)).over(w).as("trail_n"),
+          sum(col("value").cast(DecimalType(28, 6))).over(w)
+            .cast("double").as("trail_sum"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+              COUNT(*) OVER w AS trail_n,
+              CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+                AS VARCHAR) AS DOUBLE) AS trail_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id"""))
+
+  /** Several DISTINCT aggregates with different keys in one GROUP BY —
+    * Spark plans this with Expand (one input row fans out per distinct
+    * group) + two-level aggregation, keeping map-side partials for the
+    * non-distinct metrics. One shuffle keyed on (event_type, expand-id,
+    * distinct key); no join, no double scan.
+    */
+  private val multiDistinct = Q(
+    "q38_multi_distinct",
+    "count(distinct user), count(distinct day) and plain aggs in one pass",
+    (s, dir) => Tables(s, dir).events
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type"),
+    Some(s"""SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+               COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(rangeFrame, multiDistinct)
+}

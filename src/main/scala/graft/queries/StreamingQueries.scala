@@ -311,7 +311,83 @@ object StreamingQueries extends QueryGroup {
     Some("""SELECT user_id, MAX(value) AS max_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** TWO chained stateful aggregations in one streaming query (append
+    * mode): 10-minute windows per event_type, re-windowed into hours via
+    * `window_time` — Spark's multiple-stateful-operator support, planned
+    * as one query with two state stores. Emission: the no-data batch
+    * after the last file advances the watermark to max(ts); the inner
+    * agg emits its closed 10-min windows and, in the SAME micro-batch,
+    * the outer agg consumes them and emits every hour window whose end
+    * the watermark passed — so the s02 closure rule applies at the hour
+    * level and implies closure of all contained 10-min windows.
+    */
+  private val streamChained = Q(
+    "s10_stream_chained_windows",
+    "chained streaming aggs: 10-min windows re-aggregated into hours",
+    (s, dir) => {
+      val tenMin = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+        .agg(count(lit(1)).as("n10"), dsum(col("value")).as("s10"))
+      val hourly = tenMin
+        .groupBy(window(window_time(col("w10")), "1 hour").as("w60"),
+          col("event_type"))
+        // s10 is decimal-valued (dsum output): the re-cast to decimal is
+        // exact, so the two-level sum equals the one-level sum to the bit
+        .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"),
+          sum(col("s10").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w60.start")).as("w_start"),
+          col("event_type"), col("n"), col("n_subwindows"), col("sum_value"))
+      runToTable(hourly, "append").orderBy("w_start", "event_type")
+    },
+    Some(s"""WITH ten AS (
+               SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w10,
+                 event_type, COUNT(*) AS n10, ${oSum("value")} AS s10
+               FROM events GROUP BY 1, 2)
+             SELECT CAST(floor(w10 / 3600) * 3600 AS BIGINT) AS w_start,
+               event_type, CAST(SUM(n10) AS BIGINT) AS n,
+               COUNT(*) AS n_subwindows, ${oSum("s10")} AS sum_value
+             FROM ten GROUP BY 1, 2
+             HAVING w_start + 3600 <=
+               (SELECT floor(epoch(MAX(ts))) FROM events)
+             ORDER BY w_start, event_type"""))
+
+  /** Union of two independently-filtered streams feeding one windowed
+    * aggregate — the multi-source fan-in shape (reference `append`,
+    * Stream.scala:44-54, lifted to streaming). The union'd stream keeps
+    * a single watermark (min across inputs; identical source here) and
+    * one state store.
+    */
+  private val streamUnion = Q(
+    "s11_stream_union",
+    "union of two filtered streams into one hourly windowed aggregate",
+    (s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("ts"), col("value"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value"))
+      val unioned = views.union(purchases)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n"), col("sum_value"))
+      runToTable(unioned, "append").orderBy("w_start")
+    },
+    Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
+             COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events WHERE event_type IN ('view', 'purchase')
+             GROUP BY 1
+             HAVING w_start + 3600 <=
+               (SELECT floor(epoch(MAX(ts)))
+                FROM events WHERE event_type IN ('view', 'purchase'))
+             ORDER BY w_start"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
-    streamStreamJoin, streamSessions, streamStreamOuter, streamStateful)
+    streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
+    streamChained, streamUnion)
 }

@@ -79,6 +79,20 @@ object LawsCheck extends Properties("graft.laws") {
           .compute(UTF8String.fromString(s))
     }
 
+  property("ByteHistogram == brute-force UTF-8 byte counts on arbitrary unicode") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(3)), Gen.const(" "), Gen.const("é"),
+      Gen.const("字"), Gen.const("𝒳"))).map(_.mkString)) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val h = graft.expressions.ByteHistogram(Literal(s)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val bytes = s.getBytes("UTF-8")
+      val want = bytes.groupBy(b => b & 0xff).view.mapValues(_.length.toLong)
+      h.numElements() == 256 &&
+        (0 until 256).forall(i => h.getLong(i) == want.getOrElse(i, 0L)) &&
+        (0 until 256).map(h.getLong).sum == bytes.length
+    }
+
   property("int8 quantization round-trip error is within half a step") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f))) { vs =>
       val mn = vs.min.toDouble

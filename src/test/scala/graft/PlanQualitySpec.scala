@@ -17,7 +17,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // crossJoin(broadcast(...)) plans as BroadcastNestedLoopJoin — the
     // intended shape for tiny query sets; a bare CartesianProduct means
     // a join lost its keys.
-    Registry.all.filterNot(_.name.startsWith("s0")).foreach { q =>
+    Registry.all.filterNot(_.name.matches("s\\d.*")).foreach { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product:\n${plan.take(1200)}")
@@ -28,7 +28,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // Window.orderBy(...) without partitionBy funnels every row through
     // ONE task — fine at sf0.001, fatal at 100 TB. Global-order analytics
     // must go through GlobalOrder closed forms instead (see q28).
-    Registry.all.filterNot(_.name.startsWith("s0")).foreach { q =>
+    Registry.all.filterNot(_.name.matches("s\\d.*")).foreach { q =>
       val offenders = q.run(spark, dir).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
             if w.partitionSpec.isEmpty => w
