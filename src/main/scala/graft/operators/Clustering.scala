@@ -47,16 +47,18 @@ object Clustering {
       val prop = labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.lb"), coalesce(col("n.nlb"), col("l.lb"))).as("lb"))
+          least(col("l.lb"), coalesce(col("n.nlb"), col("l.lb"))).as("lb"),
+          col("l.lb").as("old"))
         .localCheckpoint()
       // …then jump: adopt the label of the current representative. Labels
-      // are always node ids, so the self-join is total.
+      // are always node ids, so the self-join is total. The previous
+      // label rides along so convergence detection is a filter on this
+      // same table instead of a third join back to `labels`.
       val jumped = prop.as("c").join(prop.as("p"), col("c.lb") === col("p.id"))
-        .select(col("c.id").as("id"), col("p.lb").as("lb"))
+        .select(col("c.id").as("id"), col("p.lb").as("lb"), col("c.old"))
         .localCheckpoint()
-      changed = jumped.as("a").join(labels.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.lb") =!= col("b.lb")).count()
-      labels = jumped
+      changed = jumped.filter(col("lb") =!= col("old")).count()
+      labels = jumped.select(col("id"), col("lb"))
     }
     bi.unpersist()
     labels.select(col("id"), col("lb").as("component"))

@@ -58,4 +58,65 @@ object Decontamination {
       .filter(col("_rk") === 1)
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
+
+  /** [[flagContaminated]] for a benchmark too large to broadcast: a
+    * Bloom filter over the benchmark's shingle hashes (built with
+    * Spark's own `BloomFilterAggregate`, the sketch behind runtime join
+    * filtering) is collected as a few-hundred-KB byte array, broadcast
+    * as a literal into a scan-stage `BloomFilterMightContain` predicate,
+    * and drops every corpus shingle with no possible benchmark match
+    * BEFORE the overlap join. Bloom filters have no false negatives, so
+    * the result is row-for-row IDENTICAL to the exact operator — false
+    * positives only let a few extra shingles into the join, where the
+    * exact equi-join discards them.
+    *
+    * Scale shape: the n18 variant ships the whole benchmark index to
+    * every executor (fine for eval suites); this one ships a sketch and
+    * shuffles only surviving shingles into a plain equi-join — the right
+    * trade once the benchmark index is GBs. Sketch size is driver-held
+    * model state, like the k-means codebook.
+    */
+  def flagContaminatedBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val corpusTok = docs
+      .select(col("doc_id"), shingleHashes(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchInv = benchmark
+      .select(col("doc_id").as("bench_id"),
+        explode(shingleHashes(col("text"), n)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ~10 bits/item ≈ 1% fpp; the count pass also warms the persisted
+    // benchmark index the overlap join reads again
+    val nItems = math.max(benchInv.count(), 1L)
+    val bloomAgg = ColumnBridge.column(
+      BloomFilterAggregate(ColumnBridge.expression(col("h")),
+        Literal(nItems), Literal(nItems * 10L), 0, 0).toAggregateExpression())
+    val bloomBytes = benchInv.select(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpusInv = corpusTok
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bloomBytes), ColumnBridge.expression(col("h")))))
+    val sizes = corpusTok.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val overlap = corpusInv
+      .join(benchInv, "h") // deliberately NOT broadcast: the large-bench path
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("containment"), asc("bench_id"))
+    overlap.join(sizes, "doc_id")
+      .withColumn("containment", col("inter").cast("double") / col("n_sh"))
+      .filter(col("containment") >= threshold)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
 }

@@ -241,6 +241,39 @@ object TextAnalysis {
       .select("doc_id", "rank", "term", "tf", "df", "score")
   }
 
+  /** Per-source "dataset card": the one-pass corpus summary a training
+    * run publishes next to its data mix — volume, token counts,
+    * exact-dup rate, language mix. Everything is an integer-exact
+    * aggregate or a single double division, so the card is bit-stable
+    * across engines and parallelism.
+    *
+    * Scale shape: one hash aggregation keyed on source (map-side
+    * partials; source cardinality is tiny so the final exchange is a few
+    * rows). Token counts ride the [[graft.expressions.SpaceTokenCount]]
+    * byte scan via the RewriteSizeOfSplit rule; the distinct-fingerprint
+    * count is Spark's Expand-based distinct aggregate over the 16-byte
+    * md5 prefix, NOT a per-source window.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        toks.as("n_toks"), fingerprint(col("text")).as("fp"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        sum(col("n_toks")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        count(when(col("lang") === "en", 1)).as("n_en"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("n_exact_dups"), col("total_tokens"), col("n_langs"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("mean_doc_tokens"),
+        (col("n_en").cast("double") / col("n_docs")).as("en_frac"))
+  }
+
   /** Byte-level diversity statistics — the log-free form of the Gopher
     * character-entropy quality gate. A [[graft.expressions.ByteHistogram]]
     * pass in the scan stage yields per-row byte counts; the statistics

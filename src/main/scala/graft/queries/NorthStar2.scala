@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{LanguageModel, TextAnalysis}
+import org.apache.spark.sql.functions.col
 
 /** Round-4 LLM-data-pipeline additions (continues NorthStar's n-series):
   * byte-diversity quality gating and corpus-bigram LM fluency scoring.
@@ -88,5 +89,67 @@ object NorthStar2 extends QueryGroup {
              FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
              ORDER BY d.doc_id"""))
 
-  val all: Seq[Q] = Seq(byteDiversity, bigramFluency)
+  /** Bloom filters have no false negatives, so the sketch-prefiltered
+    * operator is row-for-row identical to exact containment — which is
+    * why this sketch query gets a full hash-checked oracle where pure
+    * sketches (n04 SimHash, q30 HLL) are rows-only. 4-gram shingles and
+    * a doc_id%5 benchmark keep it disjoint from n18's fixture.
+    */
+  private val bloomDecontamination = Q(
+    "n41_bloom_decontamination",
+    "Bloom-sketch prefiltered benchmark decontamination (== exact result)",
+    (s, dir) => {
+      val docs = Tables(s, dir).documents
+      graft.operators.Decontamination
+        .flagContaminatedBloom(docs, docs.filter(col("doc_id") % 5 === 0), 4, 0.25)
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 4 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 3),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' ||
+                                 ts[i+3] || ' ' || ts[i+4]) END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+            corpus AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            bench AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM tok
+                      WHERE doc_id % 5 = 0),
+            overlap AS (
+              SELECT c.doc_id, b.bench_id, COUNT(*) AS inter
+              FROM corpus c JOIN bench b ON c.s = b.s AND c.doc_id <> b.bench_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok)
+            SELECT doc_id, bench_id, containment FROM (
+              SELECT o.doc_id, o.bench_id,
+                CAST(inter AS DOUBLE) / n_sh AS containment,
+                row_number() OVER (PARTITION BY o.doc_id
+                  ORDER BY CAST(inter AS DOUBLE) / n_sh DESC, bench_id) AS rk
+              FROM overlap o JOIN sz ON o.doc_id = sz.doc_id
+              WHERE CAST(inter AS DOUBLE) / n_sh >= 0.25)
+            WHERE rk = 1 ORDER BY doc_id"""))
+
+  private val datasetCard = Q(
+    "n42_dataset_card",
+    "per-source dataset card: volume, tokens, dup rate, language mix",
+    (s, dir) => graft.operators.TextAnalysis
+      .datasetCard(Tables(s, dir).documents)
+      .orderBy("source"),
+    Some("""WITH d AS (
+              SELECT source, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                  1, 16) AS fp
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+              COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+              CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+              CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE) / COUNT(*)
+                AS en_frac
+            FROM d GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(byteDiversity, bigramFluency, bloomDecontamination,
+    datasetCard)
 }

@@ -73,5 +73,40 @@ object Relational3 extends QueryGroup {
                COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val all: Seq[Q] = Seq(rangeFrame, multiDistinct)
+  /** Correlated EXISTS / NOT EXISTS written as SQL text so Catalyst's
+    * subquery decorrelation runs: both subqueries rewrite to a semi and
+    * an anti join against orders (no per-row re-execution — `.explain`
+    * shows the joins). Scale shape after decorrelation: two equi-joins
+    * on c_custkey, broadcast or shuffled by AQE like any other join.
+    */
+  private val correlatedSubquery = Q(
+    "q39_correlated_subquery",
+    "correlated EXISTS + NOT EXISTS, decorrelated to semi/anti joins",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.createOrReplaceTempView("g_customer")
+      t.orders.createOrReplaceTempView("g_orders")
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n_customers
+               FROM g_customer c
+               WHERE EXISTS (SELECT 1 FROM g_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 400000.0)
+                 AND NOT EXISTS (SELECT 1 FROM g_orders o2
+                                 WHERE o2.o_custkey = c.c_custkey
+                                   AND o2.o_orderstatus = 'F'
+                                   AND o2.o_totalprice < 50000.0)
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o2
+                              WHERE o2.o_custkey = c.c_custkey
+                                AND o2.o_orderstatus = 'F'
+                                AND o2.o_totalprice < 50000.0)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(rangeFrame, multiDistinct, correlatedSubquery)
 }

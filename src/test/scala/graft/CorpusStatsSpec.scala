@@ -37,6 +37,41 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(3) && out(2).isNullAt(4) && out(2).isNullAt(5))
   }
 
+  test("bloom-prefiltered decontamination == exact decontamination") {
+    // no false negatives: the sketch path must reproduce the exact
+    // operator row-for-row, including the tie-broken best bench_id
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+    val exact = graft.operators.Decontamination
+      .flagContaminated(docs, bench, 3, 0.2).orderBy("doc_id").collect()
+    val bloom = graft.operators.Decontamination
+      .flagContaminatedBloom(docs, bench, 3, 0.2).orderBy("doc_id").collect()
+    assert(exact.nonEmpty, "fixture should produce contaminated docs")
+    assert(bloom.toSeq == exact.toSeq)
+  }
+
+  test("datasetCard: exact counts on a hand-built corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en", "s1"),
+      (2L, "a  B C", "en", "s1"), // normalizes to "a b c" → exact dup of 1
+      (3L, "x y", "de", "s1"),
+      (4L, "p q r s", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextAnalysis.datasetCard(docs)
+      .orderBy("source").collect()
+    // s1: 3 docs, 2 unique (1≡2 after whitespace/case normalization),
+    // tokens 3 + 4 + 2 = 9 ("a  B C" splits into 4 with the empty segment)
+    assert(out(0).getString(0) == "s1")
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 2 &&
+      out(0).getLong(3) == 1)
+    assert(out(0).getLong(4) == 9 && out(0).getLong(5) == 2)
+    assert(out(0).getDouble(6) == 3.0 && out(0).getDouble(7) == 2.0 / 3)
+    assert(out(1).getString(0) == "s2" && out(1).getLong(1) == 1 &&
+      out(1).getLong(3) == 0)
+  }
+
   test("bigramFluency: add-one smoothed likelihood on a hand-computed corpus") {
     import spark.implicits._
     // corpus: "a b a", "a b", "x" → V=3; c(a,b)=2, c(b,a)=1; c1(a)=2, c1(b)=1
