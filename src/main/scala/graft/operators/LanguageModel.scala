@@ -36,17 +36,24 @@ object LanguageModel {
     */
   def bigramFluency(docs: DataFrame, okPpmThreshold: Long = 1000L): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the pair array before exploding (explode-first form —
-    // a HOF inside the generate is an order of magnitude slower)
+    // a HOF inside the generate is an order of magnitude slower); the
+    // bigram table feeds BOTH model training and scoring — persist so
+    // the tokenize+explode runs once (same diamond policy as Dedup).
+    // Pairs come from zipping the two adjacent slices — total on ANY
+    // input (a 1-token doc zips to an empty array), unlike
+    // element_at(i+2) indexing which is only safe behind a filter the
+    // optimizer must not reorder.
     val bg = toks
-      .filter(size(col("ts")) >= 2)
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("ts")) - 2),
-          i => struct(
-            element_at(col("ts"), i + 1).as("w1"),
-            element_at(col("ts"), i + 2).as("w2"))).as("pairs"))
+        zip_with(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"))).as("pairs"))
       .select(col("doc_id"), explode(col("pairs")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = toks
