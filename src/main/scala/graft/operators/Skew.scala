@@ -38,6 +38,35 @@ object Skew {
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** [[saltedJoin]] restricted to the keys that actually need it — the
+    * production form. Replicating the whole dimension `saltFactor`×
+    * pays for skew everywhere; here one aggregate over the fact finds
+    * the keys above `hotThreshold` rows, only those fact/dim rows take
+    * the salted path, and the (vast) cold remainder joins plainly. The
+    * hot-key set is tiny by construction (at most |fact|/hotThreshold
+    * keys) and broadcasts into semi/anti splits of both sides.
+    *
+    * At 100 TB the exact counting pass is one map-side-combined
+    * aggregate over the join column only; a deployment that already
+    * tracks key frequencies (or samples) can pass them in instead —
+    * the split/join shape is the part that matters. Equivalent to the
+    * plain join for a dimension unique on the key, hot or cold.
+    */
+  def saltedJoinHotKeys(fact: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int = 16, hotThreshold: Long = 1000000L): DataFrame = {
+    require(hotThreshold > 0, s"hotThreshold must be > 0, got $hotThreshold")
+    val hot = fact.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > hotThreshold)
+      .select(col(key))
+    val salted = saltedJoin(
+      fact.join(broadcast(hot), Seq(key), "left_semi"),
+      dim.join(broadcast(hot), Seq(key), "left_semi"),
+      key, saltFactor)
+    val plain = fact.join(broadcast(hot), Seq(key), "left_anti")
+      .join(dim, Seq(key))
+    salted.unionByName(plain)
+  }
+
   /** Two-stage salted sum/count aggregation. `valueCol` is summed
     * exactly (decimal) so salting can't perturb the result vs a plain
     * groupBy — the invariant the oracle checks.

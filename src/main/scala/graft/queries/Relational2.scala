@@ -262,13 +262,15 @@ object Relational2 extends QueryGroup {
     */
   private val saltedJoin = Q(
     "q36_salted_join",
-    "salted fact-dim join over l_orderkey == plain join (aggregated)",
+    "hot-key-only salted fact-dim join == plain join (aggregated)",
     (s, dir) => {
       val fact = Tables(s, dir).lineitem
         .select(col("l_orderkey").as("okey"), col("l_quantity"))
       val dim = Tables(s, dir).orders
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      graft.operators.Skew.saltedJoin(fact, dim, "okey", 16)
+      // threshold 4 makes multi-lineitem orders take the salted path and
+      // the rest the plain join — both branches execute on the fixture
+      graft.operators.Skew.saltedJoinHotKeys(fact, dim, "okey", 16, 4L)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Sql.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderpriority")

@@ -96,6 +96,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val plain = fact.join(dim, "okey")
       .collect().map(key).sortBy(k => (k._1, k._2))
     assert(salted.toList == plain.toList)
+    // hot-key-only variant: threshold 3 exercises BOTH the salted branch
+    // (orders with >3 lineitems) and the plain branch on this fixture
+    val hotOnly = graft.operators.Skew
+      .saltedJoinHotKeys(fact, dim, "okey", 8, 3L)
+      .collect().map(key).sortBy(k => (k._1, k._2))
+    assert(hotOnly.toList == plain.toList)
   }
 
   test("GlobalOrder.withGlobalIndex matches single-partition row_number") {
