@@ -64,6 +64,55 @@ object Clustering {
     labels.select(col("id"), col("lb").as("component"))
   }
 
+  /** Deterministic PageRank over an undirected edge list — the standard
+    * importance measure for a near-dup / citation / link graph (here:
+    * which documents sit at the center of a duplicate cluster). Each
+    * iteration is one equi-join (labels × edges) + one keyed aggregate —
+    * the same shuffle shape as [[connectedComponents]], O(iters) rounds,
+    * lineage truncated per round.
+    *
+    * Determinism contract (see Q.scala FP policy): each contribution
+    * pr/deg is a single double division; the neighbor sum goes through
+    * DECIMAL(38,12) (order-free, exact); the damping update
+    * (1-d)/n + d*s is fixed-order per-row double arithmetic. Any engine
+    * replays it bit-for-bit, which is what makes an iterative-fixpoint
+    * operator oracle-able as an unrolled CTE chain.
+    *
+    * Output: (id, degree, pagerank) for every node in `edges`.
+    */
+  def pageRank(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double = 0.85,
+      src: String = "id_a",
+      dst: String = "id_b"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val bi = edges.select(col(src).as("u"), col(dst).as("v"))
+      .union(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count()
+    var pr = deg.select(col("id"), col("deg"),
+      (lit(1.0) / n).as("pr"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = bi
+        .join(pr, bi("u") === pr("id"))
+        .select(bi("v").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("id")
+        .agg(sum(col("c").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double").as("s"))
+      pr = deg.join(contrib, "id")
+        .select(col("id"), col("deg"),
+          (lit(1.0 - damping) / n + lit(damping) * col("s")).as("pr"))
+        .localCheckpoint()
+    }
+    bi.unpersist()
+    pr.select(col("id"), col("deg"), col("pr").as("pagerank"))
+  }
+
   /** Deterministic Lloyd's k-means over an embedding column — the
     * codebook-training step IVF indexing and semantic dedup assume
     * (MLlib's KMeans is random-init and non-reproducible across engines;

@@ -150,6 +150,68 @@ object NorthStar2 extends QueryGroup {
                 AS en_frac
             FROM d GROUP BY source ORDER BY source"""))
 
+  /** One PageRank iteration in DuckDB, mirroring the operator's FP
+    * recipe: contribution = double division, neighbor sum through
+    * DECIMAL(38,12) (VARCHAR-route back to double, see Sql.oSum),
+    * damping update as (1.0 - 0.85)/n + 0.85*s with every literal cast
+    * to DOUBLE so both engines run the identical IEEE ops.
+    */
+  private def prIter(prev: String, out: String): String =
+    s"""$out AS (
+          SELECT d.id, d.deg,
+            (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+              + CAST(0.85 AS DOUBLE) * s.s AS pr
+          FROM deg d CROSS JOIN n
+          JOIN (SELECT e.dst AS id,
+                  CAST(CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(38,12)))
+                    AS VARCHAR) AS DOUBLE) AS s
+                FROM e JOIN $prev p ON e.src = p.id GROUP BY e.dst) s
+            ON d.id = s.id)"""
+
+  /** PageRank over the 0.8-Jaccard near-dup graph (same pair set as
+    * n22): which documents sit at the center of duplicate clusters.
+    * The oracle unrolls the 3 iterations as CTEs (kmeans precedent).
+    */
+  private val pagerank = Q(
+    "n43_pagerank",
+    "deterministic PageRank over the near-dup pair graph, 3 iterations",
+    (s, dir) => graft.operators.Clustering
+      .pageRank(
+        graft.operators.Dedup
+          .jaccardPairs(Tables(s, dir).documents, 3, 0.8)
+          .select("id_a", "id_b"),
+        iters = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some(s"""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            pair_inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok),
+            p AS (
+              SELECT id_a, id_b FROM pair_inter
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.8),
+            e AS (SELECT id_a AS src, id_b AS dst FROM p
+                  UNION ALL SELECT id_b, id_a FROM p),
+            deg AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM deg),
+            pr0 AS (SELECT id, deg, CAST(1.0 AS DOUBLE) / n.n AS pr
+                    FROM deg CROSS JOIN n),
+            ${prIter("pr0", "pr1")},
+            ${prIter("pr1", "pr2")},
+            ${prIter("pr2", "pr3")}
+            SELECT id AS doc_id, deg, pr AS pagerank
+            FROM pr3 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(byteDiversity, bigramFluency, bloomDecontamination,
-    datasetCard)
+    datasetCard, pagerank)
 }

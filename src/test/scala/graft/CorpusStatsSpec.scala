@@ -72,6 +72,20 @@ class CorpusStatsSpec extends AnyFunSuite {
       out(1).getLong(3) == 0)
   }
 
+  test("pageRank: path graph — center outranks symmetric leaves, mass ~1") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = graft.operators.Clustering.pageRank(edges, iters = 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 1L)) // degrees
+    val Seq(p1, p2, p3) = out.map(_._3).toSeq
+    assert(p1 == p3, "symmetric leaves must tie exactly")
+    assert(p2 > p1, "the center of the path must outrank the leaves")
+    assert(math.abs(p1 + p2 + p3 - 1.0) < 1e-9, "probability mass conserved")
+  }
+
   test("bigramFluency: add-one smoothed likelihood on a hand-computed corpus") {
     import spark.implicits._
     // corpus: "a b a", "a b", "x" → V=3; c(a,b)=2, c(b,a)=1; c1(a)=2, c1(b)=1
