@@ -96,8 +96,7 @@ object Clustering {
     val n = deg.count()
     var pr = deg.select(col("id"), col("deg"),
       (lit(1.0) / n).as("pr"))
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = bi
         .join(pr, bi("u") === pr("id"))
         .select(bi("v").as("id"), (col("pr") / col("deg")).as("c"))
@@ -107,9 +106,12 @@ object Clustering {
       pr = deg.join(contrib, "id")
         .select(col("id"), col("deg"),
           (lit(1.0 - damping) / n + lit(damping) * col("s")).as("pr"))
-        .localCheckpoint()
+      // unlike the CC loop (self-join + convergence count per round)
+      // the PR chain is linear, so lineage only needs truncating every
+      // few rounds — each localCheckpoint is an eager materialization
+      // worth skipping for short chains
+      if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    bi.unpersist()
     pr.select(col("id"), col("deg"), col("pr").as("pagerank"))
   }
 
