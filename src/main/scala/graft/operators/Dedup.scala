@@ -52,27 +52,28 @@ object Dedup {
   private def inverted(tok: DataFrame): DataFrame =
     tok.select(col("doc_id"), explode(col("sh")).as("sh_hash"))
 
-  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs: count
-    * shared shingles via the inverted index restricted to candidates,
-    * normalize by set sizes, keep pairs ≥ threshold.
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs. The
+    * candidate set is small by construction (prefix filter / LSH bucket
+    * survivors), so it joins the per-doc shingle-array table twice —
+    * AQE broadcasts the candidate side both times, the corpus never
+    * shuffles, and the intersection is one per-row `array_intersect`
+    * over the two distinct hash arrays (the earlier inverted-index form
+    * shuffled the whole 64-bit index twice regardless of how few
+    * candidates survived).
     */
   private def verifyJaccard(
       candidates: DataFrame, tok: DataFrame, threshold: Double): DataFrame = {
-    val inv = inverted(tok)
-    val sizes = tok.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val inter = inv.as("ia")
-      .join(candidates, col("ia.doc_id") === col("id_a"))
-      .join(inv.as("ib"),
-        col("ib.doc_id") === col("id_b") &&
-          col("ia.sh_hash") === col("ib.sh_hash"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+    val a = tok.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = tok.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
-          (col("sa.n_sh") + col("sb.n_sh") - col("inter"))).as("jaccard"))
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
