@@ -108,5 +108,43 @@ object Relational3 extends QueryGroup {
                                 AND o2.o_totalprice < 50000.0)
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  val all: Seq[Q] = Seq(rangeFrame, multiDistinct, correlatedSubquery)
+  /** FULL OUTER join — the one join type the earlier batches skipped.
+    * Both inputs are pre-aggregated to (user, day) grain, so both null
+    * directions genuinely occur (~1k view-only and ~1k purchase-only
+    * rows at sf0.01). Scale shape: full outer cannot broadcast either
+    * side; Spark plans a shuffle join on the key — both sides are
+    * already aggregate-reduced before the exchange.
+    */
+  private val fullOuter = Q(
+    "q40_full_outer_join",
+    "per-(user, day) views FULL OUTER purchases, nulls -> 0",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      def perDay(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(as))
+      perDay("view", "nv").join(
+          perDay("purchase", "np"), Seq("user_id", "day"), "full_outer")
+        .select(col("user_id"),
+          // VARCHAR day: Spark DATE arrives as a python date object in
+          // the compare, DuckDB DATE as datetime64 — strings match (the
+          // q24 convention); ISO format keeps the sort order
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("nv"), lit(0L)).as("n_views"),
+          coalesce(col("np"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH v AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+                       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+                 p AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+              CAST(COALESCE(v.d, p.d) AS VARCHAR) AS day,
+              COALESCE(v.n, 0) AS n_views, COALESCE(p.n, 0) AS n_purchases
+            FROM v FULL JOIN p ON v.user_id = p.user_id AND v.d = p.d
+            ORDER BY user_id, day"""))
+
+  val all: Seq[Q] = Seq(rangeFrame, multiDistinct, correlatedSubquery,
+    fullOuter)
 }

@@ -386,8 +386,34 @@ object StreamingQueries extends QueryGroup {
                 FROM events WHERE event_type IN ('view', 'purchase'))
              ORDER BY w_start"""))
 
+  /** Streaming SLIDING windows (w02's batch form, under a watermark):
+    * each event lands in size/slide = 2 overlapping windows; append mode
+    * emits a window once the watermark passes its end (same s02 closure
+    * rule, applied per overlapping window).
+    */
+  private val streamSliding = Q(
+    "s12_stream_sliding_append",
+    "streaming 1-hour windows sliding every 30 min, watermark-closed",
+    (s, dir) => {
+      val windowed = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n"), col("sum_value"))
+      runToTable(windowed, "append").orderBy("w_start")
+    },
+    Some(s"""SELECT w_start, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM (SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)
+                     AS w_start, value
+                   FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off))
+             GROUP BY w_start
+             HAVING w_start + 3600 <=
+               (SELECT floor(epoch(MAX(ts))) FROM events)
+             ORDER BY w_start"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
-    streamChained, streamUnion)
+    streamChained, streamUnion, streamSliding)
 }
