@@ -93,11 +93,18 @@ object Decontamination {
         explode(shingleHashes(col("text"), n)).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ~10 bits/item ≈ 1% fpp; the count pass also warms the persisted
-    // benchmark index the overlap join reads again
-    val nItems = math.max(benchInv.count(), 1L)
+    // benchmark index the overlap join reads again. numBits is capped at
+    // the engine's runtime-bloom-filter ceiling (64M bits = 8 MB sketch):
+    // BloomFilterAggregate REJECTS a larger request at analysis time, and
+    // past that size the fpp degrades gracefully (more join work, never a
+    // lost pair) rather than the query failing on a billion-shingle
+    // benchmark.
+    // same story for estimatedNumItems (4M-item analysis ceiling)
+    val nItems = math.min(math.max(benchInv.count(), 1L), 4000000L)
+    val numBits = math.min(nItems * 10L, 67108864L)
     val bloomAgg = ColumnBridge.column(
       BloomFilterAggregate(ColumnBridge.expression(col("h")),
-        Literal(nItems), Literal(nItems * 10L), 0, 0).toAggregateExpression())
+        Literal(nItems), Literal(numBits), 0, 0).toAggregateExpression())
     val bloomBytes = benchInv.select(bloomAgg.as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val corpusInv = corpusTok
