@@ -223,6 +223,51 @@ object Dedup {
           col("n_tokens")).as("dup_coverage_frac"))
   }
 
+  /** Cross-document duplicated-span REMOVAL — the transform on top of
+    * [[dupNgramCoverage]]'s statistics (Lee et al. 2022 shape): drop
+    * every token covered by an n-gram that appears in ≥ `minDf`
+    * documents, keep the rest in order, and rebuild the text. Same
+    * candidate machinery as the coverage operator (position explode →
+    * gram-hash df aggregate → per-doc covered-interval union); the
+    * rebuild is a per-row fold over the doc's own token array — no
+    * additional shuffle beyond the coverage diamond.
+    *
+    * Output: (doc_id, n_tokens, n_kept, cleaned_text).
+    */
+  def removeDupSpans(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val pos = toks
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - n)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(n))))
+          .as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupGrams = pos.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gh")
+    val perDoc = pos.join(dupGrams, "gh")
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("ps"))
+    val cov = coalesce(
+      array_distinct(flatten(transform(col("ps"), p => sequence(p, p + n - 1)))),
+      array().cast("array<int>"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("cov", cov)
+      .withColumn("kept", filter(
+        transform(sequence(lit(0), size(col("ts")) - 1),
+          i => when(array_contains(col("cov"), i), lit(null))
+            .otherwise(element_at(col("ts"), i + 1))),
+        x => x.isNotNull))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
   /** SimHash near-duplicate candidate pairs within a hamming radius.
     * Blocking: split the 64-bit hash into 4 16-bit chunks; any pair with
     * hamming ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so candidates are

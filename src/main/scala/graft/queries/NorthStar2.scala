@@ -212,6 +212,50 @@ object NorthStar2 extends QueryGroup {
             SELECT id AS doc_id, deg, pr AS pagerank
             FROM pr3 ORDER BY doc_id"""))
 
+  /** The oracle replays the removal with gram STRINGS where the operator
+    * uses 64-bit gram hashes (the n02/n18 collision-free precedent), and
+    * rebuilds the kept tokens with an ORDER BY position list aggregate.
+    */
+  private val spanRemoval = Q(
+    "n44_dup_span_removal",
+    "drop tokens covered by cross-doc duplicated 5-grams, rebuild text",
+    (s, dir) => graft.operators.Dedup
+      .removeDupSpans(Tables(s, dir).documents, 5, 2)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            pos AS (
+              SELECT doc_id, i AS pos,
+                array_to_string(ts[(i+1):(i+5)], ' ') AS g
+              FROM (SELECT doc_id, ts, unnest(range(len(ts) - 4)) AS i
+                    FROM t WHERE len(ts) >= 5)),
+            dup AS (
+              SELECT g FROM (
+                SELECT g, COUNT(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+              WHERE df >= 2),
+            cov AS (
+              SELECT DISTINCT doc_id, pos + u AS cp
+              FROM (SELECT doc_id, pos FROM pos JOIN dup USING (g)),
+                unnest(range(5)) AS t(u)),
+            tokpos AS (
+              SELECT doc_id, i, ts[i+1] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM t)),
+            kept AS (
+              SELECT tp.doc_id, tp.i, tp.tok
+              FROM tokpos tp LEFT JOIN cov
+                ON tp.doc_id = cov.doc_id AND tp.i = cov.cp
+              WHERE cov.cp IS NULL),
+            rebuilt AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                array_to_string(list(tok ORDER BY i), ' ') AS cleaned_text
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+              CAST(len(t.ts) AS INT) AS n_tokens,
+              COALESCE(r.n_kept, 0) AS n_kept,
+              COALESCE(r.cleaned_text, '') AS cleaned_text
+            FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+            ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(byteDiversity, bigramFluency, bloomDecontamination,
-    datasetCard, pagerank)
+    datasetCard, pagerank, spanRemoval)
 }

@@ -72,6 +72,23 @@ class CorpusStatsSpec extends AnyFunSuite {
       out(1).getLong(3) == 0)
   }
 
+  test("removeDupSpans: planted cross-doc 3-gram span is cut from both docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x y z"), // "x y z" duplicated across docs 1 and 2
+      (2L, "p q x y z r"),
+      (3L, "u v w")        // untouched
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeDupSpans(docs, 3, 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 6 && out(0).getInt(2) == 3 &&
+      out(0).getString(3) == "a b c")
+    assert(out(1).getInt(1) == 6 && out(1).getInt(2) == 3 &&
+      out(1).getString(3) == "p q r")
+    assert(out(2).getInt(1) == 3 && out(2).getInt(2) == 3 &&
+      out(2).getString(3) == "u v w")
+  }
+
   test("pageRank: path graph — center outranks symmetric leaves, mass ~1") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
