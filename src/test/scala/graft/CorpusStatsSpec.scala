@@ -89,6 +89,36 @@ class CorpusStatsSpec extends AnyFunSuite {
       out(2).getString(3) == "u v w")
   }
 
+  test("removeDupSpans matches a brute-force model on a seeded corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1L to 30L).map(i =>
+      (i, Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")))
+    val n = 2
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toVector }
+    val grams = toks.flatMap { case (id, ts) =>
+      ts.sliding(n).zipWithIndex.collect {
+        case (g, p) if g.size == n => (id, p, g.mkString(" "))
+      }
+    }
+    val dup = grams.groupBy(_._3).collect {
+      case (g, xs) if xs.map(_._1).distinct.size >= 2 => g
+    }.toSet
+    val covered = grams.filter(x => dup(x._3)).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.flatMap(x => x._2 until x._2 + n).toSet }
+    val expected = toks.map { case (id, ts) =>
+      val keep = ts.indices.filterNot(covered.getOrElse(id, Set.empty))
+      (id, ts.size, keep.size, keep.map(ts).mkString(" "))
+    }
+    val got = graft.operators.Dedup
+      .removeDupSpans(corpus.toDF("doc_id", "text"), n, 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("pageRank: path graph — center outranks symmetric leaves, mass ~1") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
