@@ -274,6 +274,41 @@ object TextAnalysis {
         (col("n_en").cast("double") / col("n_docs")).as("en_frac"))
   }
 
+  /** Cross-source content-overlap matrix — the dataset-card companion
+    * that answers "which sources ship the same content": for every
+    * source pair, how many distinct n-gram shingles they share, plus a
+    * containment fraction against the smaller side. The standard
+    * mix-design input (two crawls sharing 30% of their text should not
+    * both be upweighted).
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, shingle-hash)
+    * — one hash-aggregate, shingles hashed scan-side by the native
+    * expression — then a self-join ON the hash restricted to
+    * source_a < source_b. Join fan-out per shingle is bounded by the
+    * SOURCE count (a few dozen), never by document multiplicity,
+    * because multiplicity collapses in the distinct.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode(shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("tot"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("tot", "tot_a")), "source_a")
+      .join(broadcast(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("tot", "tot_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        col("tot_a"), col("tot_b"),
+        (col("shared_shingles").cast("double") /
+          least(col("tot_a"), col("tot_b"))).as("containment"))
+  }
+
   /** Byte-level diversity statistics — the log-free form of the Gopher
     * character-entropy quality gate. A [[graft.expressions.ByteHistogram]]
     * pass in the scan stage yields per-row byte counts; the statistics

@@ -256,6 +256,41 @@ object NorthStar2 extends QueryGroup {
             FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
             ORDER BY t.doc_id"""))
 
+  /** The oracle replays with shingle STRINGS where the operator uses the
+    * scan-side 64-bit hashes (n02/n18 collision-free precedent). The
+    * short-doc fallback (docs with < n tokens contribute their whole
+    * text as one shingle) mirrors TextFunctions.wordShingles.
+    */
+  private val sourceOverlap = Q(
+    "n45_source_overlap",
+    "source-pair shared-shingle matrix (mix-design contamination input)",
+    (s, dir) => TextAnalysis.sourceOverlap(Tables(s, dir).documents, 5)
+      .orderBy("source_a", "source_b"),
+    Some("""WITH t AS (
+              SELECT source, string_split(text, ' ') AS ts FROM documents),
+            sh AS (
+              SELECT DISTINCT source, g FROM (
+                SELECT source, unnest(
+                  CASE WHEN len(ts) < 5 THEN [array_to_string(ts, ' ')]
+                       ELSE list_transform(range(len(ts) - 4),
+                              i -> array_to_string(ts[(i+1):(i+5)], ' ')) END)
+                  AS g
+                FROM t)),
+            tot AS (SELECT source, COUNT(*) AS tot FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                COUNT(*) AS shared_shingles
+              FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT source_a, source_b, shared_shingles,
+              ta.tot AS tot_a, tb.tot AS tot_b,
+              CAST(shared_shingles AS DOUBLE) / LEAST(ta.tot, tb.tot)
+                AS containment
+            FROM pairs
+            JOIN tot ta ON source_a = ta.source
+            JOIN tot tb ON source_b = tb.source
+            ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] = Seq(byteDiversity, bigramFluency, bloomDecontamination,
-    datasetCard, pagerank, spanRemoval)
+    datasetCard, pagerank, spanRemoval, sourceOverlap)
 }
