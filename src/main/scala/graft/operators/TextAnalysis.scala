@@ -98,56 +98,30 @@ object TextAnalysis {
     * fewer than `n` tokens — repetition ratios over a padded pseudo-gram
     * would be meaningless.
     */
-  private def ngrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n, transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Count of the most frequent element: sort, then a single
-    * left-to-right fold tracking the longest run. O(L log L) per row,
-    * inside the scan stage — the relational alternative (explode +
-    * groupBy(doc, gram)) shuffles corpus × grams rows.
-    */
-  private def topCount(arr: Column): Column =
-    aggregate(
-      array_sort(arr),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-
   /** Repetition filters in the style of the Gopher corpus pipeline
     * (Rae et al. 2021, §A1.1): fraction of duplicated words, share of
     * the single most frequent bigram, fraction of duplicated trigrams,
-    * and a composite keep flag. Pure per-row expression work — the
-    * repeated-gram counters fold over each row's own gram array, so the
-    * corpus is never exploded or shuffled.
+    * and a composite keep flag. The integer counters come from ONE
+    * native hash-map pass per row
+    * ([[graft.expressions.RepetitionCounts]] — the corpus is never
+    * exploded or shuffled); only the single-division fractions are
+    * declarative, so the cross-engine FP contract is unchanged.
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(col("doc_id"), toks.as("ts"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rc = ColumnBridge.column(graft.expressions.RepetitionCounts(
+      ColumnBridge.expression(col("text"))))
+    docs.select(col("doc_id"), rc.as("rc"))
       .select(
         col("doc_id"),
-        size(col("ts")).as("n_tokens"),
-        ((size(col("ts")) - size(array_distinct(col("ts")))).cast("double") /
-          size(col("ts"))).as("dup_word_frac"),
-        ngrams(col("ts"), 2).as("bg"),
-        ngrams(col("ts"), 3).as("tg"))
-      .select(
-        col("doc_id"),
-        col("n_tokens"),
-        col("dup_word_frac"),
-        when(size(col("bg")) > 0,
-          topCount(col("bg")).cast("double") / size(col("bg")))
+        col("rc.n_tokens").as("n_tokens"),
+        (col("rc.n_dup_words").cast("double") / col("rc.n_tokens"))
+          .as("dup_word_frac"),
+        when(col("rc.n_bg") > 0,
+          col("rc.max_bg").cast("double") / col("rc.n_bg"))
           .as("top_bigram_frac"),
-        when(size(col("tg")) > 0,
-          (size(col("tg")) - size(array_distinct(col("tg")))).cast("double") /
-            size(col("tg")))
+        when(col("rc.n_tg") > 0,
+          col("rc.n_dup_tg").cast("double") / col("rc.n_tg"))
           .as("dup_trigram_frac"))
       .withColumn("rep_ok",
         col("dup_word_frac") < 0.3 &&

@@ -93,6 +93,24 @@ object LawsCheck extends Properties("graft.laws") {
         (0 until 256).map(h.getLong).sum == bytes.length
     }
 
+  property("RepetitionCounts == brute-force gram counting on arbitrary unicode") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "b", "ab", "é", "字"), Gen.const(" "))).map(_.mkString)) { s =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val row = graft.expressions.RepetitionCounts(Literal(s)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val ts = s.split(" ", -1).toVector
+      val bgs = if (ts.size < 2) Vector() else ts.sliding(2).map(_.mkString(" ")).toVector
+      val tgs = if (ts.size < 3) Vector() else ts.sliding(3).map(_.mkString(" ")).toVector
+      val maxBg = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+      row.getInt(0) == ts.size &&
+        row.getInt(1) == ts.size - ts.distinct.size &&
+        row.getInt(2) == maxBg &&
+        row.getInt(3) == bgs.size &&
+        row.getInt(4) == tgs.size - tgs.distinct.size &&
+        row.getInt(5) == tgs.size
+    }
+
   property("int8 quantization round-trip error is within half a step") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6f, 1e6f))) { vs =>
       val mn = vs.min.toDouble
