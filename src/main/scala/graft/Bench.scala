@@ -48,7 +48,9 @@ object Bench {
         (name, t, None: Option[String])
       } catch {
         case e: Throwable =>
-          spark.catalog.clearCache()
+          // best-effort: a clearCache failure after a query failure must
+          // not abort the run and lose every recorded timing
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
           (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${
             String.valueOf(e.getMessage).take(80)}"))
       }

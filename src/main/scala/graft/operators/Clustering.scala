@@ -112,7 +112,13 @@ object Clustering {
       // worth skipping for short chains
       if (i % 4 == 0 && i < iters) pr = pr.localCheckpoint()
     }
-    pr.select(col("id"), col("deg"), col("pr").as("pagerank"))
+    // materialize the result so the edge/degree caches can be released
+    // here instead of leaking for the session lifetime (CC policy)
+    val out = pr.select(col("id"), col("deg"), col("pr").as("pagerank"))
+      .localCheckpoint()
+    bi.unpersist()
+    deg.unpersist()
+    out
   }
 
   /** Deterministic Lloyd's k-means over an embedding column — the

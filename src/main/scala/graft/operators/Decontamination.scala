@@ -49,6 +49,17 @@ object Decontamination {
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("inter"))
+    rankContainment(overlap, sizes, threshold)
+  }
+
+  /** Shared scoring tail: normalize overlap counts by corpus shingle-set
+    * size, keep doc-bench pairs at or above `threshold`, and elect each
+    * doc's strongest match (ties on containment -> lowest bench_id).
+    * Both decontamination variants MUST share this so the Bloom path's
+    * "row-for-row identical to exact" contract cannot drift.
+    */
+  private def rankContainment(
+      overlap: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("containment"), asc("bench_id"))
     overlap.join(sizes, "doc_id")
@@ -117,13 +128,6 @@ object Decontamination {
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("inter"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(desc("containment"), asc("bench_id"))
-    overlap.join(sizes, "doc_id")
-      .withColumn("containment", col("inter").cast("double") / col("n_sh"))
-      .filter(col("containment") >= threshold)
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col("doc_id"), col("bench_id"), col("containment"))
+    rankContainment(overlap, sizes, threshold)
   }
 }

@@ -186,12 +186,20 @@ object Dedup {
     * anywhere, and the only shuffles are the df agg, the pos⋈dup
     * equi-join on the hash, and the per-doc fan-in aggregate.
     */
-  def dupNgramCoverage(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+  /** Shared candidate diamond for the duplicated-n-gram operators
+    * (coverage stats n27, span removal n44): token arrays plus the
+    * per-doc duplicated-gram start positions. Positions explode FIRST,
+    * then each gram hashes as a flat codegen'd projection — building an
+    * array-of-hashes per doc and exploding it would push the whole-gram
+    * HOF (CodegenFallback, interpreted) into the generate and cost ~20×
+    * on the scan stage. The position table feeds both the df aggregate
+    * and the candidate join (diamond), so it persists like the other
+    * dedup intermediates. Returns (toks(doc_id, ts),
+    * perDoc(doc_id, n_dup_grams, ps)).
+    */
+  private def dupGramPositions(
+      docs: DataFrame, n: Int, minDf: Int): (DataFrame, DataFrame) = {
     require(n > 0, s"n must be > 0, got $n")
-    // explode positions FIRST, then hash each gram as a flat codegen'd
-    // projection — building an array-of-hashes per doc and exploding it
-    // would push the whole-gram HOF (CodegenFallback, interpreted) into
-    // the generate and cost ~20× on the scan stage
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
     val pos = toks
       .filter(size(col("ts")) >= n)
@@ -200,8 +208,6 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(n))))
           .as("gh"))
-      // feeds both the df aggregate and the candidate join (diamond) —
-      // same materialization policy as the other dedup intermediates
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = pos.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("df"))
@@ -211,6 +217,11 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_grams"),
         collect_set(col("pos")).as("ps"))
+    (toks, perDoc)
+  }
+
+  def dupNgramCoverage(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
+    val (toks, perDoc) = dupGramPositions(docs, n, minDf)
     val covered = size(array_distinct(flatten(
       transform(col("ps"), p => sequence(p, p + n - 1)))))
     toks.select(col("doc_id"), size(col("ts")).as("n_tokens"))
@@ -235,23 +246,8 @@ object Dedup {
     * Output: (doc_id, n_tokens, n_kept, cleaned_text).
     */
   def removeDupSpans(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
-    require(n > 0, s"n must be > 0, got $n")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val pos = toks
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), col("ts"),
-        explode(sequence(lit(0), size(col("ts")) - n)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(n))))
-          .as("gh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupGrams = pos.groupBy("gh")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-      .select("gh")
-    val perDoc = pos.join(dupGrams, "gh")
-      .groupBy("doc_id")
-      .agg(collect_set(col("pos")).as("ps"))
+    val (toks, perDocAll) = dupGramPositions(docs, n, minDf)
+    val perDoc = perDocAll.select("doc_id", "ps")
     val cov = coalesce(
       array_distinct(flatten(transform(col("ps"), p => sequence(p, p + n - 1)))),
       array().cast("array<int>"))

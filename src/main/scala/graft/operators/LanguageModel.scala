@@ -73,7 +73,8 @@ object LanguageModel {
       count(lit(1)).as("n_bigrams"),
       (sum(col("p_ppm").cast(DecimalType(28, 6))).cast("double") /
         count(lit(1))).as("mean_bigram_ppm"))
-    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    // spine from the persisted toks, not a second scan of the source
+    toks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("mean_bigram_ppm"),

@@ -93,11 +93,6 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
-  /** Word n-grams with an EMPTY array (not the whole-text fallback of
-    * [[graft.functions.TextFunctions.wordShingles]]) when the doc has
-    * fewer than `n` tokens — repetition ratios over a padded pseudo-gram
-    * would be meaningless.
-    */
   /** Repetition filters in the style of the Gopher corpus pipeline
     * (Rae et al. 2021, §A1.1): fraction of duplicated words, share of
     * the single most frequent bigram, fraction of duplicated trigrams,

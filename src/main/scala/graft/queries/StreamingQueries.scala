@@ -332,8 +332,11 @@ object StreamingQueries extends QueryGroup {
       val hourly = tenMin
         .groupBy(window(window_time(col("w10")), "1 hour").as("w60"),
           col("event_type"))
-        // s10 is decimal-valued (dsum output): the re-cast to decimal is
-        // exact, so the two-level sum equals the one-level sum to the bit
+        // the two-level decimal sum (and its decimal→double→decimal
+        // re-cast, exact only up to double's ~15-digit round-trip) is
+        // mirrored step-for-step by the oracle's `ten` CTE — parity
+        // comes from BOTH engines running the identical two levels, not
+        // from the two-level sum equalling a one-level sum
         .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"),
           sum(col("s10").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
             .cast("double").as("sum_value"))
