@@ -145,6 +145,57 @@ object Relational3 extends QueryGroup {
             FROM v FULL JOIN p ON v.user_id = p.user_id AND v.d = p.d
             ORDER BY user_id, day"""))
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`, planned as UnionLoop):
+    * calendar-spine densification — recursively generate every day
+    * between the corpus min and max event date, left-join the daily
+    * aggregate of rare high-value events, zero-fill the gap days. The
+    * classic OLAP densification that windowing cannot express (missing
+    * days have no row to window over). Spark 4.1 restricts recursion to
+    * UNION ALL, so the recursive member must be acyclic (a ladder, not
+    * a graph closure); depth 30 sits well under the default
+    * cteRecursionLevelLimit of 100.
+    */
+  private val recursiveCte = Q(
+    "q41_recursive_cte",
+    "WITH RECURSIVE daily spine, zero-filling days without rare events",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("g_events")
+      s.sql("""WITH RECURSIVE bounds AS (
+                 SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+                 FROM g_events),
+               spine(day) AS (
+                 SELECT lo FROM bounds
+                 UNION ALL
+                 SELECT date_add(day, 1) FROM spine
+                 WHERE day < (SELECT hi FROM bounds)),
+               daily AS (
+                 SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s
+                 FROM g_events WHERE value >= 480.0 GROUP BY 1)
+               SELECT date_format(spine.day, 'yyyy-MM-dd') AS day,
+                 COALESCE(daily.n, 0) AS n_highvalue,
+                 COALESCE(daily.s, CAST(0 AS DOUBLE)) AS sum_value
+               FROM spine LEFT JOIN daily ON spine.day = daily.day
+               ORDER BY day""")
+    },
+    Some(s"""WITH RECURSIVE bounds AS (
+               SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+               FROM events),
+             spine(day) AS (
+               SELECT lo FROM bounds
+               UNION ALL
+               SELECT day + 1 FROM spine
+               WHERE day < (SELECT hi FROM bounds)),
+             daily AS (
+               SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                 ${oSum("value")} AS s
+               FROM events WHERE value >= 480.0 GROUP BY 1)
+             SELECT CAST(spine.day AS VARCHAR) AS day,
+               COALESCE(daily.n, 0) AS n_highvalue,
+               COALESCE(daily.s, CAST(0 AS DOUBLE)) AS sum_value
+             FROM spine LEFT JOIN daily ON spine.day = daily.day
+             ORDER BY day"""))
+
   val all: Seq[Q] = Seq(rangeFrame, multiDistinct, correlatedSubquery,
-    fullOuter)
+    fullOuter, recursiveCte)
 }
