@@ -154,20 +154,31 @@ object Relational3 extends QueryGroup {
     * UNION ALL, so the recursive member must be acyclic (a ladder, not
     * a graph closure); depth 30 sits well under the default
     * cteRecursionLevelLimit of 100.
+    *
+    * Scale shape: the date bounds are computed ONCE (one scan with
+    * map-side partial min/max; two scalars to the driver — the k-means
+    * codebook pattern) and inlined as literals, so every UnionLoop
+    * iteration is pure literal arithmetic on a one-row local relation.
+    * Leaving `bounds` as a CTE instead makes each of the ~30 iterations
+    * re-evaluate the `(SELECT hi FROM bounds)` scalar subquery — a full
+    * fact-table scan per recursion step (measured 4.8s vs 1.3s at
+    * sf0.1; at 100 TB it would be 30 extra full scans).
     */
   private val recursiveCte = Q(
     "q41_recursive_cte",
     "WITH RECURSIVE daily spine, zero-filling days without rare events",
     (s, dir) => {
-      Tables(s, dir).events.createOrReplaceTempView("g_events")
-      s.sql("""WITH RECURSIVE bounds AS (
-                 SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
-                 FROM g_events),
+      val ev = Tables(s, dir).events
+      ev.createOrReplaceTempView("g_events")
+      val b = ev.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi")).head()
+      val (lo, hi) = (b.getDate(0), b.getDate(1))
+      s.sql(s"""WITH RECURSIVE
                spine(day) AS (
-                 SELECT lo FROM bounds
+                 SELECT DATE '$lo'
                  UNION ALL
                  SELECT date_add(day, 1) FROM spine
-                 WHERE day < (SELECT hi FROM bounds)),
+                 WHERE day < DATE '$hi'),
                daily AS (
                  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s
