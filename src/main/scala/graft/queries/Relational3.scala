@@ -207,6 +207,68 @@ object Relational3 extends QueryGroup {
              FROM spine LEFT JOIN daily ON spine.day = daily.day
              ORDER BY day"""))
 
+  /** Unpivot (melt): wide per-flag measure columns to long
+    * (flag, metric, value) form — the inverse of q22's pivot. Spark
+    * plans `Dataset.unpivot` as Expand (each input row fans out once
+    * per measure column) directly over the aggregate, so the long form
+    * costs no join and no second scan; the fan-out happens AFTER
+    * aggregation, on #groups × #measures rows, not on the fact table.
+    * The oracle states the same relation as UNION ALL — same rows,
+    * engine-neutral syntax.
+    */
+  private val unpivot = Q(
+    "q42_unpivot",
+    "wide aggregate melted to (flag, metric, value) via Dataset.unpivot",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric"),
+    Some(s"""WITH a AS (SELECT l_returnflag,
+               ${oSum("l_quantity")} AS sum_qty,
+               ${oSum("l_extendedprice")} AS sum_price,
+               ${oSum("l_discount")} AS sum_disc
+             FROM lineitem GROUP BY 1)
+             SELECT l_returnflag, metric, value FROM (
+               SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+               UNION ALL
+               SELECT l_returnflag, 'sum_price', sum_price FROM a
+               UNION ALL
+               SELECT l_returnflag, 'sum_disc', sum_disc FROM a)
+             ORDER BY l_returnflag, metric"""))
+
+  /** LATERAL subquery join — for each nation, the top-2 customers by
+    * account balance. Catalyst rewrites the correlated LIMIT-per-row
+    * subquery into a window (rank over partition) + filter, so the
+    * execution is one shuffle on the correlation key and a
+    * per-partition sort — no per-outer-row re-execution, which is what
+    * makes LATERAL survive a fact-table-sized outer side.
+    */
+  private val lateralJoin = Q(
+    "q43_lateral_join",
+    "LATERAL top-2 customers by balance per nation",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.createOrReplaceTempView("g_nation")
+      t.customer.createOrReplaceTempView("g_customer")
+      s.sql("""SELECT n.n_name, c.c_name, c.c_acctbal
+               FROM g_nation n,
+               LATERAL (SELECT c_name, c_acctbal FROM g_customer
+                        WHERE c_nationkey = n.n_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+               ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
+    },
+    Some("""SELECT n.n_name, c.c_name, c.c_acctbal
+            FROM nation n,
+            LATERAL (SELECT c_name, c_acctbal FROM customer
+                     WHERE c_nationkey = n.n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+            ORDER BY n.n_name, c.c_acctbal DESC, c.c_name"""))
+
   val all: Seq[Q] = Seq(rangeFrame, multiDistinct, correlatedSubquery,
-    fullOuter, recursiveCte)
+    fullOuter, recursiveCte, unpivot, lateralJoin)
 }
