@@ -145,33 +145,55 @@ object Clustering {
     * squared distance.
     */
   def kmeansLloyd(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = embeddings
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // `e` stays persisted for the caller's terminal action on the
+    // returned plan (same policy as the dedup diamonds).
+    assignToCents(e, lloydCents(e, k, iters))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** Nearest-centroid assignment of a (vec_id, emb: array<double>)
+    * frame: squared-L2 strict left fold per centroid, argmin with ties
+    * to the lowest centroid id — all scan-stage expression work over
+    * the codebook literals, zero shuffle.
+    */
+  private def assignToCents(
+      e: DataFrame, cents: IndexedSeq[Seq[Double]]): DataFrame = {
+    val ds = cents.zipWithIndex.map { case (c, i) =>
+      aggregate(
+        zip_with(col("emb"), typedLit(c), (x, cv) => (x - cv) * (x - cv)),
+        lit(0.0), (a, x) => a + x).as(s"d$i")
+    }
+    val withD = e.select(col("vec_id") +: col("emb") +: ds: _*)
+    val best = least(cents.indices.map(i => col(s"d$i")): _*)
+    val cluster = cents.indices.foldRight(lit(-1)) { (i, els) =>
+      when(col(s"d$i") === best, lit(i)).otherwise(els)
+    }
+    withD.select(col("vec_id"), col("emb"),
+      cluster.as("cluster"), best.as("dist2"))
+  }
+
+  /** The Lloyd training loop alone: returns the codebook after
+    * `iters - 1` mean updates — the codebook the `iters`-th (final)
+    * assignment round uses. `e` must be (vec_id, emb: array<double>)
+    * and should be persisted by the caller (it is scanned once per
+    * round). Shared by [[kmeansLloyd]] and the product-quantization
+    * sub-codebook training in [[Similarity.pqTopK]].
+    */
+  private[graft] def lloydCents(
+      e: DataFrame, k: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     var cents: IndexedSeq[Seq[Double]] = e.orderBy("vec_id").limit(k)
       .collect().map(_.getSeq[Double](1)).toIndexedSeq
-    def assigned: DataFrame = {
-      val ds = cents.zipWithIndex.map { case (c, i) =>
-        aggregate(
-          zip_with(col("emb"), typedLit(c), (x, cv) => (x - cv) * (x - cv)),
-          lit(0.0), (a, x) => a + x).as(s"d$i")
-      }
-      val withD = e.select(col("vec_id") +: col("emb") +: ds: _*)
-      val best = least(cents.indices.map(i => col(s"d$i")): _*)
-      val cluster = cents.indices.foldRight(lit(-1)) { (i, els) =>
-        when(col(s"d$i") === best, lit(i)).otherwise(els)
-      }
-      withD.select(col("vec_id"), col("emb"),
-        cluster.as("cluster"), best.as("dist2"))
-    }
     // `iters` counts ASSIGNMENT rounds: assign → means → … → assign,
     // so the codebook updates iters-1 times and the final assignment
     // (the output) uses the last codebook.
     (1 until iters).foreach { _ =>
-      val means = assigned
+      val means = assignToCents(e, cents)
         .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
         .groupBy("cluster", "dim")
         .agg((sum(col("v").cast(
@@ -184,9 +206,7 @@ object Clustering {
         }
       cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
-    // `e` stays persisted for the caller's terminal action on the
-    // returned plan (same policy as the dedup diamonds).
-    assigned.select(col("vec_id"), col("cluster"), col("dist2"))
+    cents
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication = k-means

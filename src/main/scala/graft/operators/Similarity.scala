@@ -175,6 +175,97 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization ANN with asymmetric-distance computation
+    * (PQ-ADC, Jégou et al. TPAMI 2011): the third scale tier after
+    * [[lshTopK]] (hash buckets) and [[ivfTopK]] (inverted lists).
+    * Split each vector into `numSub` contiguous subspaces, train a
+    * deterministic Lloyd codebook per subspace
+    * ([[Clustering.lloydCents]] — same init/tie/mean rules as n30, so
+    * the oracle can replay it), encode the corpus as `numSub` small
+    * codes, and score query→vector squared-L2 as the sum of per-subspace
+    * query→centroid distances looked up from a driver-computed table.
+    *
+    * Scale shape: the memory win is the point — a 64-dim float vector
+    * (256 B) compresses to `numSub` byte codes, so a billion-vector
+    * index fits executor memory. Encoding is scan-stage argmin over the
+    * broadcast sub-codebooks (zero shuffle, the IVF-assign pattern);
+    * scoring is `numSub` array lookups + adds per (query, vector) with
+    * the Q×numSub×k distance table broadcast as literals — no
+    * per-pair dimension loop at all, which is the ADC trick. Top-k is
+    * the same per-query window as the other ANN tiers.
+    *
+    * Determinism: distance tables fold dims left-to-right in Scala
+    * exactly as the engines fold them (IEEE single-rounding); the ADC
+    * sum adds subspaces in index order; ties break to the lowest
+    * centroid / neighbor id. Output: (q_id, n_id, adc_dist, rank).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numSub: Int = 4,
+      codebookK: Int = 4,
+      iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    val e = corpus
+      .select(col("id").as("n_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-subspace codebooks (numSub × codebookK × subDim doubles held
+    // on the driver — the MLlib model-state pattern, like kmeansLloyd)
+    val books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until numSub).map { s =>
+      val sub = e.select(col("n_id").as("vec_id"),
+        slice(col("emb"), s * subDim + 1, subDim).as("emb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = graft.operators.Clustering.lloydCents(sub, codebookK, iters)
+      sub.unpersist()
+      cents
+    }
+    // encode: numSub argmin-code columns in one scan-stage projection
+    def codeExpr(s: Int): org.apache.spark.sql.Column = {
+      val sub = slice(col("emb"), s * subDim + 1, subDim)
+      val ds = books(s).map { c =>
+        aggregate(
+          zip_with(sub, typedLit(c), (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (a, x) => a + x)
+      }
+      val best = least(ds: _*)
+      ds.indices.foldRight(lit(-1)) { (i, els) =>
+        when(ds(i) === best, lit(i)).otherwise(els)
+      }
+    }
+    val coded = e.select(
+      col("n_id") +: (0 until numSub).map(s => codeExpr(s).as(s"code$s")): _*)
+    // driver-side ADC distance tables: dt(q)(s)(c) = ||q_s - cent_sc||²
+    val qRows = queries
+      .select(col("id"), transform(col("embedding"), x => x.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val perQuery = qRows.map { case (qid, qemb) =>
+      val adc = (0 until numSub).map { s =>
+        val qSub = qemb.slice(s * subDim, (s + 1) * subDim)
+        val dt: Seq[Double] = books(s).map { c =>
+          qSub.zip(c).foldLeft(0.0) { case (a, (x, cv)) =>
+            a + (x - cv) * (x - cv)
+          }
+        }
+        element_at(typedLit(dt), col(s"code$s") + 1)
+      }.reduce(_ + _) // subspace-index order: ((d0 + d1) + d2) + d3
+      struct(lit(qid).as("q_id"), adc.as("adc_dist"))
+    }
+    val scored = coded
+      .select(col("n_id"), explode(array(perQuery: _*)).as("qa"))
+      .select(col("qa.q_id").as("q_id"), col("n_id"), col("qa.adc_dist"))
+      .filter(col("q_id") =!= col("n_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(asc("adc_dist"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Cosine near-duplicate pairs above a threshold for a (small) query
     * set — the "embedding-cosine near-dup" face of dedup. Exact
     * (brute-force per query); at corpus×corpus scale route candidate

@@ -291,6 +291,65 @@ object NorthStar2 extends QueryGroup {
             JOIN tot tb ON source_b = tb.source
             ORDER BY source_a, source_b"""))
 
+  /** DuckDB replay of [[graft.operators.Similarity.pqTopK]]: one
+    * unrolled k-means chain per subspace (NorthStar.kmeansCteList over
+    * `list_slice` subvectors — identical init/tie/mean arithmetic to
+    * the n30 oracle), then ADC = per-subspace query→centroid distances
+    * joined through the corpus codes and added in subspace order
+    * (matching the engine's left-to-right lookup sum).
+    */
+  private val pqAnn = {
+    val (m, subDim, k, iters, topK) = (4, 16, 4, 2, 5)
+    val chains = (0 until m).map { s =>
+      NorthStar.kmeansCteList(k, iters,
+        s"""list_transform(list_slice(embedding, ${s * subDim + 1},
+              ${(s + 1) * subDim}), x -> CAST(x AS DOUBLE))""",
+        s"_s$s")
+    }.mkString(",\n")
+    val last = s"c${iters - 1}" // codebook the final assignment round used
+    val qds = (0 until m).map { s =>
+      s"""qd$s AS (
+            SELECT e.vec_id AS q_id, c.cid,
+              list_reduce(list_transform(range(len(e.emb)),
+                i -> (e.emb[i+1] - c.cent[i+1]) *
+                     (e.emb[i+1] - c.cent[i+1])),
+                (a, b) -> a + b) AS d
+            FROM e_s$s e CROSS JOIN ${last}_s$s c
+            WHERE e.vec_id < 10)"""
+    }.mkString(",\n")
+    Q(
+      "n46_pq_ann",
+      "product-quantization ANN: 4x16-dim sub-codebooks, ADC top-5",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding"))
+        graft.operators.Similarity
+          .pqTopK(emb.filter(col("id") < 10), emb, topK)
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $chains,
+            $qds,
+            scored AS (
+              SELECT d0.q_id, n0.vec_id AS n_id,
+                (((d0.d + d1.d) + d2.d) + d3.d) AS adc_dist
+              FROM a${iters}_s0 n0
+              JOIN a${iters}_s1 n1 ON n1.vec_id = n0.vec_id
+              JOIN a${iters}_s2 n2 ON n2.vec_id = n0.vec_id
+              JOIN a${iters}_s3 n3 ON n3.vec_id = n0.vec_id
+              JOIN qd0 d0 ON d0.cid = n0.cid
+              JOIN qd1 d1 ON d1.q_id = d0.q_id AND d1.cid = n1.cid
+              JOIN qd2 d2 ON d2.q_id = d0.q_id AND d2.cid = n2.cid
+              JOIN qd3 d3 ON d3.q_id = d0.q_id AND d3.cid = n3.cid
+              WHERE n0.vec_id <> d0.q_id),
+            ranked AS (
+              SELECT q_id, n_id, adc_dist,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY adc_dist, n_id) AS rank
+              FROM scored)
+            SELECT q_id, n_id, adc_dist, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= $topK ORDER BY q_id, rank"""))
+  }
+
   val all: Seq[Q] = Seq(byteDiversity, bigramFluency, bloomDecontamination,
-    datasetCard, pagerank, spanRemoval, sourceOverlap)
+    datasetCard, pagerank, spanRemoval, sourceOverlap, pqAnn)
 }

@@ -135,6 +135,48 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("PQ-ADC degenerates to exact squared L2 when the codebook is the corpus") {
+    // numSub=1, codebookK=N, iters=1: the codebook is the corpus itself,
+    // every vector encodes to itself (self-distance 0), and the ADC
+    // lookup IS ||q - x||^2 — so PQ top-k must equal the exact answer.
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rng.nextGaussian().toFloat))).toList
+    val df = vecs.toDF("id", "embedding")
+    val got = Similarity.pqTopK(df.filter(col("id") < 3), df, 4,
+        numSub = 1, codebookK = 30, iters = 1, dim = 8)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)]
+      .collect().toList.sortBy(t => (t._1, t._2)).map(t => (t._1, t._3))
+    def l2sq(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val want = (0L until 3L).flatMap { q =>
+      val qv = vecs(q.toInt)._2
+      vecs.filter(_._1 != q)
+        .map { case (i, v) => (i, l2sq(qv, v)) }
+        .sortBy { case (i, d) => (d, i) }.take(4).map(p => (q, p._1))
+    }.toList
+    assert(got == want)
+  }
+
+  test("PQ-ADC output shape: k rows per query, ranks dense, no self-pairs") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val pq = Similarity.pqTopK(emb.filter(col("id") < 5), emb, 3)
+      .select("q_id", "n_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toList
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._4).sorted == (1 to 3).toList, "ranks must be dense 1..k")
+      val sorted = rows.sortBy(_._4)
+      assert(sorted == sorted.sortBy(r => (r._3, r._2)),
+        "rank order must follow (adc_dist, n_id)")
+      assert(rows.forall(r => r._2 != r._1), "no self-pairs")
+    }
+  }
+
   test("multimodal feature extraction matches the stub decoder") {
     val recs = List(
       Multimodal.MediaRecord(1L, "image", "abcdef".getBytes),
