@@ -269,6 +269,38 @@ object Relational3 extends QueryGroup {
                      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
             ORDER BY n.n_name, c.c_acctbal DESC, c.c_name"""))
 
+  /** Spark 4 VariantType: `parse_json` decodes the JSON string ONCE
+    * into the shredded binary variant encoding; every downstream
+    * `variant_get` is a typed path lookup into that binary, not a
+    * re-parse of the string. At 100 TB that is the difference between
+    * one decode pass and one string parse per extraction per query —
+    * and variant columns persisted to parquet keep the binary form, so
+    * later queries skip even the initial parse. Output is plain typed
+    * columns, so the DuckDB oracle states the same relation with its
+    * own JSON extraction.
+    */
+  private val variantExtract = Q(
+    "q44_variant",
+    "parse_json -> VariantType -> typed variant_get extraction + aggregate",
+    (s, dir) => Tables(s, dir).events
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("k") % 2 === 0, col("k")).otherwise(lit(0))
+          .cast("long")).as("sum_even_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+              MIN(k) AS min_k, MAX(k) AS max_k,
+              CAST(SUM(CASE WHEN k % 2 = 0 THEN k ELSE 0 END) AS BIGINT)
+                AS sum_even_k
+            FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(rangeFrame, multiDistinct, correlatedSubquery,
-    fullOuter, recursiveCte, unpivot, lateralJoin)
+    fullOuter, recursiveCte, unpivot, lateralJoin, variantExtract)
 }
