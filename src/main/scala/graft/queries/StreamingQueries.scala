@@ -415,8 +415,42 @@ object StreamingQueries extends QueryGroup {
                (SELECT floor(epoch(MAX(ts))) FROM events)
              ORDER BY w_start"""))
 
+  /** The Spark 4 arbitrary-state API (`transformWithState`,
+    * successor to s09's `mapGroupsWithState`): running per-user
+    * (count, max) via an explicit named ValueState. The API requires
+    * the RocksDB state store provider — swapped in for this query the
+    * same way runToTable scopes its shuffle-partition override; the
+    * provider is itself the scale story (changelog-checkpointed state
+    * off the executor heap).
+    */
+  private val streamTws = Q(
+    "s13_stream_transform_with_state",
+    "transformWithState running per-user (count, max) == relational agg",
+    (s, dir) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = eventsStream(s, dir)
+          .select(col("user_id"), col("value")).as[(Long, Double)]
+        val stats = graft.streaming.StatefulOps.runningStats(ev)
+          .toDF("user_id", "n", "max_value")
+        runToTable(stats, "update").orderBy("user_id")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+    Some("""SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
-    streamChained, streamUnion, streamSliding)
+    streamChained, streamUnion, streamSliding, streamTws)
 }

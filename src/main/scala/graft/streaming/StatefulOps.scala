@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state beyond windows — the `mapGroupsWithState` face of
   * SURVEY §2.6's streaming row (CountWindows covers the
@@ -25,4 +26,43 @@ object StatefulOps {
           state.update(newMax)
           (key, newMax)
       }
+
+  /** Running per-key (count, max) through `transformWithState`
+    * (SPARK-40434, the Spark 4 successor to `mapGroupsWithState`):
+    * explicit named `ValueState` on the handle, composable with more
+    * state variables / timers / TTL, and backed by the RocksDB state
+    * store (the provider the API requires — changelog-checkpointed,
+    * state no longer bounded by executor heap). Count and max are
+    * order-insensitive, so the last emission per key equals the
+    * relational aggregate regardless of batch slicing (the s09
+    * argument).
+    */
+  private class RunningStatsProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("stats",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, mx) =
+        if (st.exists()) st.get() else (0L, Double.NegativeInfinity)
+      rows.foreach { r => n += 1; mx = math.max(mx, r._2) }
+      st.update((n, mx))
+      Iterator.single((key, n, mx))
+    }
+  }
+
+  /** (user, value) stream → (user, running n, running max) per batch. */
+  def runningStats(
+      ds: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] =
+    ds.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaDouble))
 }
