@@ -139,6 +139,71 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState composes MapState + ListState across batches") {
+    // the rest of the Spark 4 state-API surface beyond s13's ValueState:
+    // multiple named state variables of different shapes on one
+    // processor, persisted across micro-batches on the RocksDB store
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode,
+      StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    class CatStats
+        extends StatefulProcessor[Long, (Long, String), (Long, Long, Long)] {
+      @transient private var counts: MapState[String, Long] = _
+      @transient private var seen: ListState[String] = _
+      override def init(om: OutputMode, tm: TimeMode): Unit = {
+        counts = getHandle.getMapState[String, Long]("counts",
+          Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+        seen = getHandle.getListState[String]("seen",
+          Encoders.STRING, TTLConfig.NONE)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+          tv: TimerValues): Iterator[(Long, Long, Long)] = {
+        rows.foreach { case (_, cat) =>
+          val c = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+          counts.updateValue(cat, c + 1)
+          seen.appendValue(cat)
+        }
+        Iterator.single((key, counts.keys().size.toLong, seen.get().size.toLong))
+      }
+    }
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = input.toDS()
+        .groupByKey(_._1)(Encoders.scalaLong)
+        .transformWithState(new CatStats, TimeMode.None(),
+          OutputMode.Update())(
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+            Encoders.scalaLong))
+        .toDF("k", "n_cats", "n_rows")
+      val name = "graft_tws_test"
+      val q = out.writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData((1L, "a"), (1L, "a"), (2L, "b")); q.processAllAvailable()
+        input.addData((1L, "b"), (1L, "a")); q.processAllAvailable()
+        val byBatch = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        // batch 1: key1 saw {a}×2, key2 {b}×1; batch 2: key1 adds b,a
+        assert(byBatch.contains((1L, 1L, 2L)) && byBatch.contains((2L, 1L, 1L)),
+          s"first-batch state wrong: $byBatch")
+        assert(byBatch.contains((1L, 2L, 4L)),
+          s"second batch must see accumulated state: $byBatch")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("RocksDB state store: stateful agg across batches, same results") {
     // the production default for large state (HDFS-backed in-memory is
     // the dev default); the engine's stateful queries must run under it
