@@ -75,7 +75,11 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "value" (the headline total) goes LAST: log captures that keep only
+    // the final ~2k chars of output still contain it after the per-query
+    // map outgrows that window (which it did once the registry passed ~100
+    // queries).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }
