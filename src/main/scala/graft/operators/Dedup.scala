@@ -118,6 +118,33 @@ object Dedup {
     verifyJaccard(candidates, tok, threshold)
   }
 
+  /** Two-stage edit-distance near-dup: cheap set-similarity candidates,
+    * expensive character-level verify. Stage 1 is [[jaccardPairs]] at a
+    * loose `prefilter` threshold (exact, via the AllPairs prefix filter —
+    * still no corpus² anywhere); stage 2 joins the surviving pairs back
+    * to their texts (candidate side broadcasts; the corpus never
+    * shuffles) and scores `1 − levenshtein/max(len)`, keeping pairs at
+    * `minSim` or above. Levenshtein is O(|a|·|b|) per pair — exactly why
+    * it must never run on candidate sets bigger than a prefilter
+    * survivor list; at 100 TB the prefilter is what makes the verify
+    * affordable.
+    */
+  def editDistancePairs(
+      docs: DataFrame, n: Int, prefilter: Double, minSim: Double): DataFrame = {
+    val txt = docs.select(col("doc_id"), col("text"))
+    jaccardPairs(docs, n, prefilter)
+      .select(col("id_a"), col("id_b"))
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).as("max_len"))
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        (lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+          .as("edit_sim"))
+      .filter(col("edit_sim") >= minSim)
+  }
+
   /** MinHash + LSH near-duplicate pairs: per-row signature → band-bucket
     * explode → same-bucket candidate generation → exact-Jaccard
     * verification of candidates only. False positives are eliminated by

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, HeavyHitters}
+import org.apache.spark.sql.functions._
+
+/** Round-4 second-batch north-star operators: character-level near-dup
+  * verification and sketch-based exact heavy hitters — both two-stage
+  * "cheap candidates, exact verify" shapes (the only shape that survives
+  * 100 TB; see `docs/PLANS.md`).
+  */
+object NorthStar3 extends QueryGroup {
+
+  /** Stage-1 candidates are the exact-Jaccard ≥ 0.5 pairs (AllPairs
+    * prefix filter, same machinery as n02), stage 2 keeps pairs with
+    * edit similarity ≥ 0.95. The oracle restates both stages: candidate
+    * generation as the inverted-index join (identical pair set — any
+    * pair with Jaccard > 0 shares a shingle), then the same
+    * levenshtein score. Fixture margins: the nearest kept pair scores
+    * 0.970, the one dropped pair 0.937 — no boundary-equality FP risk,
+    * and the per-row division is IEEE-identical across engines.
+    */
+  private val editDistPairs = Q(
+    "n47_dedup_editdist",
+    "Jaccard-prefiltered pairs verified by levenshtein similarity >= 0.95",
+    (s, dir) => Dedup.editDistancePairs(Tables(s, dir).documents, 3, 0.5, 0.95)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            pair_inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok),
+            cand AS (
+              SELECT id_a, id_b FROM pair_inter
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+            scored AS (
+              SELECT id_a, id_b,
+                CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+                1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                  / greatest(length(da.text), length(db.text)) AS edit_sim
+              FROM cand
+              JOIN documents da ON id_a = da.doc_id
+              JOIN documents db ON id_b = db.doc_id)
+            SELECT id_a, id_b, edit_dist, edit_sim FROM scored
+            WHERE edit_sim >= 0.95 ORDER BY id_a, id_b"""))
+
+  /** Exact top-10 corpus tokens via a Misra-Gries candidate sweep + exact
+    * recount of candidates only (see [[graft.operators.HeavyHitters]]).
+    * The oracle is the plain exact top-10 — equality holds because the
+    * sketch's coverage bound guarantees the candidate set is a superset
+    * of the true top-10 (HeavyHittersSpec asserts the bound). The
+    * fixture has a tie at the boundary (two tokens at the 10th count);
+    * the (freq DESC, token ASC) tie-break pins both engines to the same
+    * winner.
+    */
+  private val heavyHitters = Q(
+    "n48_heavy_hitters",
+    "exact top-10 tokens, Misra-Gries candidates + exact recount",
+    (s, dir) => HeavyHitters.exactTopK(Tables(s, dir).documents, 64, 10),
+    Some("""SELECT token, freq FROM (
+              SELECT t AS token, COUNT(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              GROUP BY 1)
+            ORDER BY freq DESC, token LIMIT 10"""))
+
+  val all: Seq[Q] = Seq(editDistPairs, heavyHitters)
+}

@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** All declared queries, keyed by name. SparkEntry delegates here. */
 object Registry {
   def groups: Seq[QueryGroup] =
-    Seq(CoreOps, Relational, Relational2, Relational3, TimeWindows,
-      StreamingQueries, NorthStar, NorthStar2)
+    Seq(CoreOps, Relational, Relational2, Relational3, Relational4,
+      TimeWindows, StreamingQueries, NorthStar, NorthStar2, NorthStar3)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.all)

@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-4 third relational batch: ordered string aggregation (Spark 4
+  * `listagg ... WITHIN GROUP`), grouping-function disambiguation on
+  * rollups, array higher-order functions, and Spark 4's SQL pipe syntax
+  * — the remaining mainstream SQL surfaces the earlier batches didn't
+  * exercise.
+  */
+object Relational4 extends QueryGroup {
+  import Sql._
+
+  /** Ordered listagg: comma-joined nation names per region. The WITHIN
+    * GROUP order makes the string deterministic; the concatenated value
+    * grows with group size, so this only belongs on bounded groups —
+    * which is also why Spark plans it as a sort-based aggregate (the
+    * buffer is the collected group, not a scalar).
+    */
+  private val listAgg = Q(
+    "q45_listagg",
+    "listagg WITHIN GROUP: ordered nation list per region",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.createOrReplaceTempView("g_nation")
+      t.region.createOrReplaceTempView("g_region")
+      s.sql("""SELECT r.r_name,
+                 listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                   AS nations
+               FROM g_region r JOIN g_nation n
+                 ON n.n_regionkey = r.r_regionkey
+               GROUP BY r.r_name ORDER BY r.r_name""")
+    },
+    Some("""SELECT r_name,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM region r JOIN nation n ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  /** `grouping_id` over a rollup: the bitmask that tells subtotal rows
+    * apart from genuine NULL data — without it, rollup output is
+    * ambiguous the moment a grouping column is nullable. COALESCE'd
+    * labels keep the compare deterministic; gid is the machine-readable
+    * truth. Both engines put the first rollup column in the high bit.
+    */
+  private val groupingId = Q(
+    "q46_grouping_id",
+    "rollup with grouping_id disambiguating subtotal rows",
+    (s, dir) => Tables(s, dir).orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("sum_price"))
+      .orderBy("gid", "status", "priority"),
+    Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n, ${oSum("o_totalprice")} AS sum_price
+             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             ORDER BY gid, status, priority"""))
+
+  /** Array higher-order functions (transform / filter / aggregate /
+    * exists) over a per-order quantity array. The lambdas run inside
+    * whole-stage codegen — no UDF, no serialization boundary; at scale
+    * the array build is one hash aggregate and every HOF is a per-row
+    * loop over an in-memory array. sort_array pins the collect_list
+    * order (collection order is partition-dependent, the sorted array
+    * is not).
+    */
+  private val higherOrder = Q(
+    "q47_higher_order",
+    "array HOFs: per-order quantity array reduced four ways",
+    (s, dir) => Tables(s, dir).lineitem
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        aggregate(col("qs"), lit(0), (acc, x) => acc + x).as("qty_sum"),
+        size(filter(col("qs"), _ > 25)).as("n_big"),
+        exists(col("qs"), _ === 50).cast("int").as("has_max"))
+      .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey,
+              CAST(COUNT(*) AS INT) AS n_items,
+              CAST(SUM(CAST(l_quantity AS INT)) AS INT) AS qty_sum,
+              CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS INT)
+                AS n_big,
+              CAST(MAX(CASE WHEN l_quantity = 50 THEN 1 ELSE 0 END) AS INT)
+                AS has_max
+            FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** Spark 4 SQL pipe syntax: the same logical plan as a nested SELECT,
+    * authored as a linear dataflow. Pipe stages lower to ordinary
+    * Catalyst operators (WHERE → Filter, AGGREGATE → Aggregate), so the
+    * optimized plan — pushdown, partial aggregation, AQE — is identical
+    * to the classic form; the oracle states the classic form.
+    */
+  private val pipeSyntax = Q(
+    "q48_pipe_syntax",
+    "SQL pipe syntax: filter |> extend |> aggregate |> order",
+    (s, dir) => {
+      Tables(s, dir).lineitem.createOrReplaceTempView("g_lineitem")
+      s.sql("""FROM g_lineitem
+               |> WHERE l_shipdate >= DATE '1997-01-01'
+               |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+               |> AGGREGATE COUNT(*) AS n,
+                    CAST(SUM(CAST(disc_price AS DECIMAL(28,6))) AS DOUBLE)
+                      AS revenue
+                  GROUP BY l_returnflag
+               |> ORDER BY l_returnflag""")
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+               ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+             GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax)
+}

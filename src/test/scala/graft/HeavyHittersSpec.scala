@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{HeavyHitters, MisraGriesAgg}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Misra-Gries summary laws + the two-pass exact heavy-hitter operator. */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Drive the Aggregator's reduce/merge directly (no Spark) the way a
+    * partial+final aggregation would: split the stream into chunks,
+    * reduce each, merge the partials.
+    */
+  private def summarize(k: Int, stream: Seq[String], chunks: Int): Set[String] = {
+    val agg = new MisraGriesAgg(k)
+    val parts = stream.grouped(math.max(1, stream.size / chunks)).toSeq
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(parts.reduce(agg.merge)).toSet
+  }
+
+  test("MG coverage law: every item with freq > N/(k+1) survives any split") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 25) {
+      val vocabSize = 5 + rnd.nextInt(60)
+      val n = 200 + rnd.nextInt(2000)
+      // zipf-ish skew so some items genuinely cross the threshold
+      val stream = Seq.fill(n)(s"t${(math.pow(rnd.nextDouble(), 3) * vocabSize).toInt}")
+      val k = 2 + rnd.nextInt(12)
+      val freq = stream.groupBy(identity).view.mapValues(_.size)
+      val mustKeep = freq.filter(_._2 > n.toDouble / (k + 1)).keySet
+      val kept = summarize(k, stream, chunks = 1 + rnd.nextInt(8))
+      assert(mustKeep.subsetOf(kept),
+        s"trial $trial: lost ${mustKeep -- kept} (n=$n k=$k)")
+      assert(kept.size <= k, s"trial $trial: summary overflow ${kept.size} > $k")
+    }
+  }
+
+  test("exactTopK equals the brute-force top-k on the fixture corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = HeavyHitters.exactTopK(docs, summaryK = 64, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("n48 coverage premise: 10th exact count clears the sketch bound") {
+    // exactTopK is only exact when the candidate set covers the true
+    // top-k; that holds when freq(top-k'th) > N/(summaryK+1). Assert it
+    // on the fixture so a data regen that breaks the premise fails here,
+    // not in the driver's hash compare.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = docs.select(sum(size(split(col("text"), " ")))).head().getLong(0)
+    val tenth = HeavyHitters.exactTopK(docs, 64, 10)
+      .orderBy(asc("freq")).head().getLong(1)
+    assert(tenth > n.toDouble / 65,
+      s"10th count $tenth must exceed N/(k+1) = ${n / 65.0}")
+  }
+
+  test("editDistancePairs: identical pair scores 1.0, mutation scores < 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different words that never overlap anything")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.editDistancePairs(docs, 3, 0.3, 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getDouble(3)))).toMap
+    assert(out((1L, 2L)) == ((0, 1.0)))
+    assert(out((1L, 3L))._1 == 3) // "theta" -> "iota": 2 subs + 1 deletion
+    assert(out((1L, 3L))._2 < 1.0 && out((1L, 3L))._2 > 0.8)
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
