@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   * Queries are materialized through the `noop` sink so the full plan
@@ -11,15 +9,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // GraftSession.build = the engine's real configuration, including its
+    // optimizer rules (RewriteSizeOfSplit). A hand-rolled session here
+    // would benchmark a different engine than Verify checks.
+    val spark = GraftSession.build("graft-bench")
     // JVM/codegen warmup on the smallest SF so per-query times measure
     // the engine, not first-use JIT (one full pass, results discarded).
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -43,8 +36,13 @@ object Bench {
         // pressure lands on whichever query runs later (the r3 q01
         // outlier). Dropping caches between queries keeps each
         // measurement independent; the clear happens OUTSIDE the timed
-        // window because it is harness hygiene, not query work.
+        // window because it is harness hygiene, not query work. The
+        // explicit gc drains the garbage the previous query left behind
+        // (dropped cache blocks, broadcasts, codegen classes) so its
+        // collection cost is not billed to the NEXT query — standalone
+        // 0.9s queries were recording 7s purely from inherited heap debt.
         spark.catalog.clearCache()
+        System.gc()
         (name, t, None: Option[String])
       } catch {
         case e: Throwable =>
