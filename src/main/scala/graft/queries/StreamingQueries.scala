@@ -449,8 +449,60 @@ object StreamingQueries extends QueryGroup {
     Some("""SELECT user_id, COUNT(*) AS n, MAX(value) AS max_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Sessionization REBUILT from raw stateful primitives — ListState
+    * buffering + event-time TIMERS on `transformWithState` (see
+    * [[graft.streaming.StatefulOps.timerSessions]]) — instead of the
+    * built-in `session_window` that s07 uses. Same 30-minute gap, same
+    * watermark-closure rule, same oracle as s07: the point is that the
+    * timer API reproduces the engine's own session semantics exactly.
+    */
+  private val streamTimerSessions = Q(
+    "s14_stream_timer_sessions",
+    "timer-driven sessionization (transformWithState) == session_window",
+    (s, dir) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ev = eventsStream(s, dir)
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("value")).as[(Long, Long, Double)]
+        val sessions = graft.streaming.StatefulOps
+          .timerSessions(ev, 30L * 60 * 1000000)
+          .toDF("user_id", "session_start", "n", "sum_value")
+        runToTable(sessions, "append").orderBy("user_id", "session_start")
+      } finally {
+        prev match {
+          case Some(p) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    },
+    Some(s"""WITH flagged AS (
+               SELECT user_id, ts, event_id, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)
+                        >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+               FROM events),
+             sessions AS (
+               SELECT user_id, ts, value,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM flagged)
+             SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+               COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM sessions GROUP BY user_id, sid
+             HAVING MAX(ts) + INTERVAL 30 MINUTE <=
+               (SELECT MAX(ts) FROM events)
+             ORDER BY user_id, session_start"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
-    streamChained, streamUnion, streamSliding, streamTws)
+    streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions)
 }

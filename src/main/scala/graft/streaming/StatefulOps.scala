@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Custom keyed state beyond windows — the `mapGroupsWithState` face of
   * SURVEY §2.6's streaming row (CountWindows covers the
@@ -65,4 +66,103 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())(
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaDouble))
+
+  /** Inactivity sessionization built from the raw stateful primitives —
+    * `ListState` buffering + EVENT-TIME TIMERS — instead of
+    * `session_window` (which s07 uses): each user's events buffer in
+    * list state; every batch re-arms one timer at `last event + gap`;
+    * the timer fires once the watermark passes it, at which point the
+    * buffered run is split on `gap` boundaries and every session emits
+    * (all are closed: the split points by definition, the tail because
+    * the watermark passed `last + gap`). Users still active at the
+    * final watermark keep their buffer and emit nothing — exactly the
+    * ADR-0006 "no end-of-stream flush" rule, and exactly what
+    * `session_window` + append mode produces, which is why s14 shares
+    * s07's oracle.
+    *
+    * State per user is one buffered (quiet) session run + one timer —
+    * watermark-bounded, RocksDB-backed; the sum replays the engine's
+    * decimal-exact policy (Sql.dsum) so emission equals the relational
+    * aggregate bit-for-bit.
+    */
+  private class SessionTimerProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, (Long, Long, Double),
+        (Long, Long, Long, Double)] {
+    @transient private var buf: ListState[(Long, Double)] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Double)]("buf",
+        Encoders.product[(Long, Double)], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Split a time-sorted run on `gap` boundaries. */
+    private def splitRuns(events: Array[(Long, Double)])
+        : Seq[Seq[(Long, Double)]] = {
+      val runs = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(events.head))
+      events.tail.foreach { e =>
+        if (e._1 - runs.last.last._1 >= gapMicros)
+          runs += scala.collection.mutable.ArrayBuffer(e)
+        else runs.last += e
+      }
+      runs.map(_.toSeq).toSeq
+    }
+
+    private def emit(key: Long, ss: Seq[(Long, Double)])
+        : (Long, Long, Long, Double) = {
+      // Sql.dsum replay: per-value round to DECIMAL(28,6) (exact,
+      // order-insensitive), cast the exact sum back to double
+      val sum = ss.iterator.map(e => BigDecimal(e._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      (key, Math.floorDiv(ss.head._1, 1000000L), ss.size.toLong, sum)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+      val merged = (buf.get().map(e => (e._1, e._2)) ++
+        rows.map(r => (r._2, r._3))).toArray.sortBy(_._1)
+      val runs = splitRuns(merged)
+      // every non-tail run is already closed: the event that STARTS the
+      // next run has ts >= last + gap, and that event's own ts is <= the
+      // final watermark — so the split point proves closure. Emit now;
+      // only the tail's closure needs the watermark, i.e. the timer.
+      val tail = runs.last
+      buf.clear()
+      tail.foreach(e => buf.appendValue(e))
+      if (armed.exists()) getHandle.deleteTimer(
+        Math.floorDiv(armed.get(), 1000L))
+      val expiry = tail.last._1 + gapMicros
+      getHandle.registerTimer(Math.floorDiv(expiry, 1000L))
+      armed.update(expiry)
+      runs.init.iterator.map(emit(key, _))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Double)] = {
+      val events = buf.get().toArray.sortBy(_._1)
+      buf.clear(); armed.clear()
+      // the buffer is one gapless run by construction (every input batch
+      // re-splits); the fired timer is the watermark's proof it closed
+      if (events.isEmpty) Iterator.empty
+      else splitRuns(events).iterator.map(emit(key, _))
+    }
+  }
+
+  /** (user, event-time micros, value) stream → watermark-closed
+    * inactivity sessions (user, session_start_sec, n, sum_value).
+    */
+  def timerSessions(ds: Dataset[(Long, Long, Double)],
+      gapMicros: Long): Dataset[(Long, Long, Long, Double)] =
+    ds.groupByKey(_._1)(Encoders.scalaLong)
+      .transformWithState(new SessionTimerProcessor(gapMicros),
+        TimeMode.EventTime(), OutputMode.Append())(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaDouble))
 }
