@@ -204,6 +204,60 @@ class StreamingSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("timer sessions: cross-batch merge, split-emit, tail held open") {
+    // multi-batch semantics the s14 file replay (one batch) cannot see:
+    // a run merging across batches, an internal split emitting eagerly,
+    // a timer closing a quiet user, and an active tail never emitting
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // (user, ts-micros, value)
+    val prev = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val gap = 30L * 60 * 1000000 // 30 min in micros
+      def mins(m: Long): Long = m * 60 * 1000000
+      val ds2 = input.toDF().toDF("user_id", "tsu", "value")
+        .selectExpr("user_id", "timestamp_micros(tsu) AS ts", "tsu", "value")
+        .withWatermark("ts", "0 seconds")
+        .selectExpr("user_id", "tsu", "value")
+        .as[(Long, Long, Double)]
+      val sessions = graft.streaming.StatefulOps.timerSessions(ds2, gap)
+        .toDF("user_id", "session_start", "n", "sum_value")
+      val name = "graft_timer_sessions_test"
+      val q = sessions.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // batch 1: user 1 events at 0 and 10 min; user 2 at 0 min
+        input.addData((1L, mins(0), 1.0), (1L, mins(10), 2.0), (2L, mins(0), 5.0))
+        q.processAllAvailable() // watermark after batch: 10 min — nothing closes
+        // batch 2: user 1 at 20 min (merges into the run: gap 10 < 30),
+        // then at 120 min (split! first run emits eagerly);
+        // user 2 stays quiet -> watermark 120 min passes 0+30 -> timer fires
+        input.addData((1L, mins(20), 3.0), (1L, mins(120), 4.0))
+        q.processAllAvailable()
+        val rows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        // user 1 first session [0,10,20 min], n=3, sum=6; start=0 sec
+        assert(rows.contains((1L, 0L, 3L, 6.0)), s"missing split-emit: $rows")
+        // user 2 session closed by timer: [0 min], n=1, sum=5
+        assert(rows.contains((2L, 0L, 1L, 5.0)), s"missing timer close: $rows")
+        // user 1's tail (120 min) is open: must NOT emit
+        assert(!rows.exists(r => r._1 == 1L && r._2 == 7200L),
+          s"open tail leaked: $rows")
+        assert(rows.size == 2, s"exactly two sessions expected: $rows")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("RocksDB state store: stateful agg across batches, same results") {
     // the production default for large state (HDFS-backed in-memory is
     // the dev default); the engine's stateful queries must run under it
