@@ -23,8 +23,16 @@ object Bench {
     // A failing query records -1 (never a small positive time) and lands
     // in the errors map — failures must be visible in the JSON, not
     // silently folded into 'total'.
+    // clearCache only reaches CacheManager entries; localCheckpoint
+    // blocks (iterative operators) live at the RDD layer and must be
+    // reaped explicitly or they pin storage memory for the session
+    def dropAllBlocks(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // warm-up left caches behind: start the timed section clean
-    spark.catalog.clearCache()
+    dropAllBlocks()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -41,14 +49,14 @@ object Bench {
         // (dropped cache blocks, broadcasts, codegen classes) so its
         // collection cost is not billed to the NEXT query — standalone
         // 0.9s queries were recording 7s purely from inherited heap debt.
-        spark.catalog.clearCache()
+        dropAllBlocks()
         System.gc()
         (name, t, None: Option[String])
       } catch {
         case e: Throwable =>
           // best-effort: a clearCache failure after a query failure must
           // not abort the run and lose every recorded timing
-          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          try dropAllBlocks() catch { case _: Throwable => () }
           (name, -1.0, Some(s"${e.getClass.getSimpleName}: ${
             String.valueOf(e.getMessage).take(80)}"))
       }
