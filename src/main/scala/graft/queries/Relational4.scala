@@ -117,5 +117,76 @@ object Relational4 extends QueryGroup {
              FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
              GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax)
+  /** `try_divide` / `try_cast`: element-level failure becomes NULL
+    * instead of failing the query — the SQL face of the reference's
+    * ADR-0003 recover semantics (a throwing element converts to a
+    * recoverable value, the stream continues). The oracle states the
+    * same relation with NULLIF guards / TRY_CAST. Also exercises
+    * GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB shared syntax).
+    */
+  private val tryFunctions = Q(
+    "q49_try_functions",
+    "try_divide/try_cast: per-element failure -> NULL, aggregated",
+    (s, dir) => {
+      Tables(s, dir).events.createOrReplaceTempView("g_events")
+      s.sql("""WITH parsed AS (
+                 SELECT event_type, value,
+                   CAST(get_json_object(props, '$.k') AS INT) AS k
+                 FROM g_events)
+               SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(CASE WHEN try_divide(value, k - 50) IS NULL
+                     THEN 1 ELSE 0 END) AS n_div0,
+                 SUM(CASE WHEN try_cast(
+                       CASE WHEN k % 3 = 0 THEN event_type
+                            ELSE CAST(k AS STRING) END AS INT) IS NULL
+                     THEN 1 ELSE 0 END) AS n_badcast,
+                 CAST(SUM(CAST(try_divide(value, k - 50)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sum_ratio
+               FROM parsed GROUP BY ALL ORDER BY ALL""")
+    },
+    Some(s"""WITH parsed AS (
+               SELECT event_type, value,
+                 CAST(json_extract_string(props, '$$.k') AS INT) AS k
+               FROM events)
+             SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value / NULLIF(k - 50, 0) IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
+               CAST(SUM(CASE WHEN TRY_CAST(
+                     CASE WHEN k % 3 = 0 THEN event_type
+                          ELSE CAST(k AS VARCHAR) END AS INT) IS NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast,
+               ${oSum("value / NULLIF(k - 50, 0)")} AS sum_ratio
+             FROM parsed GROUP BY 1 ORDER BY 1"""))
+
+  /** SQL-standard aggregate FILTER clause — per-aggregate predicates in
+    * one pass over the fact table (the alternative is N scans or N
+    * CASE-wrapped columns; FILTER keeps the plan one partial+final hash
+    * aggregate with the predicates evaluated map-side).
+    */
+  private val filterClause = Q(
+    "q50_filter_clause",
+    "aggregate FILTER (WHERE ...) — conditional aggs in one pass",
+    (s, dir) => {
+      Tables(s, dir).orders.createOrReplaceTempView("g_orders")
+      s.sql("""SELECT o_orderpriority,
+                 COUNT(*) AS n,
+                 COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+                 COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                   FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sum_open
+               FROM g_orders
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                 FILTER (WHERE o_orderstatus = 'O') AS VARCHAR) AS DOUBLE)
+                 AS sum_open
+             FROM orders
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax,
+    tryFunctions, filterClause)
 }
