@@ -26,10 +26,12 @@ object Bench {
     // clearCache only reaches CacheManager entries; localCheckpoint
     // blocks (iterative operators) live at the RDD layer and must be
     // reaped explicitly or they pin storage memory for the session
+    // blocking: the subsequent System.gc() must see the blocks already
+    // dropped, or their removal work drifts into the next timed window
     def dropAllBlocks(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // warm-up left caches behind: start the timed section clean
     dropAllBlocks()

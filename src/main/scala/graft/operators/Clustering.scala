@@ -35,8 +35,7 @@ object Clustering {
     // loop would compute from identity labels, for one aggregate instead
     // of that round's two joins + count; saves a full iteration on every
     // graph
-    val sc = edges.sparkSession.sparkContext
-    var (labels, labelsIds) = Lineage.ckpt(bi.groupBy(col("u"))
+    var (labels, labelsGen) = Lineage.ckpt(bi.groupBy(col("u"))
       .agg(least(col("u"), min(col("v"))).as("lb"))
       .select(col("u").as("id"), col("lb")))
     var changed = 1L
@@ -44,7 +43,7 @@ object Clustering {
       // min label over the neighborhood…
       val nbrMin = bi.join(labels, bi("u") === labels("id"))
         .groupBy(bi("v").as("id")).agg(min(col("lb")).as("nlb"))
-      val (prop, propIds) = Lineage.ckpt(labels.as("l")
+      val (prop, propGen) = Lineage.ckpt(labels.as("l")
         .join(nbrMin.as("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").as("id"),
           least(col("l.lb"), coalesce(col("n.nlb"), col("l.lb"))).as("lb"),
@@ -53,15 +52,15 @@ object Clustering {
       // are always node ids, so the self-join is total. The previous
       // label rides along so convergence detection is a filter on this
       // same table instead of a third join back to `labels`.
-      val (jumped, jumpedIds) = Lineage.ckpt(
+      val (jumped, jumpedGen) = Lineage.ckpt(
         prop.as("c").join(prop.as("p"), col("c.lb") === col("p.id"))
           .select(col("c.id").as("id"), col("p.lb").as("lb"), col("c.old")))
       changed = jumped.filter(col("lb") =!= col("old")).count()
       // `jumped` is materialized with no lineage to the generation it
       // replaces — drop the superseded blocks now, not at session end
-      Lineage.release(sc, labelsIds ++ propIds)
+      Lineage.release(labelsGen, propGen)
       labels = jumped.select(col("id"), col("lb"))
-      labelsIds = jumpedIds
+      labelsGen = jumpedGen
     }
     bi.unpersist()
     labels.select(col("id"), col("lb").as("component"))
@@ -97,10 +96,9 @@ object Clustering {
     val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.count()
-    val sc = edges.sparkSession.sparkContext
     var pr = deg.select(col("id"), col("deg"),
       (lit(1.0) / n).as("pr"))
-    var prIds = Set.empty[Int]
+    var prGen: Option[org.apache.spark.rdd.RDD[_]] = None
     (1 to iters).foreach { i =>
       val contrib = bi
         .join(pr, bi("u") === pr("id"))
@@ -117,16 +115,16 @@ object Clustering {
       // worth skipping for short chains. Each new generation releases
       // the one it supersedes (Lineage policy).
       if (i % 4 == 0 && i < iters) {
-        val (ck, ids) = Lineage.ckpt(pr)
-        Lineage.release(sc, prIds)
-        pr = ck; prIds = ids
+        val (ck, gen) = Lineage.ckpt(pr)
+        Lineage.release(prGen)
+        pr = ck; prGen = gen
       }
     }
     // materialize the result so the edge/degree caches can be released
     // here instead of leaking for the session lifetime (CC policy)
     val out = pr.select(col("id"), col("deg"), col("pr").as("pagerank"))
       .localCheckpoint()
-    Lineage.release(sc, prIds)
+    Lineage.release(prGen)
     bi.unpersist()
     deg.unpersist()
     out

@@ -140,7 +140,10 @@ object Dedup {
         levenshtein(col("ta"), col("tb")).as("edit_dist"),
         greatest(length(col("ta")), length(col("tb"))).as("max_len"))
       .select(col("id_a"), col("id_b"), col("edit_dist"),
-        (lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+        // two empty texts: 0 edits over 0 chars is identity, not 0/0
+        when(col("max_len") === 0, lit(1.0))
+          .otherwise(lit(1.0) -
+            col("edit_dist").cast("double") / col("max_len"))
           .as("edit_sim"))
       .filter(col("edit_sim") >= minSim)
   }

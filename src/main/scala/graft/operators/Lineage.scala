@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Checkpoint lifecycle for iterative operators.
   *
@@ -10,25 +11,26 @@ import org.apache.spark.sql.DataFrame
   * round would otherwise pin a superseded node-table-sized copy in
   * executor storage for the session lifetime — at corpus scale the
   * superseded copies, not the live one, become the storage bill.
-  * [[ckpt]] tags which persisted RDDs a checkpoint created; [[release]]
-  * drops a superseded generation the moment its successor is
-  * materialized (a checkpointed successor has no lineage back to it, so
-  * the blocks can never be re-requested).
+  * [[ckpt]] returns the exact RDD a checkpoint persisted (the
+  * `LogicalRDD` the returned Dataset wraps — NOT a before/after diff of
+  * `sc.getPersistentRDDs`, which over-captures caches that happen to
+  * materialize inside the checkpoint job, e.g. the loop's own persisted
+  * edge table on round one); [[release]] drops a superseded generation
+  * the moment its successor is materialized (a checkpointed successor
+  * has no lineage back to it, so the blocks can never be re-requested).
   */
 object Lineage {
 
-  /** localCheckpoint + the ids of the persisted RDDs it created (the
-    * before/after diff is race-free inside a driver-side loop).
-    */
-  def ckpt(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+  /** localCheckpoint + the persisted RDD backing the result. */
+  def ckpt(df: DataFrame): (DataFrame, Option[RDD[_]]) = {
     val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    val rdd = out.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRDD => lr.rdd
+    }
+    (out, rdd)
   }
 
-  /** Drop the blocks of a superseded checkpoint generation. */
-  def release(sc: SparkContext, ids: Set[Int]): Unit =
-    ids.foreach(id => sc.getPersistentRDDs.get(id)
-      .foreach(_.unpersist(blocking = false)))
+  /** Drop the blocks of superseded checkpoint generations. */
+  def release(gens: Option[RDD[_]]*): Unit =
+    gens.flatten.foreach(_.unpersist(blocking = false))
 }

@@ -45,8 +45,11 @@ object NorthStar3 extends QueryGroup {
             scored AS (
               SELECT id_a, id_b,
                 CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
-                1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
-                  / greatest(length(da.text), length(db.text)) AS edit_sim
+                CASE WHEN greatest(length(da.text), length(db.text)) = 0
+                     THEN 1.0
+                     ELSE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                       / greatest(length(da.text), length(db.text)) END
+                  AS edit_sim
               FROM cand
               JOIN documents da ON id_a = da.doc_id
               JOIN documents db ON id_b = db.doc_id)

@@ -124,8 +124,15 @@ object StatefulOps {
         key: Long,
         rows: Iterator[(Long, Long, Double)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+      // replicate the engine's watermark drop rule (ts < watermark ⇒
+      // late, ADR-0007): transformWithState does not filter late rows
+      // for us the way windowed aggregation does, and an un-dropped
+      // late row would mint a session session_window never emits
+      val wmMicros = timerValues.getCurrentWatermarkInMs() * 1000L
+      val onTime = rows.filter(_._2 >= wmMicros)
       val merged = (buf.get().map(e => (e._1, e._2)) ++
-        rows.map(r => (r._2, r._3))).toArray.sortBy(_._1)
+        onTime.map(r => (r._2, r._3))).toArray.sortBy(_._1)
+      if (merged.isEmpty) return Iterator.empty
       val runs = splitRuns(merged)
       // every non-tail run is already closed: the event that STARTS the
       // next run has ts >= last + gap, and that event's own ts is <= the
@@ -134,11 +141,15 @@ object StatefulOps {
       val tail = runs.last
       buf.clear()
       tail.foreach(e => buf.appendValue(e))
-      if (armed.exists()) getHandle.deleteTimer(
-        Math.floorDiv(armed.get(), 1000L))
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      // session_window closes a session iff its end E (micros) ≤ the
+      // ms-floored watermark: register at ceil(E/1000) so the ms timer
+      // fires under exactly that rule (floor would fire one ms early
+      // for sub-ms E — the boundary the shared s07 oracle pins)
       val expiry = tail.last._1 + gapMicros
-      getHandle.registerTimer(Math.floorDiv(expiry, 1000L))
-      armed.update(expiry)
+      val expiryMs = Math.floorDiv(expiry + 999L, 1000L)
+      getHandle.registerTimer(expiryMs)
+      armed.update(expiryMs)
       runs.init.iterator.map(emit(key, _))
     }
 

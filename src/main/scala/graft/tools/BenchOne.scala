@@ -20,9 +20,13 @@ object BenchOne {
       val fn = Registry.queries(name)
       def once(): Double = {
         // COLD=1 reproduces the Bench main's measurement (cache cleared
-        // before each run, so persisted diamond intermediates recompute)
-        if (sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+        // before each run, so persisted diamond intermediates recompute;
+        // RDD-layer checkpoint blocks reaped too, same as Bench)
+        if (sys.env.get("SPARK_GRAFT_COLD").contains("1")) {
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+        }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -233,20 +233,32 @@ class StreamingSourcesSpec extends AnyFunSuite {
         q.processAllAvailable() // watermark after batch: 10 min — nothing closes
         // batch 2: user 1 at 20 min (merges into the run: gap 10 < 30),
         // then at 120 min (split! first run emits eagerly);
+        // user 3 at 90 min — its timer lands at 120 min, EXACTLY the
+        // final watermark (the closure boundary session_window treats
+        // as closed: end <= wm);
+        // user 2's late replay at 5 min (< wm 10) must be DROPPED, not
+        // minted into a session;
         // user 2 stays quiet -> watermark 120 min passes 0+30 -> timer fires
-        input.addData((1L, mins(20), 3.0), (1L, mins(120), 4.0))
+        input.addData((1L, mins(20), 3.0), (1L, mins(120), 4.0),
+          (3L, mins(90), 7.0), (2L, mins(5), 9.0))
         q.processAllAvailable()
         val rows = spark.table(name).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
           .toSet
         // user 1 first session [0,10,20 min], n=3, sum=6; start=0 sec
         assert(rows.contains((1L, 0L, 3L, 6.0)), s"missing split-emit: $rows")
-        // user 2 session closed by timer: [0 min], n=1, sum=5
+        // user 2 session closed by timer: [0 min], n=1, sum=5 — NOT 14
+        // (the late 5-min event must not join it) and no 5-min session
         assert(rows.contains((2L, 0L, 1L, 5.0)), s"missing timer close: $rows")
+        assert(!rows.exists(r => r._1 == 2L && r._2 == 300L),
+          s"late event minted a session: $rows")
+        // user 3: timer expiry == final watermark — closed (<= rule)
+        assert(rows.contains((3L, 5400L, 1L, 7.0)),
+          s"boundary timer (expiry == watermark) must close: $rows")
         // user 1's tail (120 min) is open: must NOT emit
         assert(!rows.exists(r => r._1 == 1L && r._2 == 7200L),
           s"open tail leaked: $rows")
-        assert(rows.size == 2, s"exactly two sessions expected: $rows")
+        assert(rows.size == 3, s"exactly three sessions expected: $rows")
       } finally q.stop()
     } finally {
       prev match {
