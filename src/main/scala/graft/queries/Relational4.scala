@@ -187,6 +187,47 @@ object Relational4 extends QueryGroup {
              FROM orders
              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Null semantics end-to-end: nulls minted by a full outer join, kept
+    * (no COALESCE — contrast with q40), compared with null-safe equality
+    * (`<=>` / IS NOT DISTINCT FROM), and counted with the
+    * count(*)-vs-count(col) distinction. These are the semantics that
+    * silently diverge between engines if anything in the stack treats
+    * NULL as a value — pinning them cross-engine is the point.
+    */
+  private val nullSemantics = Q(
+    "q51_null_semantics",
+    "outer-join nulls + null-safe equality + count(col) null-skipping",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      def perDay(t: String, as: String) = ev
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as(as))
+      val joined = perDay("view", "nv").join(
+          perDay("purchase", "np"), Seq("user_id", "day"), "full_outer")
+      joined.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          count(col("nv")).as("n_view_days"),     // count(col) skips nulls
+          count(col("np")).as("n_purchase_days"),
+          sum((col("nv") <=> col("np")).cast("long")).as("n_equal_days"))
+        .orderBy("user_id")
+    },
+    Some("""WITH v AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+                       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+                 p AS (SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+                       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+                 j AS (SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+                         v.n AS nv, p.n AS np
+                       FROM v FULL JOIN p
+                         ON v.user_id = p.user_id AND v.d = p.d)
+            SELECT user_id, COUNT(*) AS n_days,
+              COUNT(nv) AS n_view_days,
+              COUNT(np) AS n_purchase_days,
+              CAST(SUM(CASE WHEN nv IS NOT DISTINCT FROM np
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_equal_days
+            FROM j GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax,
-    tryFunctions, filterClause)
+    tryFunctions, filterClause, nullSemantics)
 }

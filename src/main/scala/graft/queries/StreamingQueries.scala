@@ -501,8 +501,83 @@ object StreamingQueries extends QueryGroup {
                (SELECT MAX(ts) FROM events)
              ORDER BY user_id, session_start"""))
 
+  /** Streaming vector search: the corpus STREAMS IN (continuous index
+    * ingestion) and is scored per micro-batch against the broadcast
+    * static query set — scan-stage [[graft.functions.VectorFunctions]]
+    * cosine, no stream state, no shuffle of the corpus. Each batch
+    * keeps only its PARTIAL top-k per query (window rank inside
+    * foreachBatch, where the batch is a plain DataFrame); the global
+    * top-k is then the top-k of the union of partials — the canonical
+    * distributed top-k merge, so the sink accumulates Q×k rows per
+    * batch, never the full Q×N score matrix. Oracle = the n05
+    * brute-force SQL (identical result by the merge property).
+    */
+  private val streamVectorSearch = Q(
+    "s15_stream_vector_search",
+    "streaming corpus ingestion scored against broadcast queries, top-5",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qs = Tables(s, dir).embeddings
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .filter(col("q_id") < 10)
+      val corpus = {
+        s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+          .option("pathGlobFilter", "embeddings.parquet")
+          .parquet(dir)
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      }
+      val partials = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      val q = corpus.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val top = batch.crossJoin(broadcast(qs))
+            .filter(col("q_id") =!= col("n_id"))
+            .select(col("q_id"), col("n_id"),
+              graft.functions.VectorFunctions
+                .cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select("q_id", "n_id", "cos_sim")
+          // Q×k rows per batch — the only driver-side materialization
+          partials ++= top.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      partials.toSeq.toDF("q_id", "n_id", "cos_sim")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q_id, e.vec_id AS n_id,
+                list_reduce(list_transform(list_zip(q_emb, e.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+                  (acc, x) -> acc + x)
+                / (sqrt(list_reduce(list_transform(q_emb,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (acc, x) -> acc + x))
+                 * sqrt(list_reduce(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (acc, x) -> acc + x))) AS cos_sim
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q_id),
+            ranked AS (
+              SELECT q_id, n_id, cos_sim,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
-    streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions)
+    streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
+    streamVectorSearch)
 }
