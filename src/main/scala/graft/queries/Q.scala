@@ -30,6 +30,16 @@ trait QueryGroup {
   * the final cast back to double is then deterministic. (A binary double
   * can never sit exactly on a 1e-7 rounding boundary, so the
   * double→decimal rounding is also engine-independent.)
+  *
+  * LIMIT: that last claim only holds when the per-row value has a SHORT
+  * exact decimal form (prices, quantities — ≤ 6 dp). A quotient like
+  * value/(k-50) is a full-precision binary double; Spark's double→
+  * decimal cast goes through the SHORTEST string representation
+  * (BigDecimal.valueOf) while DuckDB rounds the full binary expansion,
+  * and near a .5 ulp at the 6th decimal they round apart (observed: one
+  * row in 600k at sf0.1 — q49's original sum_ratio). Never dsum a
+  * division result; aggregate quotients with order-independent
+  * selections (min/max) or restructure to divide AFTER the exact sum.
   */
 object Sql {
   /** Order-insensitive exact sum of a double column, returned as double. */

@@ -141,8 +141,8 @@ object Relational4 extends QueryGroup {
                        CASE WHEN k % 3 = 0 THEN event_type
                             ELSE CAST(k AS STRING) END AS INT) IS NULL
                      THEN 1 ELSE 0 END) AS n_badcast,
-                 CAST(SUM(CAST(try_divide(value, k - 50)
-                   AS DECIMAL(28,6))) AS DOUBLE) AS sum_ratio
+                 MIN(try_divide(value, k - 50)) AS min_ratio,
+                 MAX(try_divide(value, k - 50)) AS max_ratio
                FROM parsed GROUP BY ALL ORDER BY ALL""")
     },
     Some(s"""WITH parsed AS (
@@ -156,7 +156,8 @@ object Relational4 extends QueryGroup {
                      CASE WHEN k % 3 = 0 THEN event_type
                           ELSE CAST(k AS VARCHAR) END AS INT) IS NULL
                  THEN 1 ELSE 0 END) AS BIGINT) AS n_badcast,
-               ${oSum("value / NULLIF(k - 50, 0)")} AS sum_ratio
+               MIN(value / NULLIF(k - 50, 0)) AS min_ratio,
+               MAX(value / NULLIF(k - 50, 0)) AS max_ratio
              FROM parsed GROUP BY 1 ORDER BY 1"""))
 
   /** SQL-standard aggregate FILTER clause — per-aggregate predicates in
@@ -228,6 +229,106 @@ object Relational4 extends QueryGroup {
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_equal_days
             FROM j GROUP BY user_id ORDER BY user_id"""))
 
+  /** TPC-H Q7 shape: bilateral trade volume between two nations by
+    * year — a 6-way snowflake with a DISJUNCTIVE cross-dimension
+    * predicate ((A,B) OR (B,A)) that cannot be pushed to either scan
+    * alone. The optimizer's job: broadcast all five dimension sides,
+    * scan the fact once, apply the nation-pair filter post-join.
+    */
+  private val nationVolume = Q(
+    "q52_nation_volume",
+    "TPC-H Q7 shape: NATION_0 <-> NATION_1 shipped volume by year",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+      val n1 = t.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
+          (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("l_year"))
+        .agg(count(lit(1)).as("n"), dsum(col("vol")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(o_orderdate) AS INT) AS l_year, COUNT(*) AS n,
+               ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+                OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q8 shape: one nation's market share inside a region for one
+    * part type — a 7-way join whose aggregate is a RATIO of two
+    * conditional sums. Share = Σ(vol | supplier ∈ nation) / Σ(vol),
+    * both sums decimal-exact, divided once per group (single-rounded
+    * double, engine-stable).
+    */
+  private val marketShare = Q(
+    "q53_market_share",
+    "TPC-H Q8 shape: NATION_1 share of PROMO-part volume in AMERICA",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("vol"))
+      val amNation = t.nation.join(broadcast(
+          t.region.filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNation = t.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      li.join(broadcast(t.part.filter(col("p_type") === "PROMO")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(amNation), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("l_year"))
+        .agg(
+          dsum(when(col("supp_nation") === "NATION_1", col("vol"))
+            .otherwise(lit(0.0))).as("nation_vol"),
+          dsum(col("vol")).as("total_vol"))
+        .select(col("l_year"),
+          (col("nation_vol") / col("total_vol")).as("mkt_share"),
+          col("total_vol"))
+        .orderBy("l_year")
+    },
+    Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS l_year,
+               ${oSum("CASE WHEN n1.n_name = 'NATION_1' " +
+                 "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} /
+               ${oSum("l_extendedprice * (1 - l_discount)")} AS mkt_share,
+               ${oSum("l_extendedprice * (1 - l_discount)")} AS total_vol
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             JOIN region ON n2.n_regionkey = r_regionkey
+               AND r_name = 'AMERICA'
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax,
-    tryFunctions, filterClause, nullSemantics)
+    tryFunctions, filterClause, nullSemantics, nationVolume, marketShare)
 }
