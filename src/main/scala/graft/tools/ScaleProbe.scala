@@ -1,0 +1,89 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{Dedup, HeavyHitters, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: run representative operators on 1×/4×/8× replicas of
+  * the sf tables and print the wall-time ratios. The point is evidence,
+  * not a benchmark: a scale-safe plan (hash aggs, equi-join candidate
+  * generation, broadcast dims) should grow near-linearly in input size;
+  * anything super-linear here would blow up long before 100 TB.
+  *
+  * Replication shifts ids per copy so dedup candidate structure scales
+  * realistically (each copy forms its own near-dup clusters instead of
+  * collapsing into one giant bucket).
+  *
+  * Run: sbt "runMain graft.tools.ScaleProbe [sfDir]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.build("graft-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, sfDir)
+
+    def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
+      val step = 10_000_000L
+      (0 until copies).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * step))).reduce(_ union _)
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    def probe(name: String, run: Int => Long): Unit = {
+      run(1) // warm
+      val results = Seq(1, 4, 8).map { c =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        val (sec, n) = time(run(c))
+        (c, sec, n)
+      }
+      val (_, t1, _) = results.head
+      val line = results.map { case (c, sec, n) =>
+        f"${c}x=${sec}%.2fs(rows=$n,ratio=${sec / t1}%.1f)"
+      }.mkString(" ")
+      println(f"$name%-22s $line")
+    }
+
+    probe("agg_pricing", c =>
+      replicate(t.lineitem, "l_orderkey", c)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), avg(col("l_extendedprice")),
+          count(lit(1))).count())
+
+    probe("join_broadcast", c =>
+      replicate(t.orders, "o_orderkey", c)
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1))).count())
+
+    probe("window_rank", c => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("o_totalprice"))
+      replicate(t.orders, "o_orderkey", c)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).count()
+    })
+
+    probe("minhash_lsh", c =>
+      Dedup.minHashPairs(replicate(t.documents, "doc_id", c), 3, 0.8).count())
+
+    probe("heavy_hitters", c =>
+      HeavyHitters.exactTopK(replicate(t.documents, "doc_id", c), 64, 10)
+        .count())
+
+    probe("brute_ann", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.bruteTopK(emb.filter(col("id") < 10), emb, 5).count()
+    })
+
+    spark.stop()
+  }
+}
