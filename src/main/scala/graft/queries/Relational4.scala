@@ -329,6 +329,33 @@ object Relational4 extends QueryGroup {
              JOIN nation n1 ON s_nationkey = n1.n_nationkey
              GROUP BY 1 ORDER BY 1"""))
 
+  /** MapType end-to-end: build a per-group map column with
+    * map_from_entries, transform it with map_filter (codegen'd lambda
+    * over the map), read it back with explode — the full life cycle of
+    * the one container type no other query touches. The map stays
+    * group-sized (days per event type), never row-scaled. The oracle
+    * states the same relation without maps (group + HAVING) — identical
+    * rows prove the map round-trip lost nothing.
+    */
+  private val mapType = Q(
+    "q54_map_type",
+    "map_from_entries -> map_filter -> explode round-trip per event type",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(date_format(col("day"), "yyyy-MM-dd").as("k"),
+          col("n").as("v"))))).as("by_day"))
+      .select(col("event_type"),
+        explode(map_filter(col("by_day"), (_, v) => v >= 20)).as(Seq("day", "n")))
+      .orderBy("event_type", "day"),
+    Some("""SELECT event_type, CAST(day AS VARCHAR) AS day, n
+            FROM (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                  FROM events GROUP BY 1, 2)
+            WHERE n >= 20 ORDER BY event_type, day"""))
+
   val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax,
-    tryFunctions, filterClause, nullSemantics, nationVolume, marketShare)
+    tryFunctions, filterClause, nullSemantics, nationVolume, marketShare,
+    mapType)
 }
