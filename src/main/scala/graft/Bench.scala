@@ -23,16 +23,7 @@ object Bench {
     // A failing query records -1 (never a small positive time) and lands
     // in the errors map — failures must be visible in the JSON, not
     // silently folded into 'total'.
-    // clearCache only reaches CacheManager entries; localCheckpoint
-    // blocks (iterative operators) live at the RDD layer and must be
-    // reaped explicitly or they pin storage memory for the session
-    // blocking: the subsequent System.gc() must see the blocks already
-    // dropped, or their removal work drifts into the next timed window
-    def dropAllBlocks(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
+    def dropAllBlocks(): Unit = GraftSession.dropAllBlocks(spark)
     // warm-up left caches behind: start the timed section clean
     dropAllBlocks()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

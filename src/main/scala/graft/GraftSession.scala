@@ -32,6 +32,20 @@ object GraftSession {
     spark
   }
 
+  /** Drop every materialized block the previous query left behind:
+    * catalog-cached relations AND RDD-layer blocks (localCheckpoint
+    * generations from iterative operators — clearCache cannot see
+    * those). Blocking, so a caller that follows with `System.gc()` sees
+    * the blocks already gone instead of billing their removal to the
+    * next timed query. Harness hygiene — shared by Bench, BenchOne,
+    * Verify and ScaleProbe so the reap is one definition, not four.
+    */
+  def dropAllBlocks(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   /** Engine optimizer rules for a live session (the
     * `spark.sql.extensions=graft.GraftExtensions` path installs the
     * same set at build time). Idempotent.

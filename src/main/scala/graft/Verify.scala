@@ -25,9 +25,7 @@ object Verify {
       // operators persist diamond intermediates and queries never
       // unpersist; drop them so 100+ queries don't stack stale blocks
       // (catalog cache AND RDD-layer localCheckpoint blocks)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      GraftSession.dropAllBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

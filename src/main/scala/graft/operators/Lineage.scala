@@ -27,6 +27,13 @@ object Lineage {
     val rdd = out.queryExecution.analyzed.collectFirst {
       case lr: LogicalRDD => lr.rdd
     }
+    // loud, not silent: if a Spark upgrade changes the checkpoint plan
+    // shape, release() becoming a no-op should be visible, or the
+    // superseded-generation leak this class exists to fix comes back
+    if (rdd.isEmpty)
+      System.err.println(
+        "[graft.Lineage] WARN: checkpoint plan is not a LogicalRDD; " +
+          "superseded-generation release is a no-op")
     (out, rdd)
   }
 

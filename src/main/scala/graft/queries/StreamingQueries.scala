@@ -518,26 +518,21 @@ object StreamingQueries extends QueryGroup {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val qs = Tables(s, dir).embeddings
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-        .filter(col("q_id") < 10)
+        .select(col("vec_id").as("id"), col("embedding"))
+        .filter(col("id") < 10)
       val corpus = {
         s.readStream
           .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
           .option("pathGlobFilter", "embeddings.parquet")
           .parquet(dir)
-          .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+          .select(col("vec_id").as("id"), col("embedding"))
       }
       val partials = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
       val q = corpus.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val top = batch.crossJoin(broadcast(qs))
-            .filter(col("q_id") =!= col("n_id"))
-            .select(col("q_id"), col("n_id"),
-              graft.functions.VectorFunctions
-                .cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 5)
+          // the per-batch scoring + partial top-k IS bruteTopK on the
+          // batch slice (same tie-break — the merge property needs it)
+          val top = graft.operators.Similarity.bruteTopK(qs, batch, 5)
             .select("q_id", "n_id", "cos_sim")
           // Q×k rows per batch — the only driver-side materialization
           partials ++= top.collect().map(r =>
@@ -548,6 +543,7 @@ object StreamingQueries extends QueryGroup {
         .start()
       q.awaitTermination()
       import s.implicits._
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
       partials.toSeq.toDF("q_id", "n_id", "cos_sim")
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= 5)

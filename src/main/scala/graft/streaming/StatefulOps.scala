@@ -124,12 +124,15 @@ object StatefulOps {
         key: Long,
         rows: Iterator[(Long, Long, Double)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
-      // replicate the engine's watermark drop rule (ts < watermark ⇒
-      // late, ADR-0007): transformWithState does not filter late rows
-      // for us the way windowed aggregation does, and an un-dropped
-      // late row would mint a session session_window never emits
+      // replicate session_window's drop rule: a row is late only when
+      // the session it would extend is already closed, i.e. its session
+      // END (ts + gap) has passed the watermark — windowed-aggregate
+      // late filtering keys on the window-struct end, not the raw ts,
+      // so a row less than `gap` late still merges. transformWithState
+      // does not filter late rows for us; an un-dropped too-late row
+      // would mint a session session_window never emits.
       val wmMicros = timerValues.getCurrentWatermarkInMs() * 1000L
-      val onTime = rows.filter(_._2 >= wmMicros)
+      val onTime = rows.filter(_._2 + gapMicros > wmMicros)
       val merged = (buf.get().map(e => (e._1, e._2)) ++
         onTime.map(r => (r._2, r._3))).toArray.sortBy(_._1)
       if (merged.isEmpty) return Iterator.empty

@@ -22,11 +22,8 @@ object BenchOne {
         // COLD=1 reproduces the Bench main's measurement (cache cleared
         // before each run, so persisted diamond intermediates recompute;
         // RDD-layer checkpoint blocks reaped too, same as Bench)
-        if (sys.env.get("SPARK_GRAFT_COLD").contains("1")) {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
-        }
+        if (sys.env.get("SPARK_GRAFT_COLD").contains("1"))
+          GraftSession.dropAllBlocks(spark)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

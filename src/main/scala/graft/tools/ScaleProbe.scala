@@ -39,9 +39,7 @@ object ScaleProbe {
     def probe(name: String, run: Int => Long): Unit = {
       run(1) // warm
       val results = Seq(1, 4, 8).map { c =>
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        GraftSession.dropAllBlocks(spark)
         val (sec, n) = time(run(c))
         (c, sec, n)
       }

@@ -228,37 +228,39 @@ class StreamingSourcesSpec extends AnyFunSuite {
       val q = sessions.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
       try {
-        // batch 1: user 1 events at 0 and 10 min; user 2 at 0 min
-        input.addData((1L, mins(0), 1.0), (1L, mins(10), 2.0), (2L, mins(0), 5.0))
-        q.processAllAvailable() // watermark after batch: 10 min — nothing closes
-        // batch 2: user 1 at 20 min (merges into the run: gap 10 < 30),
-        // then at 120 min (split! first run emits eagerly);
-        // user 3 at 90 min — its timer lands at 120 min, EXACTLY the
-        // final watermark (the closure boundary session_window treats
-        // as closed: end <= wm);
-        // user 2's late replay at 5 min (< wm 10) must be DROPPED, not
-        // minted into a session;
-        // user 2 stays quiet -> watermark 120 min passes 0+30 -> timer fires
-        input.addData((1L, mins(20), 3.0), (1L, mins(120), 4.0),
-          (3L, mins(90), 7.0), (2L, mins(5), 9.0))
+        // batch 1: u1 at 0 and 10 min; u2 and u5 at 0; u4 at 100 min
+        // (u4 pushes the watermark to 100 min after this batch)
+        input.addData((1L, mins(0), 1.0), (1L, mins(10), 2.0),
+          (2L, mins(0), 5.0), (5L, mins(0), 1.5), (4L, mins(100), 8.0))
+        q.processAllAvailable()
+        // batch 2 (watermark 100 min):
+        //  u1 at 20 min: session end 50 <= 100 -> TOO LATE, dropped
+        //    (session_window's rule keys on the session END, not ts)
+        //  u2 at 80 min: end 110 > 100 -> kept; gap 80 >= 30 splits ->
+        //    [0] emits eagerly, tail [80] re-arms at 110
+        //  u3 at 85 min: new user; timer lands at 115 = the final
+        //    watermark exactly (boundary: closed under the <= rule)
+        //  u4 at 85 min: end 115 > 100 -> kept, merges BACKWARD into
+        //    [100] (gap 15 < 30) -> tail [85,100], open forever
+        //  u5 at 80 and 115 min: the 115 event pushes the watermark to
+        //    115 AND proves the split of [80] -> both [0] and the
+        //    late-kept [80] emit eagerly; tail [115] stays open
+        input.addData((1L, mins(20), 3.0), (2L, mins(80), 6.0),
+          (3L, mins(85), 7.0), (4L, mins(85), 9.0),
+          (5L, mins(80), 2.5), (5L, mins(115), 3.5))
         q.processAllAvailable()
         val rows = spark.table(name).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
           .toSet
-        // user 1 first session [0,10,20 min], n=3, sum=6; start=0 sec
-        assert(rows.contains((1L, 0L, 3L, 6.0)), s"missing split-emit: $rows")
-        // user 2 session closed by timer: [0 min], n=1, sum=5 — NOT 14
-        // (the late 5-min event must not join it) and no 5-min session
-        assert(rows.contains((2L, 0L, 1L, 5.0)), s"missing timer close: $rows")
-        assert(!rows.exists(r => r._1 == 2L && r._2 == 300L),
-          s"late event minted a session: $rows")
-        // user 3: timer expiry == final watermark — closed (<= rule)
-        assert(rows.contains((3L, 5400L, 1L, 7.0)),
-          s"boundary timer (expiry == watermark) must close: $rows")
-        // user 1's tail (120 min) is open: must NOT emit
-        assert(!rows.exists(r => r._1 == 1L && r._2 == 7200L),
-          s"open tail leaked: $rows")
-        assert(rows.size == 3, s"exactly three sessions expected: $rows")
+        val expected = Set(
+          (1L, 0L, 2L, 3.0),    // timer close; late 20-min row NOT in it
+          (2L, 0L, 1L, 5.0),    // eager split-emit
+          (2L, 4800L, 1L, 6.0), // late-kept row's own session, timer 110 < 115
+          (3L, 5100L, 1L, 7.0), // boundary: timer 115 == final watermark
+          (5L, 0L, 1L, 1.5),    // eager split-emit
+          (5L, 4800L, 1L, 2.5)) // late-kept row emitted by a later split
+        assert(rows == expected,
+          s"got ${rows.toList.sorted}\nwant ${expected.toList.sorted}")
       } finally q.stop()
     } finally {
       prev match {
