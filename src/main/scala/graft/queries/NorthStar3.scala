@@ -75,5 +75,60 @@ object NorthStar3 extends QueryGroup {
               GROUP BY 1)
             ORDER BY freq DESC, token LIMIT 10"""))
 
-  val all: Seq[Q] = Seq(editDistPairs, heavyHitters)
+  /** Per-source token-length histogram — the profiling primitive every
+    * corpus report starts with. Fixed-width buckets (50 tokens, last
+    * bucket open-ended) keep the bucketing a pure per-row expression:
+    * one scan, one (source, bucket) hash aggregate, no two-pass
+    * min/max. Zero-count buckets are absent by construction (sparse
+    * histogram — the dense form is a join against a spine, q41's
+    * pattern).
+    */
+  private val tokenHistogram = Q(
+    "n49_token_histogram",
+    "per-source token-count histogram, 50-token buckets",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("source"),
+        least(floor(size(split(col("text"), " ")) / 50), lit(9))
+          .cast("int").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "bucket"),
+    Some("""SELECT source,
+              CAST(LEAST(CAST(floor(len(string_split(text, ' ')) / 50)
+                AS INT), 9) AS INT) AS bucket,
+              COUNT(*) AS n_docs
+            FROM documents GROUP BY 1, 2 ORDER BY source, bucket"""))
+
+  /** Blocklist / safety gating: flag documents whose token set hits an
+    * embedded blocklist, report per-source hit rates. The membership
+    * test is a per-row `arrays_overlap` against a literal array —
+    * scan-stage, codegen'd, no join (the blocklist is query constant; a
+    * large production list would broadcast instead). The rate is a
+    * single division of two exact counts — engine-stable.
+    */
+  private val blocklist = Seq("slow", "broken", "noisy")
+  private val blocklistGate = Q(
+    "n50_blocklist_filter",
+    "per-source blocklist hit rate (token-set overlap, scan-stage)",
+    (s, dir) => Tables(s, dir).documents
+      .select(col("source"),
+        arrays_overlap(split(col("text"), " "),
+          typedLit(blocklist)).cast("int").as("hit"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hit")).cast("long").as("n_blocked"))
+      .select(col("source"), col("n_docs"), col("n_blocked"),
+        (col("n_blocked").cast("double") / col("n_docs")).as("block_rate"))
+      .orderBy("source"),
+    Some(s"""SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN list_has_any(string_split(text, ' '),
+                 [${blocklist.map("'" + _ + "'").mkString(", ")}])
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+               CAST(SUM(CASE WHEN list_has_any(string_split(text, ' '),
+                 [${blocklist.map("'" + _ + "'").mkString(", ")}])
+                 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS block_rate
+             FROM documents GROUP BY source ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
+    blocklistGate)
 }
