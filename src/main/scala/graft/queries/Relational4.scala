@@ -355,7 +355,41 @@ object Relational4 extends QueryGroup {
                   FROM events GROUP BY 1, 2)
             WHERE n >= 20 ORDER BY event_type, day"""))
 
+  /** The analytic window functions q07–q09/q28/q29 don't touch:
+    * nth_value under the default running frame, lead with an explicit
+    * default, last_value over the full-partition frame. All pure
+    * per-row selections from the sorted run — one shuffle on the
+    * partition key, no aggregation, engine-exact doubles.
+    */
+  private val windowValueFns = Q(
+    "q55_window_value_fns",
+    "nth_value / lead-with-default / full-frame last_value per customer",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 3).over(w).as("third_price"),
+          lead(col("o_totalprice"), 2, -1.0).over(w).as("lead2"),
+          last(col("o_totalprice")).over(full).as("final_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+              nth_value(o_totalprice, 3) OVER w AS third_price,
+              lead(o_totalprice, 2, -1.0) OVER w AS lead2,
+              last_value(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS final_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[Q] = Seq(listAgg, groupingId, higherOrder, pipeSyntax,
     tryFunctions, filterClause, nullSemantics, nationVolume, marketShare,
-    mapType)
+    mapType, windowValueFns)
 }
