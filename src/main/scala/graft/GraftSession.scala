@@ -40,10 +40,10 @@ object GraftSession {
     * next timed query. Harness hygiene — shared by Bench, BenchOne,
     * Verify and ScaleProbe so the reap is one definition, not four.
     */
-  def dropAllBlocks(spark: SparkSession): Unit = {
+  def dropAllBlocks(spark: SparkSession, blocking: Boolean = true): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
+      .foreach(_.unpersist(blocking))
   }
 
   /** Engine optimizer rules for a live session (the

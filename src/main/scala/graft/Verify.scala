@@ -25,7 +25,9 @@ object Verify {
       // operators persist diamond intermediates and queries never
       // unpersist; drop them so 100+ queries don't stack stale blocks
       // (catalog cache AND RDD-layer localCheckpoint blocks)
-      GraftSession.dropAllBlocks(spark)
+      // non-blocking: Verify has no timed windows to protect, so there
+      // is no reason to wait on block removal between queries
+      GraftSession.dropAllBlocks(spark, blocking = false)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
