@@ -129,6 +129,58 @@ object NorthStar3 extends QueryGroup {
                  THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS block_rate
              FROM documents GROUP BY source ORDER BY source"""))
 
+  /** Snapshot diff: classify every document across two corpus versions
+    * as added / removed / changed / same by comparing content
+    * fingerprints through a FULL OUTER join on doc_id — the audit every
+    * incremental pipeline (n37's ingest path) publishes per release.
+    * Only (id, 16-byte fingerprint) pairs shuffle, never text; the
+    * classification is a per-row CASE over the join's null pattern.
+    * Both snapshots derive deterministically from the fixture so the
+    * oracle can restate them: old = doc_id % 7 != 0 (so % 7 == 0 rows
+    * are "added" in new), new = doc_id % 11 != 3 (those are "removed"),
+    * and % 5 == 0 rows gain an appended token in new ("changed" — the
+    * edit must survive fingerprint normalization, which lowercases).
+    */
+  private val snapshotDiff = Q(
+    "n51_snapshot_diff",
+    "added/removed/changed/same audit between two corpus snapshots",
+    (s, dir) => {
+      import graft.functions.TextFunctions.fingerprint
+      val docs = Tables(s, dir).documents
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), fingerprint(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+      oldSnap.as("o").join(newSnap.as("n"), Seq("doc_id"), "full_outer")
+        .select(
+          when(col("o.fp").isNull, "added")
+            .when(col("n.fp").isNull, "removed")
+            .when(col("o.fp") === col("n.fp"), "same")
+            .otherwise("changed").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("status")
+    },
+    Some("""WITH oldsnap AS (
+              SELECT doc_id,
+                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                  1, 16) AS fp
+              FROM documents WHERE doc_id % 7 <> 0),
+            newsnap AS (
+              SELECT doc_id,
+                substr(md5(trim(regexp_replace(lower(
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END),
+                  '\s+', ' ', 'g'))), 1, 16) AS fp
+              FROM documents WHERE doc_id % 11 <> 3)
+            SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                        WHEN n.fp IS NULL THEN 'removed'
+                        WHEN o.fp = n.fp THEN 'same'
+                        ELSE 'changed' END AS status,
+              COUNT(*) AS n_docs
+            FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id
+            GROUP BY 1 ORDER BY status"""))
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
-    blocklistGate)
+    blocklistGate, snapshotDiff)
 }

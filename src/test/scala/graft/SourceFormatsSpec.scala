@@ -42,4 +42,32 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThan(l_quantity,45.0)"), plan.take(2000))
   }
+
+  test("schema evolution: mergeSchema unions columns across parquet files") {
+    // a corpus that gains columns over time must stay readable as ONE
+    // table: old files surface the new columns as nulls, nothing is
+    // rewritten. This is the parquet schema-evolution contract an
+    // append-only 100 TB corpus depends on.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-evolve").toFile.getAbsolutePath
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "gamma", "en", 0.9)).toDF("id", "text", "lang", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toList == List("id", "lang", "quality", "text"))
+    val rows = merged.orderBy("id")
+      .select("id", "text", "lang", "quality").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3),
+      "pre-evolution rows expose new columns as null")
+    assert(rows(2).getString(2) == "en" && rows(2).getDouble(3) == 0.9)
+    // and the evolved column still prunes/pushes down:
+    val plan = merged.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      plan.take(1500))
+  }
 }
