@@ -24,6 +24,24 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("BroadcastNestedLoopJoin only where a tiny side makes it intended") {
+    // BNLJ is the right plan for a deliberately tiny non-equi side
+    // (brute-force scoring sets, scalar-subquery comparisons); anywhere
+    // else it means a join silently lost its equi-keys. Whitelist the
+    // intended users so a new one fails review here, not at 100 TB.
+    // exactly the brute-force / broadcast-corpus-count crossJoins; every
+    // other join in the registry keeps equi-keys
+    val allowed = Set(
+      "n05_cosine_topk", "n12_ivf_ann", "n13_cosine_dup_pairs",
+      "n20_tfidf_top_terms", "n40_bigram_fluency")
+    val actual = Registry.all.filterNot(_.name.matches("s\\d.*"))
+      .filter(q => q.run(spark, dir).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      .map(_.name).toSet
+    assert(actual == allowed,
+      s"BNLJ whitelist drift: unexpected=${actual -- allowed}, stale=${allowed -- actual}")
+  }
+
   test("no partition-less window function in any registered query plan") {
     // Window.orderBy(...) without partitionBy funnels every row through
     // ONE task — fine at sf0.001, fatal at 100 TB. Global-order analytics
