@@ -95,7 +95,7 @@ object Similarity {
   private def bucketExpr(emb: org.apache.spark.sql.Column,
       planes: Array[Array[Double]]): org.apache.spark.sql.Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val plane = array(p.map(lit): _*)
+      val plane = array(p.toIndexedSeq.map(lit): _*)
       val dot = aggregate(
         zip_with(emb, plane, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
@@ -257,7 +257,7 @@ object Similarity {
       struct(lit(qid).as("q_id"), adc.as("adc_dist"))
     }
     val scored = coded
-      .select(col("n_id"), explode(array(perQuery: _*)).as("qa"))
+      .select(col("n_id"), explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
       .select(col("qa.q_id").as("q_id"), col("n_id"), col("qa.adc_dist"))
       .filter(col("q_id") =!= col("n_id"))
     val w = Window.partitionBy(col("q_id"))
