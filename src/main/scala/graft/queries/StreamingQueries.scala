@@ -571,9 +571,59 @@ object StreamingQueries extends QueryGroup {
             SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""))
 
+  /** Streaming corpus curation: the DOCUMENTS table streams in (the
+    * continuous-ingestion production shape for a training-data
+    * pipeline) and every document passes the n08/n15 quality gates plus
+    * streaming exact dedup (dropDuplicates on (source, fingerprint) —
+    * state is one 16-byte key per distinct document per source,
+    * watermark-free because the gate is exact identity; the per-source
+    * grain keeps the surviving row's source deterministic even when a
+    * fingerprint repeats across sources, where a global dedup would
+    * award the survivor by arrival order). Per-source pass/fail counts
+    * aggregate in complete mode. All gate logic is the same scan-stage
+    * column expressions the batch operators use — the pipeline ops
+    * compose with Structured Streaming unchanged.
+    */
+  private val streamCuration = Q(
+    "s16_stream_curation",
+    "streaming document curation: quality gate + exact dedup, per source",
+    (s, dir) => {
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val nChars = length(col("text")).cast("double")
+      val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+      val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
+      val ok = (size(split(col("text"), " ")) >= 5) &&
+        (punct / nChars < 0.2) && (digits / nChars < 0.3)
+      val gated = docs
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        .dropDuplicates("source", "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"),
+          count(when(ok, lit(1))).as("n_pass"))
+      runToTable(gated, "complete").orderBy("source")
+    },
+    Some("""WITH distinct_docs AS (
+              SELECT source, text,
+                row_number() OVER (PARTITION BY source,
+                  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                    1, 16) ORDER BY doc_id) AS rn
+              FROM documents)
+            SELECT source, COUNT(*) AS n_distinct,
+              COUNT(CASE WHEN len(string_split(text, ' ')) >= 5
+                AND (length(text) - length(regexp_replace(text,
+                      '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE) < 0.2
+                AND (length(text) - length(regexp_replace(text,
+                      '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) < 0.3
+                THEN 1 END) AS n_pass
+            FROM distinct_docs WHERE rn = 1
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
-    streamVectorSearch)
+    streamVectorSearch, streamCuration)
 }
