@@ -124,6 +124,20 @@ object TextFunctions {
 
   // --- Fingerprinting ----------------------------------------------------
 
+  /** The corpus quality gate shared by the batch curation operators
+    * (Curation / n08 / n15, minTokens = 5) and streaming curation (s16,
+    * minTokens = 25 on normalized text): enough tokens, bounded
+    * punctuation and digit ratios. One definition so a threshold
+    * retune cannot leave a caller checking stale values.
+    */
+  def qualityOk(text: Column, minTokens: Int): Column = {
+    val nChars = length(text).cast("double")
+    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    val digits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    (size(split(text, " ")) >= minTokens) &&
+      (punct / nChars < 0.2) && (digits / nChars < 0.3)
+  }
+
   /** Whitespace-normalized lowercase form used as the canonical text for
     * exact-dup keys and fingerprints.
     */

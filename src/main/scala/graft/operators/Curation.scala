@@ -18,13 +18,8 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Quality gate shared with TextAnalysis.qualityScore (n08). */
-  private def qualityOk: org.apache.spark.sql.Column = {
-    val nChars = length(col("text")).cast("double")
-    val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-    val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
-    (size(split(col("text"), " ")) >= 5) &&
-      (punct / nChars < 0.2) && (digits / nChars < 0.3)
-  }
+  private def qualityOk: org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.qualityOk(col("text"), minTokens = 5)
 
   /** Source-level reputation gating — the C4/RefinedWeb "domain filter"
     * with the `source` column playing the domain role: aggregate quality

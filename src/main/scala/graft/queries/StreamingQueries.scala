@@ -573,7 +573,12 @@ object StreamingQueries extends QueryGroup {
 
   /** Streaming corpus curation: the DOCUMENTS table streams in (the
     * continuous-ingestion production shape for a training-data
-    * pipeline) and every document passes the n08/n15 quality gates plus
+    * pipeline) and every document passes the shared quality gate
+    * (TextFunctions.qualityOk on NORMALIZED text, minTokens = 25 — a
+    * threshold the fixture genuinely splits on, ~16% fail; gating the
+    * normalized form also makes the outcome identical for every member
+    * of a fingerprint-duplicate group, so the result cannot depend on
+    * which duplicate survives) plus
     * streaming exact dedup (dropDuplicates on (source, fingerprint) —
     * state is one 16-byte key per distinct document per source,
     * watermark-free because the gate is exact identity; the per-source
@@ -592,11 +597,8 @@ object StreamingQueries extends QueryGroup {
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-      val nChars = length(col("text")).cast("double")
-      val punct = nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
-      val digits = nChars - length(regexp_replace(col("text"), "[0-9]", ""))
-      val ok = (size(split(col("text"), " ")) >= 5) &&
-        (punct / nChars < 0.2) && (digits / nChars < 0.3)
+      val ok = graft.functions.TextFunctions.qualityOk(
+        graft.functions.TextFunctions.normalized(col("text")), minTokens = 25)
       val gated = docs
         .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
         .dropDuplicates("source", "fp")
@@ -612,13 +614,15 @@ object StreamingQueries extends QueryGroup {
                     1, 16) ORDER BY doc_id) AS rn
               FROM documents)
             SELECT source, COUNT(*) AS n_distinct,
-              COUNT(CASE WHEN len(string_split(text, ' ')) >= 5
-                AND (length(text) - length(regexp_replace(text,
-                      '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE) < 0.2
-                AND (length(text) - length(regexp_replace(text,
-                      '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) < 0.3
+              COUNT(CASE WHEN len(string_split(nt, ' ')) >= 25
+                AND (length(nt) - length(regexp_replace(nt,
+                      '[^a-zA-Z0-9 ]', '', 'g'))) / CAST(length(nt) AS DOUBLE) < 0.2
+                AND (length(nt) - length(regexp_replace(nt,
+                      '[0-9]', '', 'g'))) / CAST(length(nt) AS DOUBLE) < 0.3
                 THEN 1 END) AS n_pass
-            FROM distinct_docs WHERE rn = 1
+            FROM (SELECT source,
+                    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+                  FROM distinct_docs WHERE rn = 1)
             GROUP BY source ORDER BY source"""))
 
   val all: Seq[Q] = Seq(

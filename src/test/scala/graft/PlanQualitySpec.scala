@@ -13,31 +13,42 @@ class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** One planning pass over the batch registry, shared by the three
+    * whole-registry property tests — some queries run real driver jobs
+    * while building their plan (codebook collects, iterative loops), so
+    * plan once, assert many.
+    */
+  private lazy val batchPlans: Seq[(String, String, Int)] =
+    Registry.all.filterNot(_.name.matches("s\\d.*")).map { q =>
+      val qe = q.run(spark, dir).queryExecution
+      val partitionlessWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      (q.name, qe.executedPlan.toString, partitionlessWindows)
+    }
+
   test("no unintended cartesian product in any registered query plan") {
     // crossJoin(broadcast(...)) plans as BroadcastNestedLoopJoin — the
     // intended shape for tiny query sets; a bare CartesianProduct means
     // a join lost its keys.
-    Registry.all.filterNot(_.name.matches("s\\d.*")).foreach { q =>
-      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+    batchPlans.foreach { case (name, plan, _) =>
       assert(!plan.contains("CartesianProduct"),
-        s"${q.name} plans a cartesian product:\n${plan.take(1200)}")
+        s"$name plans a cartesian product:\n${plan.take(1200)}")
     }
   }
 
   test("BroadcastNestedLoopJoin only where a tiny side makes it intended") {
     // BNLJ is the right plan for a deliberately tiny non-equi side
-    // (brute-force scoring sets, scalar-subquery comparisons); anywhere
-    // else it means a join silently lost its equi-keys. Whitelist the
-    // intended users so a new one fails review here, not at 100 TB.
-    // exactly the brute-force / broadcast-corpus-count crossJoins; every
-    // other join in the registry keeps equi-keys
+    // (brute-force scoring sets, broadcast corpus counts); anywhere
+    // else it means a join silently lost its equi-keys. The assertion
+    // is set EQUALITY, so both a new BNLJ and a stale whitelist entry
+    // fail review here, not at 100 TB.
     val allowed = Set(
       "n05_cosine_topk", "n12_ivf_ann", "n13_cosine_dup_pairs",
       "n20_tfidf_top_terms", "n40_bigram_fluency")
-    val actual = Registry.all.filterNot(_.name.matches("s\\d.*"))
-      .filter(q => q.run(spark, dir).queryExecution.executedPlan.toString
-        .contains("BroadcastNestedLoopJoin"))
-      .map(_.name).toSet
+    val actual = batchPlans
+      .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
       s"BNLJ whitelist drift: unexpected=${actual -- allowed}, stale=${allowed -- actual}")
   }
@@ -46,13 +57,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // Window.orderBy(...) without partitionBy funnels every row through
     // ONE task — fine at sf0.001, fatal at 100 TB. Global-order analytics
     // must go through GlobalOrder closed forms instead (see q28).
-    Registry.all.filterNot(_.name.matches("s\\d.*")).foreach { q =>
-      val offenders = q.run(spark, dir).queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window
-            if w.partitionSpec.isEmpty => w
-      }
-      assert(offenders.isEmpty,
-        s"${q.name} plans a partition-less Window:\n${offenders.mkString("\n")}")
+    batchPlans.foreach { case (name, _, offenders) =>
+      assert(offenders == 0,
+        s"$name plans $offenders partition-less Window(s)")
     }
   }
 
