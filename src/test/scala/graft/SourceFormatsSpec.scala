@@ -71,4 +71,18 @@ class SourceFormatsSpec extends AnyFunSuite {
     // every FileScan even when the list is empty
     assert(plan.contains("EqualTo(lang,en)"), plan.take(1500))
   }
+
+  test("s16 quality gate genuinely splits the fixture corpus") {
+    // guard against a silent data regen making the streaming-curation
+    // gate vacuous (pass == all): at minTokens = 25 some docs must fail
+    // and some must pass on every fixture
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ok = graft.functions.TextFunctions.qualityOk(
+      graft.functions.TextFunctions.normalized(col("text")), minTokens = 25)
+    val total = docs.count()
+    val pass = docs.filter(ok).count()
+    assert(pass > 0 && pass < total,
+      s"gate must split the corpus, got pass=$pass of $total")
+  }
 }
