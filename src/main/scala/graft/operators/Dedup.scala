@@ -132,9 +132,13 @@ object Dedup {
   def editDistancePairs(
       docs: DataFrame, n: Int, prefilter: Double, minSim: Double): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
-    jaccardPairs(docs, n, prefilter)
-      .select(col("id_a"), col("id_b"))
-      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+    // the broadcast hints make the stated contract mechanical, not
+    // AQE-dependent: with a shuffle join here the corpus text would be
+    // exchanged twice even though only the survivor list is small
+    broadcast(
+      broadcast(jaccardPairs(docs, n, prefilter)
+          .select(col("id_a"), col("id_b")))
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a"))
       .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb")).as("edit_dist"),

@@ -21,6 +21,15 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Lineage {
 
+  /** Count of ckpt calls that could NOT identify the persisted RDD.
+    * Spec-asserted (NorthStarSpec "Lineage.ckpt…"): on this Spark
+    * version it must stay zero, so a minor upgrade that changes the
+    * checkpoint plan shape fails CI instead of silently reintroducing
+    * the superseded-generation leak behind a stderr WARN that log
+    * captures may drop.
+    */
+  val noOpCkpts = new java.util.concurrent.atomic.AtomicLong()
+
   /** localCheckpoint + the persisted RDD backing the result. */
   def ckpt(df: DataFrame): (DataFrame, Option[RDD[_]]) = {
     val out = df.localCheckpoint()
@@ -30,10 +39,12 @@ object Lineage {
     // loud, not silent: if a Spark upgrade changes the checkpoint plan
     // shape, release() becoming a no-op should be visible, or the
     // superseded-generation leak this class exists to fix comes back
-    if (rdd.isEmpty)
+    if (rdd.isEmpty) {
+      noOpCkpts.incrementAndGet()
       System.err.println(
         "[graft.Lineage] WARN: checkpoint plan is not a LogicalRDD; " +
           "superseded-generation release is a no-op")
+    }
     (out, rdd)
   }
 

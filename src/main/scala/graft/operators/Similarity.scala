@@ -189,15 +189,19 @@ object Similarity {
     * (256 B) compresses to `numSub` byte codes, so a billion-vector
     * index fits executor memory. Encoding is scan-stage argmin over the
     * broadcast sub-codebooks (zero shuffle, the IVF-assign pattern);
-    * scoring is `numSub` array lookups + adds per (query, vector) with
-    * the Q×numSub×k distance table broadcast as literals — no
-    * per-pair dimension loop at all, which is the ADC trick. Top-k is
-    * the same per-query window as the other ANN tiers.
+    * scoring is `numSub` broadcast equi-joins on the code columns
+    * against per-subspace (q_id, code, dist) ADC tables — Q×codebookK
+    * rows each, computed by one scan over the query SIDE of the plan
+    * (never `.collect()`ed to the driver, so a 10⁴+-query workload
+    * stays distributed) — no per-pair dimension loop at all, which is
+    * the ADC trick. Top-k is the same per-query window as the other
+    * ANN tiers.
     *
-    * Determinism: distance tables fold dims left-to-right in Scala
-    * exactly as the engines fold them (IEEE single-rounding); the ADC
-    * sum adds subspaces in index order; ties break to the lowest
-    * centroid / neighbor id. Output: (q_id, n_id, adc_dist, rank).
+    * Determinism: distance tables fold dims left-to-right
+    * (strict `aggregate` over `zip_with` — IEEE single-rounding,
+    * matching the oracle's `list_reduce`); the ADC sum adds subspaces
+    * in index order; ties break to the lowest centroid / neighbor id.
+    * Output: (q_id, n_id, adc_dist, rank).
     */
   def pqTopK(
       queries: DataFrame,
@@ -238,27 +242,38 @@ object Similarity {
     }
     val coded = e.select(
       col("n_id") +: (0 until numSub).map(s => codeExpr(s).as(s"code$s")): _*)
-    // driver-side ADC distance tables: dt(q)(s)(c) = ||q_s - cent_sc||²
-    val qRows = queries
-      .select(col("id"), transform(col("embedding"), x => x.cast("double")))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val perQuery = qRows.map { case (qid, qemb) =>
-      val adc = (0 until numSub).map { s =>
-        val qSub = qemb.slice(s * subDim, (s + 1) * subDim)
-        val dt: Seq[Double] = books(s).map { c =>
-          qSub.zip(c).foldLeft(0.0) { case (a, (x, cv)) =>
-            a + (x - cv) * (x - cv)
-          }
-        }
-        element_at(typedLit(dt), col(s"code$s") + 1)
-      }.reduce(_ + _) // subspace-index order: ((d0 + d1) + d2) + d3
-      struct(lit(qid).as("q_id"), adc.as("adc_dist"))
+    // per-subspace ADC tables dt_s: (q_id, code, ||q_s - cent_sc||²) —
+    // Q × codebookK rows, derived from the query DataFrame in the plan
+    // (the codebook is the only driver-held state). Joining dt_0 on
+    // code0 alone fans each corpus row out to every query (the Q×N ADC
+    // scoring grid) through a BroadcastHashJoin; dt_1..dt_{m-1} then
+    // attach per-(query, subspace) distances by (q_id, code_s).
+    val qEmb = queries.select(col("id").as("q_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    def distTable(s: Int): DataFrame = {
+      val qSub = slice(col("emb"), s * subDim + 1, subDim)
+      val entries = books(s).zipWithIndex.map { case (cent, i) =>
+        struct(lit(i).as("code"),
+          aggregate(
+            zip_with(qSub, typedLit(cent), (x, cv) => (x - cv) * (x - cv)),
+            lit(0.0), (a, x) => a + x).as("d"))
+      }
+      qEmb.select(col("q_id").as(s"q_id_$s"),
+          explode(array(entries.toIndexedSeq: _*)).as("e"))
+        .select(col(s"q_id_$s"), col("e.code").as(s"c_$s"),
+          col("e.d").as(s"d_$s"))
     }
-    val scored = coded
-      .select(col("n_id"), explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
-      .select(col("qa.q_id").as("q_id"), col("n_id"), col("qa.adc_dist"))
+    val joined = (1 until numSub).foldLeft(
+      coded.join(broadcast(distTable(0)), col("code0") === col("c_0"))) {
+      (acc, s) =>
+        acc.join(broadcast(distTable(s)),
+          col("q_id_0") === col(s"q_id_$s") && col(s"code$s") === col(s"c_$s"))
+    }
+    val scored = joined
+      .select(col("q_id_0").as("q_id"), col("n_id"),
+        // subspace-index order: ((d0 + d1) + d2) + d3
+        (1 until numSub).foldLeft(col("d_0"))((a, s) => a + col(s"d_$s"))
+          .as("adc_dist"))
       .filter(col("q_id") =!= col("n_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(asc("adc_dist"), asc("n_id"))

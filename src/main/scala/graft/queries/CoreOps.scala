@@ -265,6 +265,44 @@ object CoreOps extends QueryGroup {
     Some("""SELECT n_nationkey, lower(n_name) AS name_lower FROM nation
             ORDER BY n_nationkey"""))
 
+  /** `Stream.recoverWith` (Stream.scala:95-101): on the first failure
+    * switch to a fallback *stream* and halt the original — prefix before
+    * the failure ++ the fallback sequence (docs/examples.md:138-143).
+    * The ordered attempt stream comes from the real surface
+    * ([[graft.api.Flow.mapAttempt]] over the sorted source);
+    * [[graft.api.Attempt.recoverWithPrefix]] reconstructs the
+    * reference's halt-and-switch semantics from it (SURVEY §7.4.3), and
+    * the re-lifted result is hash-compared against the oracle's
+    * prefix-UNION-fallback form.
+    */
+  private val recoverWithFallback = Q(
+    "c14_recover_with",
+    "prefix before failure ++ fallback stream (reference Stream.recoverWith)",
+    (s, dir) => {
+      import s.implicits._
+      val src = Tables(s, dir).nation
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+        .as[(Int, String)]
+      val attempts = graft.api.Flow.fromDataset(src, "c14")
+        .mapAttempt { case (k, n) =>
+          if (k == 20) throw new IllegalStateException("boom at 20")
+          (k, n.toLowerCase)
+        }
+        .iterator().toSeq // source is sorted: the drain is in global order
+      val recovered = graft.api.Attempt.recoverWithPrefix(attempts) {
+        case ("java.lang.IllegalStateException", _) =>
+          Seq((900, "fallback_0"), (901, "fallback_1"), (902, "fallback_2"))
+      }
+      recovered.toDF("n_nationkey", "name_lower").orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, lower(n_name) AS name_lower FROM nation
+            WHERE n_nationkey < 20
+            UNION ALL
+            SELECT * FROM (VALUES (900, 'fallback_0'), (901, 'fallback_1'),
+              (902, 'fallback_2')) AS t(n_nationkey, name_lower)
+            ORDER BY n_nationkey"""))
+
   private[queries] object EnsuringProbe {
     val fired = new java.util.concurrent.atomic.AtomicLong()
   }
@@ -311,5 +349,6 @@ object CoreOps extends QueryGroup {
   val all: Seq[Q] = Seq(
     mapProject, filterPredicate, flatMapExplode, unionAppend, foldSum,
     countWindow, recoverCase, orderedTake, distinctRows,
-    parMapProject, iteratorDrain, managedSinkRoundtrip, ensuringFinalizer)
+    parMapProject, iteratorDrain, managedSinkRoundtrip, ensuringFinalizer,
+    recoverWithFallback)
 }

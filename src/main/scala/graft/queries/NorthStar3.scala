@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, HeavyHitters}
+import graft.operators.{Dedup, HeavyHitters, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-4 second-batch north-star operators: character-level near-dup
@@ -181,6 +181,81 @@ object NorthStar3 extends QueryGroup {
             FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id
             GROUP BY 1 ORDER BY status"""))
 
+  /** DuckDB cosine between two list columns — same strict left-to-right
+    * double accumulation as VectorFunctions.cosine (bit-identical).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform($a,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform($b,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))))"""
+
+  /** Multi-table LSH ANN (the OR-construction n06 ships but only
+    * exercises at numTables=1): two independent hyperplane sets (seeds
+    * 42, 43 — `lshTopK`'s `seed + t` rule), a candidate qualifies by
+    * matching EITHER table's bucket, so per-query recall can only rise
+    * vs the single table (candidate superset; ≥-recall pinned by
+    * SimilaritySpec). Plane constants are generated by the same seeded
+    * RNG at build time and embedded literally in the SQL, like n06.
+    */
+  private val annLshMultiTable = {
+    val planeRows = (0 until 2).map { t =>
+      Similarity.hyperplanes(8, 64, 42L + t).zipWithIndex.map {
+        case (p, j) =>
+          s"($j, [${p.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+      }.mkString(",\n")
+    }
+    def bucketsCte(name: String, planes: String): String =
+      s"""$name AS (
+            SELECT vec_id, SUM(CASE WHEN dot >= 0
+              THEN CAST(1 AS BIGINT) << plane_id ELSE 0 END) AS bucket
+            FROM (SELECT e.vec_id, p.plane_id,
+                    list_reduce(list_transform(list_zip(e.embedding, p.pv),
+                        x -> CAST(x[1] AS DOUBLE) * x[2]),
+                      (acc, x) -> acc + x) AS dot
+                  FROM embeddings e CROSS JOIN $planes p)
+            GROUP BY vec_id)"""
+    Q(
+      "n52_ann_lsh_multitable",
+      "two-table hyperplane-LSH ANN top-3 (OR-construction recall path)",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding"))
+        Similarity.lshTopK(emb.filter(col("id") < 10), emb, 3, numTables = 2)
+          .orderBy("q_id", "rank")
+          .select("q_id", "n_id", "cos_sim", "rank")
+      },
+      Some(s"""WITH planes0(plane_id, pv) AS (VALUES ${planeRows(0)}),
+            planes1(plane_id, pv) AS (VALUES ${planeRows(1)}),
+            ${bucketsCte("b0", "planes0")},
+            ${bucketsCte("b1", "planes1")},
+            q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+                    b0.bucket AS k0, b1.bucket AS k1
+                  FROM embeddings e
+                  JOIN b0 ON b0.vec_id = e.vec_id
+                  JOIN b1 ON b1.vec_id = e.vec_id
+                  WHERE e.vec_id < 10),
+            c AS (SELECT e.vec_id AS n_id, e.embedding AS n_emb,
+                    b0.bucket AS k0, b1.bucket AS k1
+                  FROM embeddings e
+                  JOIN b0 ON b0.vec_id = e.vec_id
+                  JOIN b1 ON b1.vec_id = e.vec_id),
+            scored AS (
+              SELECT q.q_id, c.n_id,
+                ${cosSql("q.q_emb", "c.n_emb")} AS cos_sim
+              FROM q JOIN c
+                ON (q.k0 = c.k0 OR q.k1 = c.k1) AND c.n_id <> q.q_id),
+            ranked AS (
+              SELECT q_id, n_id, cos_sim,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+  }
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
-    blocklistGate, snapshotDiff)
+    blocklistGate, snapshotDiff, annLshMultiTable)
 }

@@ -588,6 +588,16 @@ object StreamingQueries extends QueryGroup {
     * aggregate in complete mode. All gate logic is the same scan-stage
     * column expressions the batch operators use — the pipeline ops
     * compose with Structured Streaming unchanged.
+    *
+    * State-growth caveat (deliberate): BOTH stores here grow with the
+    * distinct-key count — the watermark-free dropDuplicates keeps one
+    * entry per distinct (source, fp) forever, and complete mode keeps
+    * every group. That is correct for this finite-replay oracle, where
+    * the gate must be exact identity over all time; a continuous
+    * deployment bounds the dedup state with
+    * `dropDuplicatesWithinWatermark` (the s03 shape — near-horizon
+    * re-ingestion then readmits a duplicate) and emits per-batch deltas
+    * in update mode instead of a complete-mode table.
     */
   private val streamCuration = Q(
     "s16_stream_curation",
@@ -625,9 +635,73 @@ object StreamingQueries extends QueryGroup {
                   FROM distinct_docs WHERE rn = 1)
             GROUP BY source ORDER BY source"""))
 
+  /** Exactly-once across restart, driver-oracled: the stream consumes
+    * only the first half of the input files, stops, and a NEW query
+    * restarts from the SAME checkpoint — with the phase-1 files DELETED
+    * from the source directory. The final complete-mode table equals the
+    * one-shot batch aggregate over ALL the data iff the aggregation
+    * state genuinely restored from the checkpoint (a query that ignored
+    * the checkpoint would see only the phase-2 files and come up short;
+    * one that re-read everything can't, because the phase-1 files are
+    * gone). Memory-sink recovery is legal exactly in complete mode,
+    * which is why the aggregate runs complete. The same contract at the
+    * spec level (replayed batches, offset log) is StreamingSourcesSpec;
+    * this entry puts it under the driver's hash gate.
+    */
+  private val streamCheckpointRecovery = Q(
+    "s17_stream_checkpoint_recovery",
+    "stop mid-stream, restart from checkpoint == one-shot batch aggregate",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s17_").toFile
+      base.deleteOnExit()
+      val stage = new java.io.File(base, "stage")
+      val in = new java.io.File(base, "in"); in.mkdirs()
+      val ckpt = new java.io.File(base, "ckpt")
+      // stage the events as 4 parquet part files; phase 1 exposes 2
+      Tables(s, dir).events.select(col("event_type"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val parts = stage.listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val (phase1, phase2) = parts.splitAt(2)
+      def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(in, f.getName).toPath)
+      }
+      def runPhase(): org.apache.spark.sql.DataFrame = {
+        val name = s"graft_stream_${counter.incrementAndGet()}"
+        val agg = s.readStream
+          .schema("event_type STRING, value DOUBLE")
+          .parquet(in.getAbsolutePath)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions",
+          math.min(8, prevShuffle.toInt).toString)
+        try {
+          val q = agg.writeStream.outputMode("complete")
+            .format("memory").queryName(name)
+            .option("checkpointLocation", ckpt.getAbsolutePath)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
+        s.table(name)
+      }
+      copyIn(phase1)
+      runPhase() // consumes phase-1 files, commits offsets + state, stops
+      phase1.foreach(f => new java.io.File(in, f.getName).delete())
+      copyIn(phase2)
+      runPhase().orderBy("event_type") // recovery: phase-2 files + restored state
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
+             FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
-    streamVectorSearch, streamCuration)
+    streamVectorSearch, streamCuration, streamCheckpointRecovery)
 }

@@ -25,7 +25,11 @@ object ScaleProbe {
     val t = Tables(spark, sfDir)
 
     def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
-      val step = 10_000_000L
+      // step derived from the data (one cheap agg), not a constant: at
+      // SFs where base ids exceed a fixed step, copies would alias into
+      // each other and the dedup/ANN probes would silently measure
+      // collapsed candidate structure
+      val step = df.agg(max(col(idCol).cast("long"))).head.getLong(0) + 1L
       (0 until copies).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * step))).reduce(_ union _)
     }

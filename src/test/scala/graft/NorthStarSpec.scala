@@ -121,6 +121,38 @@ class NorthStarSpec extends AnyFunSuite {
     assert(two.size >= one.size)
   }
 
+  test("two-table LSH top-3 recall vs brute >= single-table (n52 fixture)") {
+    // candidate growth is monotone (test above), and any pair that can
+    // displace a brute-top-3 member from a ranked top-3 is itself a
+    // brute-top-3 member — so recall must not drop when a table is added
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteTopK(q, emb, 3))
+    val r1 = (pairs(Similarity.lshTopK(q, emb, 3)) intersect brute).size
+    val r2 = (pairs(Similarity.lshTopK(q, emb, 3, numTables = 2))
+      intersect brute).size
+    assert(r2 >= r1,
+      s"adding an LSH table dropped top-3 recall: $r2 < $r1 of ${brute.size}")
+  }
+
+  test("Lineage.ckpt identifies the persisted RDD on this Spark version") {
+    // release() depends on pattern-matching the checkpoint plan's
+    // LogicalRDD; if a Spark upgrade changes that shape this must fail
+    // CI, not degrade to a silent superseded-generation leak (the
+    // stderr WARN alone can be dropped by harness log capture)
+    val before = graft.operators.Lineage.noOpCkpts.get()
+    val (out, gen) = graft.operators.Lineage.ckpt(
+      docsDF(1L -> "a", 2L -> "b").toDF("doc_id", "text"))
+    assert(gen.isDefined, "checkpoint plan no longer exposes a LogicalRDD")
+    assert(graft.operators.Lineage.noOpCkpts.get() == before)
+    assert(out.count() == 2)
+    graft.operators.Lineage.release(gen)
+  }
+
   test("IVF ANN scores equal exact scores; top-1 recall is sane") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")

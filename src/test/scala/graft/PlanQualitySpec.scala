@@ -53,6 +53,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"BNLJ whitelist drift: unexpected=${actual -- allowed}, stale=${allowed -- actual}")
   }
 
+  test("n46 PQ-ADC scores through broadcast dist-table joins, not query literals") {
+    // the round-4 form collect()ed the query set and embedded per-query
+    // ADC tables as plan literals — a capacity cliff at 10⁴+ queries.
+    // The scale-safe shape is (q_id, code, dist) broadcast tables joined
+    // on the code columns: the plan must show broadcast hash joins.
+    val plan = batchPlans.find(_._1 == "n46_pq_ann").get._2
+    assert(plan.contains("BroadcastHashJoin"),
+      s"n46 plan lost its broadcast dist-table joins:\n${plan.take(1200)}")
+  }
+
   test("no partition-less window function in any registered query plan") {
     // Window.orderBy(...) without partitionBy funnels every row through
     // ONE task — fine at sf0.001, fatal at 100 TB. Global-order analytics
