@@ -7,12 +7,12 @@ package graft
   * the very work being measured.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // GraftSession.build = the engine's real configuration, including its
-    // optimizer rules (RewriteSizeOfSplit). A hand-rolled session here
-    // would benchmark a different engine than Verify checks.
-    val spark = GraftSession.build("graft-bench")
+  /** Warmed, cache-isolated timing pass over every registered query:
+    * (name, seconds, error). Shared with [[graft.tools.BenchGuard]] so
+    * the regression gate times exactly what the driver times.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Seq[(String, Double, Option[String])] = {
     // JVM/codegen warmup on the smallest SF so per-query times measure
     // the engine, not first-use JIT (one full pass, results discarded).
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -26,7 +26,7 @@ object Bench {
     def dropAllBlocks(): Unit = GraftSession.dropAllBlocks(spark)
     // warm-up left caches behind: start the timed section clean
     dropAllBlocks()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -54,6 +54,15 @@ object Bench {
             String.valueOf(e.getMessage).take(80)}"))
       }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // GraftSession.build = the engine's real configuration, including its
+    // optimizer rules (RewriteSizeOfSplit). A hand-rolled session here
+    // would benchmark a different engine than Verify checks.
+    val spark = GraftSession.build("graft-bench")
+    val results = run(spark, sfDir)
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // full JSON string escape — AnalysisException messages are often
@@ -74,11 +83,18 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(m) + "\""
     }.mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
+    // environment fields make warm-vs-cold harness deltas explainable
+    // from the artifact alone (round 4 carried a README band 25% under
+    // the driver-observed total with nothing in either to reconcile them)
+    val rt = Runtime.getRuntime
+    val env = s""""cpus":${rt.availableProcessors()},""" +
+      s""""max_heap_gb":${fmt(rt.maxMemory() / 1e9)},""" +
+      s""""java":"${esc(System.getProperty("java.version"))}","""
     // "value" (the headline total) goes LAST: log captures that keep only
     // the final ~2k chars of output still contain it after the per-query
     // map outgrows that window (which it did once the registry passed ~100
     // queries).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errs,"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"queries":$qs,"errors":$errs,"value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,122 @@
+package graft.tools
+
+import graft.{Bench, GraftSession, SparkEntry}
+import java.nio.file.{Files, Paths}
+
+/** Per-query bench regression gate — the machine-checkable analog of the
+  * reference's perf runner (`PerformanceBaselineReport.scala:5-36`,
+  * `.github/workflows/ci.yml:36`): `bench_budget.json` commits a ceiling
+  * (seconds) for every registered query, and this main FAILS (exit 1)
+  * when any query exceeds its budget, errors, or drifts out of sync with
+  * the budget file. The r3 bench silently carried a 9.7s leaked-RDD q01
+  * for a full round because nothing diffed bench runs; this makes that
+  * class of regression a red build instead of a verdict finding.
+  *
+  * Budgets are ≈2× the slower of the round-4 driver artifact and the
+  * round-5 local runs, floored at 2.5s so sub-second queries don't flap
+  * on GC/JIT noise — generous enough to absorb harness variance
+  * (JVM-warm vs driver-cold runs differ ~10–25%), tight enough that a
+  * leaked-cache or lost-broadcast regression (historically 3–10×) trips.
+  *
+  * Run:
+  *   sbt "runMain graft.tools.BenchGuard"              # times SPARK_GRAFT_SF_DIR (default sf0.1)
+  *   sbt "runMain graft.tools.BenchGuard BENCH_r04.json"  # re-check an existing bench artifact
+  *
+  * Drift rules (set equality, like PlanQualitySpec's BNLJ whitelist):
+  * a registered query without a budget fails — new queries must commit a
+  * budget with the code; a budget without a registered query fails —
+  * stale ceilings don't linger. Replayed artifacts are checked on the
+  * intersection (an older artifact legitimately predates new queries)
+  * but still fail on over-budget, error, or unknown-name entries.
+  */
+object BenchGuard {
+  /** Flat {"name": seconds} object parse — no JSON lib on the classpath
+    * by design (build.sbt is frozen); the two inputs are machine-written
+    * flat objects, so a pair regex is exact, not approximate.
+    */
+  private val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r
+
+  private[tools] def parseFlat(json: String): Map[String, Double] =
+    pair.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot(_._1.startsWith("_"))
+      .toMap
+
+  /** Query-name shape: c01_…, n43_…, q06_…, s17_…, w05_… */
+  private val queryName = """^[cnqsw]\d\d_""".r
+
+  /** Pull the {"queries":{...}} object out of a full Bench output line
+    * (or a driver BENCH_r*.json whose `tail` embeds that line with
+    * escaped quotes — normalized here before matching). Driver artifacts
+    * keep only the final ~2k chars of output, which can truncate the
+    * line BEFORE the "queries" key — fall back to every name:number
+    * pair that looks like a query, so a partial artifact still gets a
+    * partial check instead of no check.
+    */
+  private[tools] def extractQueries(content: String): Map[String, Double] = {
+    val norm = content.replace("\\\"", "\"")
+    val start = norm.indexOf("\"queries\":{")
+    val flat =
+      if (start >= 0) {
+        val open = norm.indexOf('{', start)
+        val close = norm.indexOf('}', open) // flat object: first } closes it
+        parseFlat(norm.substring(open, close + 1))
+      } else {
+        println("BenchGuard: artifact truncated before \"queries\" — " +
+          "checking every query-shaped name:number pair found")
+        parseFlat(norm)
+      }
+    val qs = flat.view.filterKeys(queryName.findFirstIn(_).isDefined).toMap
+    require(qs.nonEmpty, "no per-query timings found in bench artifact")
+    qs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val budgetFile = "bench_budget.json"
+    val budgets = parseFlat(Files.readString(Paths.get(budgetFile)))
+    require(budgets.nonEmpty, s"$budgetFile parsed empty")
+    val registry = SparkEntry.queries.keySet
+
+    val (times, errors, replay) = args.headOption match {
+      case Some(artifact) =>
+        (extractQueries(Files.readString(Paths.get(artifact))),
+          Map.empty[String, String], true)
+      case None =>
+        val sfDir =
+          sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val spark = GraftSession.build("graft-bench-guard")
+        val results = try Bench.run(spark, sfDir) finally spark.stop()
+        (results.map(r => r._1 -> r._2).toMap,
+          results.collect { case (n, _, Some(e)) => n -> e }.toMap, false)
+    }
+
+    val problems = Seq.newBuilder[String]
+    if (replay) {
+      (times.keySet -- budgets.keySet).toSeq.sorted.foreach(n =>
+        problems += s"artifact entry $n has no budget (unknown query?)")
+    } else {
+      (registry -- budgets.keySet).toSeq.sorted.foreach(n =>
+        problems += s"registered query $n has no budget — add it to $budgetFile")
+      (budgets.keySet -- registry).toSeq.sorted.foreach(n =>
+        problems += s"stale budget $n — query no longer registered")
+    }
+    errors.toSeq.sorted.foreach { case (n, e) => problems += s"$n ERRORED: $e" }
+    times.toSeq.sorted.foreach { case (n, t) =>
+      budgets.get(n).foreach { b =>
+        if (t < 0) problems += s"$n recorded -1 (failed)"
+        else if (t > b) problems += f"$n OVER BUDGET: ${t}%.2fs > ceiling ${b}%.2fs"
+      }
+    }
+
+    val out = problems.result()
+    val checked = times.keySet.intersect(budgets.keySet).size
+    if (out.isEmpty) {
+      println(s"BenchGuard PASS: $checked queries within budget" +
+        (if (replay) s" (replayed ${args.head})" else ""))
+    } else {
+      out.foreach(p => println(s"BenchGuard FAIL: $p"))
+      println(s"BenchGuard: ${out.size} problem(s) across $checked checked queries")
+      sys.exit(1)
+    }
+  }
+}

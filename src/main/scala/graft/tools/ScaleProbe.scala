@@ -86,6 +86,47 @@ object ScaleProbe {
       Similarity.bruteTopK(emb.filter(col("id") < 10), emb, 5).count()
     })
 
+    // ---- round-4 operators (n39–n52 scale shapes) --------------------
+
+    probe("byte_diversity", c =>
+      graft.operators.TextAnalysis
+        .byteDiversity(replicate(t.documents, "doc_id", c)).count())
+
+    probe("bigram_fluency", c =>
+      graft.operators.LanguageModel
+        .bigramFluency(replicate(t.documents, "doc_id", c)).count())
+
+    probe("bloom_decontam", c => {
+      val docs = replicate(t.documents, "doc_id", c)
+      graft.operators.Decontamination
+        .flagContaminatedBloom(docs, docs.filter(col("doc_id") % 5 === 0),
+          4, 0.25)
+        .count()
+    })
+
+    probe("pagerank_dupgraph", c =>
+      graft.operators.Clustering.pageRank(
+        Dedup.jaccardPairs(replicate(t.documents, "doc_id", c), 3, 0.8)
+          .select("id_a", "id_b"),
+        iters = 3).count())
+
+    probe("span_removal", c =>
+      Dedup.removeDupSpans(replicate(t.documents, "doc_id", c), 5, 2).count())
+
+    probe("editdist_dedup", c =>
+      Dedup.editDistancePairs(replicate(t.documents, "doc_id", c), 3, 0.5, 0.95)
+        .count())
+
+    probe("source_overlap", c =>
+      graft.operators.TextAnalysis
+        .sourceOverlap(replicate(t.documents, "doc_id", c)).count())
+
+    probe("pq_ann", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.pqTopK(emb.filter(col("id") < 10), emb, 5).count()
+    })
+
     spark.stop()
   }
 }
