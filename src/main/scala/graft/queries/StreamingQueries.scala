@@ -597,7 +597,10 @@ object StreamingQueries extends QueryGroup {
     * deployment bounds the dedup state with
     * `dropDuplicatesWithinWatermark` (the s03 shape — near-horizon
     * re-ingestion then readmits a duplicate) and emits per-batch deltas
-    * in update mode instead of a complete-mode table.
+    * in update mode instead of a complete-mode table;
+    * StreamingSourcesSpec "bounded-state curation" demonstrates exactly
+    * that variant on this corpus and pins bounded == exact inside the
+    * horizon.
     */
   private val streamCuration = Q(
     "s16_stream_curation",

@@ -86,6 +86,50 @@ class StreamingSourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bounded-state curation == exact dedup inside the watermark horizon " +
+      "(s16 production variant)") {
+    // s16's watermark-free dropDuplicates keeps one state entry per
+    // distinct (source, fp) forever — deliberate for the finite-replay
+    // oracle (exact identity over all time), unbounded for continuous
+    // ingestion. The production bound demonstrated here: stamp an
+    // ingestion time, watermark it, and dropDuplicatesWithinWatermark
+    // on the same (source, fp) key — state evicts past the horizon, and
+    // while re-ingestion stays inside the horizon the surviving key set
+    // equals the exact batch distinct. The replay stamps a
+    // deterministic doc_id-derived ingestion ts (all inside one
+    // horizon) and splits the corpus across two micro-batches so the
+    // cross-batch dedup path is the one exercised.
+    implicit val sql = spark.sqlContext
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val input = MemoryStream[(Long, String, String)]
+    val (first, second) = docs.partition(_._1 % 2 == 0)
+    val gated = input.toDF().toDF("doc_id", "source", "text")
+      .withColumn("ts", (col("doc_id") + lit(1600000000L)).cast("timestamp"))
+      .withColumn("fp",
+        graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("source", "fp")
+    val q = gated.writeStream.format("memory").queryName("bounded_curation")
+      .start()
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("bounded_curation")
+        .groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      val exact = Tables(spark, "/root/testdata/sf0.001").documents
+        .withColumn("fp",
+          graft.functions.TextFunctions.fingerprint(col("text")))
+        .select("source", "fp").distinct()
+        .groupBy("source").count()
+        .as[(String, Long)].collect().toMap
+      assert(streamed == exact,
+        s"bounded dedup diverged from exact distinct: $streamed vs $exact")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restart resumes from offsets, exactly-once output") {
     val src = Files.createTempDirectory("graft-ckpt-src").toFile.getAbsolutePath
     val chk = Files.createTempDirectory("graft-ckpt-chk").toFile.getAbsolutePath
