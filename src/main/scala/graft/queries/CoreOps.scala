@@ -303,6 +303,42 @@ object CoreOps extends QueryGroup {
               (902, 'fallback_2')) AS t(n_nationkey, name_lower)
             ORDER BY n_nationkey"""))
 
+  /** `takeUntilCancelled` / `runCancellableIterator` (reference
+    * Node.scala:92-117) on the executed path: the consumer drains a
+    * known prefix through the REAL cancellable iterator and then
+    * cancels — consumption halts, in-flight jobs abort, and the
+    * already-drained prefix is exactly what a plain LIMIT would have
+    * produced (the iterator pulls the sorted stream in order, so the
+    * cancel point is deterministic). The cancel trichotomy itself
+    * (Completed/Failed/Cancelled, latched hasNext, mid-pull abort) is
+    * ExecutionSpec/LifecycleSpec; this entry puts the surface under the
+    * driver's hash gate.
+    */
+  private val cancellableIterDrain = Q(
+    "c15_cancellable_iterator",
+    "top-20 drained via runCancellableIterator then cancelled (reference takeUntilCancelled)",
+    (s, dir) => {
+      import s.implicits._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      // the plan offers 40 rows; the consumer takes 20 and cancels —
+      // the tail is never pulled, which IS takeUntilCancelled
+      val top40 = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(40)
+        .as[(Long, Long, Double)]
+      val (it, cancel) =
+        graft.api.Flow.fromDataset(top40, "c15").runCancellableIterator()
+      val drained =
+        try it.take(20).toList
+        finally cancel()
+      drained.toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""))
+
   private[queries] object EnsuringProbe {
     val fired = new java.util.concurrent.atomic.AtomicLong()
   }
@@ -350,5 +386,5 @@ object CoreOps extends QueryGroup {
     mapProject, filterPredicate, flatMapExplode, unionAppend, foldSum,
     countWindow, recoverCase, orderedTake, distinctRows,
     parMapProject, iteratorDrain, managedSinkRoundtrip, ensuringFinalizer,
-    recoverWithFallback)
+    recoverWithFallback, cancellableIterDrain)
 }
