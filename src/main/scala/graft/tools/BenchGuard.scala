@@ -36,7 +36,7 @@ object BenchGuard {
     */
   private val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r
 
-  private[tools] def parseFlat(json: String): Map[String, Double] =
+  private[graft] def parseFlat(json: String): Map[String, Double] =
     pair.findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filterNot(_._1.startsWith("_"))
@@ -53,7 +53,7 @@ object BenchGuard {
     * pair that looks like a query, so a partial artifact still gets a
     * partial check instead of no check.
     */
-  private[tools] def extractQueries(content: String): Map[String, Double] = {
+  private[graft] def extractQueries(content: String): Map[String, Double] = {
     val norm = content.replace("\\\"", "\"")
     val start = norm.indexOf("\"queries\":{")
     val flat =
