@@ -152,5 +152,70 @@ object TimeWindows extends QueryGroup {
               ON c.user_id = v.user_id AND c.ts >= v.ts
             ORDER BY click_id"""))
 
-  val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed)
+  /** In-band punctuated watermarks (reference `WatermarkPipe` +
+    * `EventTimeWindowPipe`, Node.scala:289-340) as a driver-checked
+    * query — the protocol SURVEY §7.4.2 previously mapped to query-level
+    * `withWatermark` as a documented divergence, now run natively by
+    * [[graft.streaming.PunctuatedWatermarks]]: each user's event stream
+    * (ordered by ts, event_id; timestamps in epoch MICROS — the
+    * operator's time unit is caller-defined) is punctuated every 50
+    * records and windowed into hours under the reference's exact
+    * emission rules. Because each keyed stream is ordered by ts, the
+    * oracle replays the protocol relationally: punctuation k carries
+    * the ts of record rank min(50k, total); a window is emitted iff a
+    * punctuation passed its end, stamped with the FIRST such
+    * punctuation's watermark; open windows never flush. No late drops
+    * or regressions are possible on an ordered stream — those paths are
+    * pinned by PunctuatedWatermarkSpec's golden fixtures instead.
+    */
+  private val punctuated = Q(
+    "w06_punctuated_windows",
+    "in-band punctuated watermarks: per-user hourly windows, reference rules",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir).events
+        .select(col("user_id").as("key"), col("value"),
+          unix_micros(col("ts")).as("ts"), col("event_id"))
+      val timed = graft.streaming.PunctuatedWatermarks
+        .punctuateByKey(ev, 50, "event_id")
+      graft.streaming.PunctuatedWatermarks
+        .windowsPerKey(timed, 3600L * 1000000L)
+        .toDF()
+        .select(col("key").as("user_id"),
+          col("startMs").as("w_start_us"),
+          size(col("values")).cast("long").as("n"),
+          aggregate(col("values"), lit(0.0).cast(DecimalType(28, 6)),
+            (a, x) => (a + x.cast(DecimalType(28, 6)))
+              .cast(DecimalType(28, 6)))
+            .cast("double").as("sum_value"),
+          col("wmMs").as("wm_us"))
+        .orderBy("user_id", "w_start_us")
+    },
+    Some(s"""WITH r AS (
+               SELECT user_id, value, epoch_us(ts) AS tsu,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id) AS total
+               FROM events),
+             punct AS (
+               SELECT user_id, tsu AS wm FROM r
+               WHERE rn % 50 = 0 OR rn = total),
+             win AS (
+               SELECT user_id,
+                 CAST(floor(tsu / 3600000000) * 3600000000 AS BIGINT)
+                   AS w_start_us,
+                 COUNT(*) AS n, ${oSum("value")} AS sum_value
+               FROM r GROUP BY 1, 2),
+             stamped AS (
+               SELECT w.user_id, w.w_start_us, w.n, w.sum_value,
+                 (SELECT MIN(p.wm) FROM punct p
+                  WHERE p.user_id = w.user_id
+                    AND p.wm >= w.w_start_us + 3600000000) AS wm_us
+               FROM win w)
+             SELECT user_id, w_start_us, n, sum_value, wm_us
+             FROM stamped WHERE wm_us IS NOT NULL
+             ORDER BY user_id, w_start_us"""))
+
+  val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
+    punctuated)
 }
