@@ -72,6 +72,42 @@ class PunctuatedWatermarkSpec extends AnyFunSuite {
     assert(wms == List((5L, 2L), (9L, 4L), (11L, 5L)))
   }
 
+  test("co-location trap: union co-partitioning cannot split a key's stream") {
+    // Regression trap for the Catalyst elision bug windowsPerKey's
+    // secondary sort exists to defeat: punctuateByKey's two union
+    // branches are each hash-partitioned by key, Spark propagates that
+    // claim through the union, and a LOGICAL repartition(key) above it
+    // gets elided — but a union CONCATENATES child partitions, so every
+    // watermark would land away from its records and zero windows
+    // emerge. AQE's partition coalescing masked this on small inputs
+    // (the driver's sf0.01 gate passed; sf0.1 caught it), so this spec
+    // pins the contract with AQE off, where the old shape reproducibly
+    // emitted nothing.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nKeys = 500
+      val rows = for (k <- 0 until nKeys; i <- 0 until 7)
+        yield (k.toLong, (k * 100 + i).toDouble, i.toLong * 3 + 1,
+          (k * 7 + i).toLong)
+      val ev = rows.toDF("key", "value", "ts", "event_id")
+      val wins = PunctuatedWatermarks.windowsPerKey(
+        PunctuatedWatermarks.punctuateByKey(ev, 3, "event_id"), 5L)
+        .collect()
+      // per key: ts 1,4,7,10,13,16,19; punctuation after records 3 (wm 7),
+      // 6 (wm 16), tail (wm 19) → [0,5) closes at 7, [5,10) and [10,15)
+      // at 16, [15,20) never (20 > 19) — 3 windows per key
+      assert(wins.length == 3 * nKeys,
+        s"got ${wins.length} windows, expected ${3 * nKeys}")
+      val k = 123L
+      val one = wins.filter(_.key == k).sortBy(_.startMs).toList
+      assert(one == List(
+        Win(k, 0L, 5L, Seq(12300.0, 12301.0), 7L),
+        Win(k, 5L, 10L, Seq(12302.0), 16L),
+        Win(k, 10L, 15L, Seq(12303.0, 12304.0), 16L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("one watermark emits every closed window in ascending start order") {
     val timed = Seq(
       Timed(0L, 0L, isWatermark = false, 1.0, 12L), // lands in [10,15)
