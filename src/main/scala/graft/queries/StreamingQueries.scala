@@ -702,9 +702,52 @@ object StreamingQueries extends QueryGroup {
     Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** THREE-WAY chained stream-stream join — the view→click→purchase
+    * funnel: two stateful join operators in one continuous query
+    * (Spark's multiple-stateful-operator support, like s10's chained
+    * aggs but for joins). Each stage's time-range predicate plus the
+    * per-input watermarks bound both join states; inner joins emit
+    * eagerly on match, so the finite replay's emitted set equals the
+    * relational three-way time-range join.
+    */
+  private val streamThreeWayJoin = Q(
+    "s18_stream_three_way_join",
+    "chained stream-stream joins: view -> click -> purchase funnel (12h windows)",
+    (s, dir) => {
+      def typed(t: String, prefix: String) = eventsStream(s, dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val vc = typed("view", "v").join(typed("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
+      val vcp = vc.join(typed("purchase", "p"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
+        .select(col("v_id").as("view_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"), col("v_user").as("user_id"))
+      runToTable(vcp, "append")
+        .orderBy("view_id", "click_id", "purchase_id")
+    },
+    Some("""SELECT v.event_id AS view_id, c.event_id AS click_id,
+              p.event_id AS purchase_id, v.user_id
+            FROM (SELECT * FROM events WHERE event_type = 'view') v
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+                 AND c.ts <= v.ts + INTERVAL 12 HOUR
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON p.user_id = v.user_id AND p.ts >= c.ts
+                 AND p.ts <= c.ts + INTERVAL 12 HOUR
+            ORDER BY view_id, click_id, purchase_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
-    streamVectorSearch, streamCuration, streamCheckpointRecovery)
+    streamVectorSearch, streamCuration, streamCheckpointRecovery,
+    streamThreeWayJoin)
 }
