@@ -35,6 +35,35 @@ class SourceFormatsSpec extends AnyFunSuite {
   test("json source round-trips")(roundTrip("json"))
   test("orc source round-trips")(roundTrip("orc"))
 
+  test("binaryFile source: raw media ingestion with pathGlobFilter + length pruning") {
+    // the multimodal ingestion front door (SURVEY §2.7): raw image/audio
+    // payloads enter as whole-file binary rows (path, modificationTime,
+    // length, content) — the layer operators/Multimodal consumes. The
+    // source supports glob selection and pushes the `length` filter so
+    // oversized payloads are skipped without reading their bytes.
+    val dir = Files.createTempDirectory("graft-binary").toFile
+    def put(name: String, bytes: Array[Byte]): Unit =
+      Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("a.img", Array.tabulate(64)(_.toByte))
+    put("b.img", Array.tabulate(512)(i => (i % 7).toByte))
+    put("skip.txt", "not media".getBytes)
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(dir.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("length") < 256)
+    val rows = df.collect()
+    assert(rows.length == 1, "glob + length filter must leave exactly a.img")
+    val r = rows.head
+    assert(r.getAs[String]("path").endsWith("a.img"))
+    assert(r.getAs[Long]("length") == 64L)
+    assert(r.getAs[Array[Byte]]("content").toSeq ==
+      Array.tabulate(64)(_.toByte).toSeq)
+    // the length predicate is pushed into the file listing, not applied
+    // row-by-row after reading content
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("binaryFile") || plan.contains("BinaryFile"))
+  }
+
   test("parquet filter pushdown reaches the scan (PushedFilters)") {
     val plan = Tables(spark, "/root/testdata/sf0.001").lineitem
       .filter($"l_quantity" > 45.0).select("l_orderkey")
