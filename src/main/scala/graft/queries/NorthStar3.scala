@@ -181,17 +181,6 @@ object NorthStar3 extends QueryGroup {
             FROM oldsnap o FULL JOIN newsnap n ON o.doc_id = n.doc_id
             GROUP BY 1 ORDER BY status"""))
 
-  /** DuckDB cosine between two list columns — same strict left-to-right
-    * double accumulation as VectorFunctions.cosine (bit-identical).
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""(list_reduce(list_transform(list_zip($a, $b),
-          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)
-        / (sqrt(list_reduce(list_transform($a,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
-         * sqrt(list_reduce(list_transform($b,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))))"""
-
   /** Multi-table LSH ANN (the OR-construction n06 ships but only
     * exercises at numTables=1): two independent hyperplane sets (seeds
     * 42, 43 — `lshTopK`'s `seed + t` rule), a candidate qualifies by
@@ -244,7 +233,7 @@ object NorthStar3 extends QueryGroup {
                   JOIN b1 ON b1.vec_id = e.vec_id),
             scored AS (
               SELECT q.q_id, c.n_id,
-                ${cosSql("q.q_emb", "c.n_emb")} AS cos_sim
+                ${Sql.oCos("q.q_emb", "c.n_emb")} AS cos_sim
               FROM q JOIN c
                 ON (q.k0 = c.k0 OR q.k1 = c.k1) AND c.n_id <> q.q_id),
             ranked AS (

@@ -62,4 +62,18 @@ object Sql {
   /** DuckDB-side equivalent of [[davg]]. */
   def oAvg(expr: String): String =
     s"${oSum(expr)} / COUNT(*)"
+
+  /** DuckDB cosine between two list columns — the same strict
+    * left-to-right double accumulation as VectorFunctions.cosine, so
+    * values are bit-identical. Shared by every ANN oracle (n05/n12/n46
+    * family and the n52 multi-table LSH) — one definition, or the
+    * oracle families silently diverge on a cast change.
+    */
+  def oCos(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)
+        / (sqrt(list_reduce(list_transform($a,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform($b,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x))))"""
 }

@@ -37,7 +37,8 @@ object StreamingQueries extends QueryGroup {
 
   private def runToTable(
       df: org.apache.spark.sql.DataFrame,
-      mode: String): org.apache.spark.sql.DataFrame = {
+      mode: String,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val name = s"graft_stream_${counter.incrementAndGet()}"
     val spark = df.sparkSession
     // Streaming state partitions are fixed at the FIRST run from
@@ -51,9 +52,11 @@ object StreamingQueries extends QueryGroup {
     spark.conf.set("spark.sql.shuffle.partitions",
       math.min(8, prevShuffle.toInt).toString)
     try {
-      val q = df.writeStream.outputMode(mode)
+      val writer = df.writeStream.outputMode(mode)
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow())
+      val q = checkpointLocation
+        .fold(writer)(c => writer.option("checkpointLocation", c))
         .start()
       q.awaitTermination()
     } finally {
@@ -671,45 +674,31 @@ object StreamingQueries extends QueryGroup {
         java.nio.file.Files.copy(f.toPath,
           new java.io.File(in, f.getName).toPath)
       }
-      def runPhase(): org.apache.spark.sql.DataFrame = {
-        val name = s"graft_stream_${counter.incrementAndGet()}"
-        val agg = s.readStream
+      def runPhase(): org.apache.spark.sql.DataFrame = runToTable(
+        s.readStream
           .schema("event_type STRING, value DOUBLE")
           .parquet(in.getAbsolutePath)
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions",
-          math.min(8, prevShuffle.toInt).toString)
-        try {
-          val q = agg.writeStream.outputMode("complete")
-            .format("memory").queryName(name)
-            .option("checkpointLocation", ckpt.getAbsolutePath)
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        }
-        s.table(name)
-      }
-      copyIn(phase1)
-      runPhase() // consumes phase-1 files, commits offsets + state, stops
-      phase1.foreach(f => new java.io.File(in, f.getName).delete())
-      copyIn(phase2)
-      val result = runPhase() // recovery: phase-2 files + restored state
-        .orderBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")),
+        "complete",
+        checkpointLocation = Some(ckpt.getAbsolutePath))
       // the memory-sink table is driver-resident (independent of the
       // files), so the staged parquet and checkpoint are dead weight
       // once the restart finished — and the bench warm-up replays this
-      // query every run, so clean up eagerly rather than accumulating
-      // temp trees for the JVM lifetime
+      // query every run, so clean up in a finally (a failed phase must
+      // not leak a temp tree holding a full events copy: deleteOnExit
+      // is a no-op on non-empty directories)
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree))
         f.delete(); ()
       }
-      rmTree(base)
-      result
+      try {
+        copyIn(phase1)
+        runPhase() // consumes phase-1 files, commits offsets + state, stops
+        phase1.foreach(f => new java.io.File(in, f.getName).delete())
+        copyIn(phase2)
+        runPhase().orderBy("event_type") // phase-2 files + restored state
+      } finally rmTree(base)
     },
     Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type"""))

@@ -56,13 +56,17 @@ object BenchGuard {
   private[graft] def extractQueries(content: String): Map[String, Double] = {
     val norm = content.replace("\\\"", "\"")
     val start = norm.indexOf("\"queries\":{")
+    val open = if (start >= 0) norm.indexOf('{', start) else -1
+    val close = if (open >= 0) norm.indexOf('}', open) else -1
     val flat =
-      if (start >= 0) {
-        val open = norm.indexOf('{', start)
-        val close = norm.indexOf('}', open) // flat object: first } closes it
+      if (close >= 0) { // complete object: parse exactly its pairs
         parseFlat(norm.substring(open, close + 1))
       } else {
-        println("BenchGuard: artifact truncated before \"queries\" — " +
+        // truncated BEFORE the queries key (driver log captures keep only
+        // the tail) or AFTER it with the object never closed (clipped
+        // write): fall back to every query-shaped pair in the content —
+        // a partial check beats a crash or no check
+        println("BenchGuard: artifact truncated around \"queries\" — " +
           "checking every query-shaped name:number pair found")
         parseFlat(norm)
       }

@@ -24,12 +24,17 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, sfDir)
 
+    // step derived from the data, not a constant: at SFs where base ids
+    // exceed a fixed step, copies would alias into each other and the
+    // dedup/ANN probes would silently measure collapsed candidate
+    // structure. Memoized per id column so the max(id) scan runs ONCE
+    // per table OUTSIDE the timed probes — an agg job inside run(c)
+    // would add a constant to every 1x/4x/8x measurement and compress
+    // the very ratios this tool reports.
+    val stepCache = scala.collection.mutable.Map.empty[String, Long]
     def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
-      // step derived from the data (one cheap agg), not a constant: at
-      // SFs where base ids exceed a fixed step, copies would alias into
-      // each other and the dedup/ANN probes would silently measure
-      // collapsed candidate structure
-      val step = df.agg(max(col(idCol).cast("long"))).head.getLong(0) + 1L
+      val step = stepCache.getOrElseUpdate(idCol,
+        df.agg(max(col(idCol).cast("long"))).head.getLong(0) + 1L)
       (0 until copies).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * step))).reduce(_ union _)
     }
@@ -125,6 +130,18 @@ object ScaleProbe {
       val emb = replicate(t.embeddings, "vec_id", c)
         .select(col("vec_id").as("id"), col("embedding"))
       Similarity.pqTopK(emb.filter(col("id") < 10), emb, 5).count()
+    })
+
+    probe("punctuated_windows", c => {
+      // replicate on user_id: each copy is a fresh set of keyed streams,
+      // which is how this operator scales (more independent protocols)
+      val ev = replicate(
+        t.events.select(col("user_id").as("key"), col("value"),
+          unix_micros(col("ts")).as("ts"), col("event_id")),
+        "key", c)
+      graft.streaming.PunctuatedWatermarks.windowsPerKey(
+        graft.streaming.PunctuatedWatermarks.punctuateByKey(ev, 50, "event_id"),
+        3600L * 1000000L).count()
     })
 
     spark.stop()

@@ -29,6 +29,16 @@ class BenchGuardSpec extends AnyFunSuite {
       "s17_stream_checkpoint_recovery" -> 1.703))
   }
 
+  test("artifact clipped AFTER the queries key still gets a partial check") {
+    // a killed run can clip the line before the object ever closes; the
+    // strict path would substring to a missing '}' — must fall back, not
+    // crash
+    val clipped =
+      """{"metric":"total","queries":{"q01_pricing_summary":2.687,"q02_join_ag"""
+    assert(BenchGuard.extractQueries(clipped) ==
+      Map("q01_pricing_summary" -> 2.687))
+  }
+
   test("truncated driver artifact falls back to query-shaped pairs") {
     // the r4 shape: tail begins mid-map, escaped quotes, no "queries" key
     val truncated = """{"n": 4, "rc": 0, "cpus": 32, "tail":

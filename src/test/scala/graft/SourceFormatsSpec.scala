@@ -58,10 +58,11 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("length") == 64L)
     assert(r.getAs[Array[Byte]]("content").toSeq ==
       Array.tabulate(64)(_.toByte).toSeq)
-    // the length predicate is pushed into the file listing, not applied
-    // row-by-row after reading content
+    // the length predicate is pushed to the source (skipped before the
+    // content bytes are read), not applied row-by-row after materializing
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("binaryFile") || plan.contains("BinaryFile"))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(length"),
+      s"length filter not pushed to the binaryFile scan:\n${plan.take(800)}")
   }
 
   test("parquet filter pushdown reaches the scan (PushedFilters)") {
