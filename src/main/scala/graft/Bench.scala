@@ -63,6 +63,15 @@ object Bench {
     // would benchmark a different engine than Verify checks.
     val spark = GraftSession.build("graft-bench")
     val results = run(spark, sfDir)
+    println(jsonLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The one-line bench JSON (shared with BenchGuard, whose timing runs
+    * would otherwise discard the very numbers that justify its verdict).
+    */
+  def jsonLine(results: Seq[(String, Double, Option[String])],
+      sfDir: String): String = {
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // full JSON string escape — AnalysisException messages are often
@@ -94,7 +103,6 @@ object Bench {
     // the final ~2k chars of output still contain it after the per-query
     // map outgrows that window (which it did once the registry passed ~100
     // queries).
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"queries":$qs,"errors":$errs,"value":${fmt(total)}}""")
-    spark.stop()
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"queries":$qs,"errors":$errs,"value":${fmt(total)}}"""
   }
 }

@@ -90,6 +90,9 @@ object BenchGuard {
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
         val spark = GraftSession.build("graft-bench-guard")
         val results = try Bench.run(spark, sfDir) finally spark.stop()
+        // emit the bench artifact too — the timing run that backs the
+        // verdict should never be thrown away
+        println(Bench.jsonLine(results, sfDir))
         (results.map(r => r._1 -> r._2).toMap,
           results.collect { case (n, _, Some(e)) => n -> e }.toMap, false)
     }
