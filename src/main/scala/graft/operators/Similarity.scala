@@ -297,6 +297,57 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07): each query probes its
+    * own sign-bucket PLUS every bucket within `probeBits` flipped bits —
+    * the standard way to buy recall without extra tables (an extra
+    * table re-hashes the corpus; an extra probe only fans out the tiny
+    * query side). Scale shape: the probe set explodes on the QUERY side
+    * (1 + C(numPlanes, ≤probeBits) rows per query — e.g. 9 at 8 planes,
+    * 1 bit), candidate generation stays a broadcast equi-join of probed
+    * bucket = corpus bucket, and the corpus is hashed/shuffled exactly
+    * once. Exact cosine re-ranks candidates, ties as everywhere
+    * (desc score, asc id).
+    */
+  def lshMultiProbeTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      probeBits: Int = 1): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 2,
+      s"probeBits must be 0..2, got $probeBits")
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val q = queries.select(col("id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", bucketExpr(col("q_emb"), planes))
+    val c = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"))
+      .withColumn("bucket", bucketExpr(col("n_emb"), planes))
+    // probe masks: 0 (home bucket), every single-bit flip, and — at
+    // probeBits=2 — every two-bit flip; XOR with the home bucket yields
+    // the probed bucket id. Plan literals: ≤ 1+8+28 longs at 8 planes.
+    val masks: Seq[Long] = {
+      val oneBit = (0 until numPlanes).map(1L << _)
+      val twoBit =
+        for (i <- 0 until numPlanes; j <- i + 1 until numPlanes)
+          yield (1L << i) | (1L << j)
+      (Seq(0L) ++ (if (probeBits >= 1) oneBit else Nil)
+        ++ (if (probeBits >= 2) twoBit else Nil))
+    }
+    val probed = q.select(col("q_id"), col("q_emb"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+        .as("probe_bucket"))
+    val scored = c.join(broadcast(probed), col("bucket") === col("probe_bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .distinct() // defensive: probe buckets are distinct by construction
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: queries meet only corpus vectors in the same
     * hyperplane sign-bucket; exact cosine re-ranks within the bucket.
     * Recall < 1 by construction (multi-table probing raises it; one

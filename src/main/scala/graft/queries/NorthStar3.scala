@@ -245,6 +245,60 @@ object NorthStar3 extends QueryGroup {
             FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB'07): each query probes its home
+    * bucket plus all 8 single-bit flips — recall rises with probe
+    * count while the corpus is hashed once (the probe fan-out is on
+    * the tiny query side; the scale story vs n52's extra TABLE, which
+    * re-hashes the corpus). The oracle expresses the probe set as
+    * `xor(q.bucket, c.bucket) IN (0, 1, 2, …, 128)` over the same
+    * embedded plane constants as n06.
+    */
+  private val annLshMultiProbe = {
+    val planeRows = Similarity.hyperplanes(8, 64, 42L).zipWithIndex.map {
+      case (p, j) =>
+        s"($j, [${p.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+    }.mkString(",\n")
+    val xorVals = (0L +: (0 until 8).map(1L << _).map(_.toLong))
+      .mkString(", ")
+    Q(
+      "n53_ann_lsh_multiprobe",
+      "multi-probe LSH ANN top-3: home bucket + 8 single-bit-flip probes",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding"))
+        Similarity.lshMultiProbeTopK(emb.filter(col("id") < 10), emb, 3)
+          .orderBy("q_id", "rank")
+          .select("q_id", "n_id", "cos_sim", "rank")
+      },
+      Some(s"""WITH planes(plane_id, pv) AS (VALUES $planeRows),
+            buckets AS (
+              SELECT vec_id, SUM(CASE WHEN dot >= 0
+                THEN CAST(1 AS BIGINT) << plane_id ELSE 0 END) AS bucket
+              FROM (SELECT e.vec_id, p.plane_id,
+                      list_reduce(list_transform(list_zip(e.embedding, p.pv),
+                          x -> CAST(x[1] AS DOUBLE) * x[2]),
+                        (acc, x) -> acc + x) AS dot
+                    FROM embeddings e CROSS JOIN planes p)
+              GROUP BY vec_id),
+            q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb, b.bucket
+                  FROM embeddings e JOIN buckets b USING (vec_id)
+                  WHERE e.vec_id < 10),
+            scored AS (
+              SELECT q.q_id, e.vec_id AS n_id,
+                ${Sql.oCos("q.q_emb", "e.embedding")} AS cos_sim
+              FROM q JOIN buckets cb
+                ON xor(q.bucket, cb.bucket) IN ($xorVals)
+              JOIN embeddings e ON e.vec_id = cb.vec_id
+              WHERE e.vec_id <> q.q_id),
+            ranked AS (
+              SELECT q_id, n_id, cos_sim,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
+  }
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
-    blocklistGate, snapshotDiff, annLshMultiTable)
+    blocklistGate, snapshotDiff, annLshMultiTable, annLshMultiProbe)
 }

@@ -38,6 +38,10 @@ object AnnRecall {
         Similarity.lshTopK(queries, emb, k, numTables = 2),
       "lsh 4 tables (OR)" ->
         Similarity.lshTopK(queries, emb, k, numTables = 4),
+      "lsh multiprobe 1 bit" ->
+        Similarity.lshMultiProbeTopK(queries, emb, k),
+      "lsh multiprobe 2 bits" ->
+        Similarity.lshMultiProbeTopK(queries, emb, k, probeBits = 2),
       "ivf nProbe=2/16" ->
         Similarity.ivfTopK(queries, emb, k),
       "ivf nProbe=4/16" ->

@@ -139,6 +139,28 @@ class NorthStarSpec extends AnyFunSuite {
       s"adding an LSH table dropped top-3 recall: $r2 < $r1 of ${brute.size}")
   }
 
+  test("multi-probe LSH only adds candidates; top-3 recall >= single-probe") {
+    // probe set {home} ⊂ {home + single-bit flips}: candidates are a
+    // superset, and (as with n52's table argument) any displacing pair
+    // in a ranked top-3 is itself a brute-top-3 member — recall is
+    // monotone in probes
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val home = pairs(Similarity.lshMultiProbeTopK(q, emb, 50, probeBits = 0))
+    val probed = pairs(Similarity.lshMultiProbeTopK(q, emb, 50, probeBits = 1))
+    assert(home.subsetOf(probed), "probing must only widen the candidate set")
+    val brute = pairs(Similarity.bruteTopK(q, emb, 3))
+    val r0 = (pairs(Similarity.lshMultiProbeTopK(q, emb, 3, probeBits = 0))
+      intersect brute).size
+    val r1 = (pairs(Similarity.lshMultiProbeTopK(q, emb, 3, probeBits = 1))
+      intersect brute).size
+    assert(r1 >= r0, s"probing dropped recall: $r1 < $r0 of ${brute.size}")
+  }
+
   test("Lineage.ckpt identifies the persisted RDD on this Spark version") {
     // release() depends on pattern-matching the checkpoint plan's
     // LogicalRDD; if a Spark upgrade changes that shape this must fail
