@@ -63,9 +63,24 @@ object Bench {
     // would benchmark a different engine than Verify checks.
     val spark = GraftSession.build("graft-bench")
     val results = run(spark, sfDir)
-    println(jsonLine(results, sfDir))
+    val line = jsonLine(results, sfDir)
+    println(line)
+    writeArtifact(line)
     spark.stop()
   }
+
+  /** Also persist the full one-line JSON to a file: driver log captures
+    * keep only the final ~2 kB of stdout, which clips the per-query map
+    * once the registry passes ~100 queries (BENCH_r05.json lost every
+    * c, n, and q01–q08 timing). The committed file is the durable
+    * per-query record.
+    */
+  def writeArtifact(line: String, path: String = "bench_last.json"): Unit =
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      println(s"Bench: could not write $path: ${e.getMessage}")
+    }
 
   /** The one-line bench JSON (shared with BenchGuard, whose timing runs
     * would otherwise discard the very numbers that justify its verdict).

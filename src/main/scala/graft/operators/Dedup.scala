@@ -132,14 +132,21 @@ object Dedup {
   def editDistancePairs(
       docs: DataFrame, n: Int, prefilter: Double, minSim: Double): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
-    // the broadcast hints make the stated contract mechanical, not
-    // AQE-dependent: with a shuffle join here the corpus text would be
-    // exchanged twice even though only the survivor list is small
-    broadcast(
-      broadcast(jaccardPairs(docs, n, prefilter)
-          .select(col("id_a"), col("id_b")))
-        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a"))
-      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+    // only the bare (id_a, id_b) survivor list is ever broadcast — once
+    // against the corpus per side, so the corpus text never shuffles for
+    // candidate matching. The final pair-keyed join moves survivor-sized
+    // text rows only and is a plain shuffle join: spillable if a loose
+    // prefilter makes the survivor set large, where a forced broadcast of
+    // a text-bearing intermediate would OOM the driver/executors. (The
+    // two broadcasts share one exchange via ReuseExchange — identical
+    // subplans.)
+    val pairs = jaccardPairs(docs, n, prefilter)
+      .select(col("id_a"), col("id_b"))
+    val aSide = txt.join(broadcast(pairs), col("doc_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("text").as("ta"))
+    val bSide = txt.join(broadcast(pairs), col("doc_id") === col("id_b"))
+      .select(col("id_a"), col("id_b"), col("text").as("tb"))
+    aSide.join(bSide, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb")).as("edit_dist"),
         greatest(length(col("ta")), length(col("tb"))).as("max_len"))

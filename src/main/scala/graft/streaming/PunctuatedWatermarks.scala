@@ -116,6 +116,16 @@ object PunctuatedWatermarks {
     * secondary-sort arrangement (see [[KeyPartitioner]]). Accumulators
     * (optional) count late drops and regressions with per-execution
     * scoping.
+    *
+    * One deliberate divergence from the reference: window assignment uses
+    * `math.floorDiv` where the reference uses truncating integer division
+    * (`(ts / windowSizeMs) * windowSizeMs`). The two agree for ts ≥ 0
+    * (every fixture and every epoch-micros timestamp); for a NEGATIVE
+    * event time, truncation assigns ts = −500 ms with a 1000 ms window to
+    * start 0 — the interval [0, 1000) does not contain the event — while
+    * floorDiv assigns [−1000, 0), which does. We keep the correct
+    * interval semantics rather than reproducing the reference's
+    * pre-epoch misassignment.
     */
   def windowsPerKey(
       timed: Dataset[Timed],

@@ -65,10 +65,20 @@ object BenchGuard {
         // truncated BEFORE the queries key (driver log captures keep only
         // the tail) or AFTER it with the object never closed (clipped
         // write): fall back to every query-shaped pair in the content —
-        // a partial check beats a crash or no check
+        // a partial check beats a crash or no check. A pair is only
+        // trusted when its number is followed by SOME character in the
+        // artifact: a clip that cuts a value mid-digits ("…":10.42 →
+        // "…":1) leaves the mangled number at end-of-content, and a
+        // smaller-than-real timing would silently pass an over-budget
+        // query. (Head clips can't fabricate a pair — the name regex
+        // requires its opening quote.)
         println("BenchGuard: artifact truncated around \"queries\" — " +
           "checking every query-shaped name:number pair found")
-        parseFlat(norm)
+        pair.findAllMatchIn(norm)
+          .filter(_.end < norm.length)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filterNot(_._1.startsWith("_"))
+          .toMap
       }
     val qs = flat.view.filterKeys(queryName.findFirstIn(_).isDefined).toMap
     require(qs.nonEmpty, "no per-query timings found in bench artifact")
@@ -91,8 +101,11 @@ object BenchGuard {
         val spark = GraftSession.build("graft-bench-guard")
         val results = try Bench.run(spark, sfDir) finally spark.stop()
         // emit the bench artifact too — the timing run that backs the
-        // verdict should never be thrown away
-        println(Bench.jsonLine(results, sfDir))
+        // verdict should never be thrown away; the file copy survives
+        // stdout clipping (see Bench.writeArtifact)
+        val line = Bench.jsonLine(results, sfDir)
+        println(line)
+        Bench.writeArtifact(line)
         (results.map(r => r._1 -> r._2).toMap,
           results.collect { case (n, _, Some(e)) => n -> e }.toMap, false)
     }

@@ -27,13 +27,18 @@ object ScaleProbe {
     // step derived from the data, not a constant: at SFs where base ids
     // exceed a fixed step, copies would alias into each other and the
     // dedup/ANN probes would silently measure collapsed candidate
-    // structure. Memoized per id column so the max(id) scan runs ONCE
-    // per table OUTSIDE the timed probes — an agg job inside run(c)
-    // would add a constant to every 1x/4x/8x measurement and compress
-    // the very ratios this tool reports.
-    val stepCache = scala.collection.mutable.Map.empty[String, Long]
+    // structure. Memoized per (source plan, id column) so the max(id)
+    // scan runs ONCE per table OUTSIDE the timed probes — an agg job
+    // inside run(c) would add a constant to every 1x/4x/8x measurement
+    // and compress the very ratios this tool reports. Keyed by the
+    // analyzed plan's semanticHash, not the column name alone: two
+    // tables reusing an id column name (e.g. both exposing doc_id) must
+    // each get their own max(id)-derived step, or their copies would
+    // alias into each other's id ranges.
+    val stepCache = scala.collection.mutable.Map.empty[(Int, String), Long]
     def replicate(df: DataFrame, idCol: String, copies: Int): DataFrame = {
-      val step = stepCache.getOrElseUpdate(idCol,
+      val step = stepCache.getOrElseUpdate(
+        (df.queryExecution.analyzed.semanticHash(), idCol),
         df.agg(max(col(idCol).cast("long"))).head.getLong(0) + 1L)
       (0 until copies).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * step))).reduce(_ union _)
