@@ -169,7 +169,7 @@ object Clustering {
     * to the lowest centroid id — all scan-stage expression work over
     * the codebook literals, zero shuffle.
     */
-  private def assignToCents(
+  private[graft] def assignToCents(
       e: DataFrame, cents: IndexedSeq[Seq[Double]]): DataFrame = {
     val ds = cents.zipWithIndex.map { case (c, i) =>
       aggregate(

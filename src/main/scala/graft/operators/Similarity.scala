@@ -175,6 +175,76 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-Flat with a Lloyd-TRAINED codebook — [[ivfTopK]]'s "a k-means
+    * refinement would drop in without changing the dataflow" claim, made
+    * real. [[graft.operators.Clustering.lloydCents]] trains
+    * `numCentroids` centroids over the corpus (deterministic init/tie/
+    * mean rules — the n30 contract, so a SQL oracle replays the training
+    * bit-for-bit via the same unrolled-CTE chain); the corpus is
+    * assigned to its nearest list by squared-L2 scan-stage argmin
+    * ([[graft.operators.Clustering.assignToCents]] — zero shuffle), and
+    * each query probes its `nProbe` nearest lists under the SAME metric
+    * (asc dist, asc cent_id ties). Exact cosine re-ranks candidates,
+    * ties as every ANN tier (desc score, asc n_id).
+    *
+    * Scale shape is identical to [[ivfTopK]]: the k×dim codebook is
+    * driver-held model state broadcast as plan literals, candidate
+    * generation is an equi-join on cent_id, and per-query work drops by
+    * ~numCentroids/nProbe — but the lists now follow the data's actual
+    * density instead of arbitrary seed vectors, which is what makes
+    * nProbe/numCentroids a real recall/cost dial on clustered corpora.
+    */
+  def ivfTopKLloyd(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numCentroids: Int = 8,
+      nProbe: Int = 2,
+      iters: Int = 2): DataFrame = {
+    val e = corpus
+      .select(col("id").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `e` stays persisted for the caller's terminal action (the dedup-
+    // diamond policy): training scans it `iters` times, assignment once.
+    val cents = Clustering.lloydCents(e, numCentroids, iters)
+    val assign = Clustering.assignToCents(e, cents)
+      .select(col("vec_id").as("n_id"), col("cluster").as("cent_id"))
+    // query probes: per-centroid squared-L2 as one exploded literal
+    // array — Q×numCentroids rows, all on the tiny query side
+    val centDists = cents.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cent_id"),
+        aggregate(
+          zip_with(col("q_emb"), typedLit(c), (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (a, x) => a + x).as("d"))
+    }
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(asc("cent_dist"), asc("cent_id"))
+    val probes = queries
+      .select(col("id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("q_emb"))
+      .select(col("q_id"), explode(array(centDists: _*)).as("e"))
+      .select(col("q_id"), col("e.cent_id").as("cent_id"),
+        col("e.d").as("cent_dist"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select("q_id", "cent_id")
+    val scored = probes
+      .join(assign, "cent_id")
+      .join(corpus.select(col("id").as("n_id"), col("embedding").as("n_emb")),
+        "n_id")
+      .join(broadcast(queries.select(col("id").as("q_id"),
+        col("embedding").as("q_emb"))), "q_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .distinct() // defensive: argmin assignment makes lists disjoint
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Product-quantization ANN with asymmetric-distance computation
     * (PQ-ADC, Jégou et al. TPAMI 2011): the third scale tier after
     * [[lshTopK]] (hash buckets) and [[ivfTopK]] (inverted lists).

@@ -299,6 +299,61 @@ object NorthStar3 extends QueryGroup {
             FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""))
   }
 
+  /** IVF with Lloyd-trained lists (k=8, 2 assignment rounds, nProbe=2).
+    * The oracle reuses [[NorthStar.kmeansCteList]] — the SAME unrolled
+    * CTE chain that replays n30/n46's training bit-for-bit: codebook =
+    * `c1` (after one mean update), corpus assignment = `a2` (the final
+    * argmin round), query probes = top-2 lists by the same squared-L2
+    * with (dist, cid) ties, exact cosine re-rank on the original float
+    * embeddings.
+    */
+  private val annIvfLloyd = {
+    val (k, iters, nProbe, topK) = (8, 2, 2, 5)
+    Q(
+      "n54_ivf_lloyd",
+      "IVF ANN over Lloyd-trained lists: k=8 codebook, nProbe=2, top-5",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding"))
+        Similarity.ivfTopKLloyd(emb.filter(col("id") < 10), emb, topK,
+            numCentroids = k, nProbe = nProbe, iters = iters)
+          .orderBy("q_id", "rank")
+          .select("q_id", "n_id", "cos_sim", "rank")
+      },
+      Some(s"""WITH ${NorthStar.kmeansCteList(k, iters)},
+            probes AS (
+              SELECT q_id, cid FROM (
+                SELECT q_id, cid,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY dist, cid) AS rn
+                FROM (SELECT e.vec_id AS q_id, c.cid,
+                        list_reduce(list_transform(range(len(e.emb)),
+                          i -> (e.emb[i+1] - c.cent[i+1]) *
+                               (e.emb[i+1] - c.cent[i+1])),
+                          (a, b) -> a + b) AS dist
+                      FROM e e CROSS JOIN c${iters - 1} c
+                      WHERE e.vec_id < 10) t1) t2
+              WHERE rn <= $nProbe),
+            cand AS (
+              SELECT DISTINCT p.q_id, a.vec_id AS n_id
+              FROM probes p JOIN a$iters a ON a.cid = p.cid
+              WHERE a.vec_id <> p.q_id),
+            scored AS (
+              SELECT q_id, n_id,
+                ${Sql.oCos("qe.embedding", "ne.embedding")} AS cos_sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = q_id
+              JOIN embeddings ne ON ne.vec_id = n_id),
+            ranked AS (
+              SELECT q_id, n_id, cos_sim,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM scored)
+            SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= $topK ORDER BY q_id, rank"""))
+  }
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
-    blocklistGate, snapshotDiff, annLshMultiTable, annLshMultiProbe)
+    blocklistGate, snapshotDiff, annLshMultiTable, annLshMultiProbe,
+    annIvfLloyd)
 }

@@ -189,6 +189,36 @@ class NorthStarSpec extends AnyFunSuite {
     assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("Lloyd IVF: exact scores, <= k per query, recall monotone in nProbe") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val ivf = Similarity.ivfTopKLloyd(q, emb, 3)
+    // scores must be the exact cosine (re-rank never uses list geometry)
+    val brute = Similarity.bruteTopK(q, emb, 1000)
+      .select("q_id", "n_id", "cos_sim")
+    val mismatched = ivf.alias("a").join(brute.alias("b"),
+      col("a.q_id") === col("b.q_id") && col("a.n_id") === col("b.n_id"))
+      .filter(col("a.cos_sim") =!= col("b.cos_sim"))
+    assert(mismatched.count() == 0, "Lloyd IVF re-rank must use exact cosine")
+    assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
+    // probing more lists only widens candidates → top-3 recall monotone
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val exact3 = pairs(Similarity.bruteTopK(q, emb, 3))
+    val r2 = (pairs(ivf) intersect exact3).size
+    val r4 = (pairs(Similarity.ivfTopKLloyd(q, emb, 3, nProbe = 4))
+      intersect exact3).size
+    val r8 = (pairs(Similarity.ivfTopKLloyd(q, emb, 3, nProbe = 8))
+      intersect exact3).size
+    assert(r2 <= r4 && r4 <= r8,
+      s"recall not monotone in nProbe: $r2/$r4/$r8 of ${exact3.size}")
+    // probing ALL lists is exhaustive — must equal brute top-3 exactly
+    assert(r8 == exact3.size,
+      s"nProbe = numCentroids must be exact: $r8 != ${exact3.size}")
+  }
+
   test("PQ-ADC degenerates to exact squared L2 when the codebook is the corpus") {
     // numSub=1, codebookK=N, iters=1: the codebook is the corpus itself,
     // every vector encodes to itself (self-distance 0), and the ADC
