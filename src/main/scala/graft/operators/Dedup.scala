@@ -137,11 +137,14 @@ object Dedup {
     // candidate matching. The final pair-keyed join moves survivor-sized
     // text rows only and is a plain shuffle join: spillable if a loose
     // prefilter makes the survivor set large, where a forced broadcast of
-    // a text-bearing intermediate would OOM the driver/executors. (The
-    // two broadcasts share one exchange via ReuseExchange — identical
-    // subplans.)
+    // a text-bearing intermediate would OOM the driver/executors.
+    // PERSISTED: the two broadcasts hash on different keys (id_a / id_b),
+    // so ReuseExchange canNOT dedupe them — without the persist the whole
+    // jaccard prefilter would run twice (measured 4.8× on the ScaleProbe
+    // editdist row).
     val pairs = jaccardPairs(docs, n, prefilter)
       .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aSide = txt.join(broadcast(pairs), col("doc_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("text").as("ta"))
     val bSide = txt.join(broadcast(pairs), col("doc_id") === col("id_b"))

@@ -137,6 +137,141 @@ object ScaleProbe {
       Similarity.pqTopK(emb.filter(col("id") < 10), emb, 5).count()
     })
 
+    // ---- round-5/6 operators (n52-n54, s17, s18 scale shapes) --------
+    // Query side stays the base-copy ids (< 10) while the corpus
+    // replicates — the ANN scale question is corpus growth, not Q.
+
+    probe("lsh_multitable", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.lshTopK(emb.filter(col("id") < 10), emb, 3, numTables = 2)
+        .count()
+    })
+
+    probe("lsh_multiprobe", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.lshMultiProbeTopK(emb.filter(col("id") < 10), emb, 3)
+        .count()
+    })
+
+    probe("ivf_lloyd", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.ivfTopKLloyd(emb.filter(col("id") < 10), emb, 5).count()
+    })
+
+    // Streaming probes: replicated events staged to disk ONCE per scale
+    // (the file-stream source needs files; staging is setup, not the
+    // measured stream). user_id AND event_id shift per copy, so each
+    // copy is a fresh population — join/agg STATE grows with input,
+    // which is exactly the scaling question for stateful streams.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    val (uStep, eStep) = {
+      val r = eventsRaw
+        .agg(max(col("user_id")), max(col("event_id"))).head
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    val evBase = java.nio.file.Files.createTempDirectory("graft_probe_ev_")
+      .toFile
+    val evDirs: Map[Int, String] = Seq(1, 4, 8).map { c =>
+      val p = new java.io.File(evBase, s"x$c")
+      (0 until c).map(i => eventsRaw
+          .withColumn("user_id", col("user_id") + lit(i * uStep))
+          .withColumn("event_id", col("event_id") + lit(i * eStep)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(p.getAbsolutePath)
+      c -> p.getAbsolutePath
+    }.toMap
+
+    val streamN = new java.util.concurrent.atomic.AtomicInteger
+    def runStreamCount(df: DataFrame, mode: String,
+        ckpt: Option[String]): Long = {
+      val name = s"scale_probe_${streamN.incrementAndGet()}"
+      // state-partition sizing per docs/PLANS.md "Streaming
+      // state-partition sizing" — same policy as the s* queries
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, prev.toInt).toString)
+      try {
+        val w = df.writeStream.outputMode(mode)
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        val q = ckpt.fold(w)(cl => w.option("checkpointLocation", cl)).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val n = spark.table(name).count()
+      spark.catalog.dropTempView(name)
+      n
+    }
+    def typedStream(dir: String, tpe: String, p: String): DataFrame =
+      spark.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+          "value DOUBLE, props STRING")
+        .parquet(dir)
+        .withColumn("ts", graft.Tables.nanosToMicrosTimestamp("ts"))
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+
+    probe("stream_3way_join", c => {
+      val dir = evDirs(c)
+      val vc = typedStream(dir, "view", "v").join(
+        typedStream(dir, "click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
+      val vcp = vc.join(typedStream(dir, "purchase", "p"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
+        .select(col("v_id"), col("c_id"), col("p_id"))
+      runStreamCount(vcp, "append", None)
+    })
+
+    probe("stream_ckpt_restart", c => {
+      // the s17 shape: consume half the files, stop, restart from the
+      // checkpoint with phase-1 files deleted; staging cost is inside
+      // the probe (as in the driver query) and identical per scale
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_s17_").toFile
+      try {
+        val stage = new java.io.File(base, "stage")
+        val in = new java.io.File(base, "in"); in.mkdirs()
+        val ckpt = new java.io.File(base, "ckpt")
+        spark.read.parquet(evDirs(c)).select(col("event_type"), col("value"))
+          .repartition(4)
+          .write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val parts = stage.listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val (phase1, phase2) = parts.splitAt(2)
+        def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+          java.nio.file.Files.copy(f.toPath,
+            new java.io.File(in, f.getName).toPath)
+        }
+        def runPhase(): Long = runStreamCount(
+          spark.readStream
+            .schema("event_type STRING, value DOUBLE")
+            .parquet(in.getAbsolutePath)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value")),
+          "complete", Some(ckpt.getAbsolutePath))
+        copyIn(phase1)
+        runPhase()
+        phase1.foreach(f => new java.io.File(in, f.getName).delete())
+        copyIn(phase2)
+        runPhase()
+      } finally rmTree(base)
+    })
+
+    rmTree(evBase)
+
     probe("punctuated_windows", c => {
       // replicate on user_id: each copy is a fresh set of keyed streams,
       // which is how this operator scales (more independent protocols)

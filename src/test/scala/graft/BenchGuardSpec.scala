@@ -39,6 +39,16 @@ class BenchGuardSpec extends AnyFunSuite {
       Map("q01_pricing_summary" -> 2.687))
   }
 
+  test("a pair clipped mid-number is dropped, not read as a smaller timing") {
+    // "n43_pagerank":10.42 clipped to ...":1 parses as a VALID smaller
+    // number — accepting it could silently pass an over-budget query;
+    // only a pair whose number is followed by some character is trusted
+    val clipped =
+      """{"metric":"total","queries":{"q01_pricing_summary":2.687,"n43_pagerank":1"""
+    assert(BenchGuard.extractQueries(clipped) ==
+      Map("q01_pricing_summary" -> 2.687))
+  }
+
   test("truncated driver artifact falls back to query-shaped pairs") {
     // the r4 shape: tail begins mid-map, escaped quotes, no "queries" key
     val truncated = """{"n": 4, "rc": 0, "cpus": 32, "tail":
