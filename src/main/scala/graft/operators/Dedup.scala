@@ -308,6 +308,68 @@ object Dedup {
         concat_ws(" ", col("kept")).as("cleaned_text"))
   }
 
+  /** Per-source BOILERPLATE n-gram removal — the CCNet/RefinedWeb
+    * "repeated lines per domain" cleanup, at n-gram granularity (the
+    * fixture text has no line structure): an n-gram is boilerplate for a
+    * source when it appears in ≥ `frac` of that source's documents
+    * (headers, footers, navigation chrome); every token covered by a
+    * boilerplate gram is dropped and the text rebuilt in order.
+    *
+    * Shape mirrors [[removeDupSpans]]: position explode → gram hash as a
+    * flat codegen'd projection → per-(source, gram) distinct-doc df
+    * aggregate → broadcast-joined per-source doc counts (one row per
+    * source) → per-doc covered-interval union → per-row rebuild. Text
+    * never shuffles (the position table carries 64-bit hashes); the df
+    * threshold compares against the SOURCE's own size, so a 100 TB
+    * corpus with wildly skewed domains gets per-domain calibration for
+    * free.
+    *
+    * Output: (doc_id, source, n_tokens, n_kept, boiler_frac,
+    * cleaned_text).
+    */
+  def boilerplateRemoval(
+      docs: DataFrame, n: Int, frac: Double): DataFrame = {
+    require(n > 0, s"n must be > 0, got $n")
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val toks = docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("ts"))
+    val pos = toks
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("source"), col("ts"),
+        explode(sequence(lit(0), size(col("ts")) - n)).as("pos"))
+      .select(col("doc_id"), col("source"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(n))))
+          .as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcDocs = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src_docs"))
+    val boiler = pos.groupBy("source", "gh")
+      .agg(count_distinct(col("doc_id")).as("docs_with"))
+      .join(broadcast(srcDocs), "source")
+      .filter(col("docs_with").cast("double") >=
+        lit(frac) * col("n_src_docs").cast("double"))
+      .select("source", "gh")
+    val perDoc = pos.join(boiler, Seq("source", "gh"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("pos")).as("ps"))
+    val cov = coalesce(
+      array_distinct(flatten(transform(col("ps"), p => sequence(p, p + n - 1)))),
+      array().cast("array<int>"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("cov", cov)
+      .withColumn("kept", filter(
+        transform(sequence(lit(0), size(col("ts")) - 1),
+          i => when(array_contains(col("cov"), i), lit(null))
+            .otherwise(element_at(col("ts"), i + 1))),
+        x => x.isNotNull))
+      .select(col("doc_id"), col("source"),
+        size(col("ts")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        ((size(col("ts")) - size(col("kept"))).cast("double") /
+          size(col("ts"))).as("boiler_frac"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
   /** SimHash near-duplicate candidate pairs within a hamming radius.
     * Blocking: split the 64-bit hash into 4 16-bit chunks; any pair with
     * hamming ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so candidates are

@@ -122,4 +122,41 @@ object Sampling {
           .when(col("bucket") < trainPerMille + valPerMille, lit("val"))
           .otherwise(lit("test")))
   }
+
+  /** Per-source quality-QUANTILE gate: keep each source's top
+    * `keepFrac` fraction of documents by a composite quality score —
+    * per-domain calibration (an absolute threshold keeps 95% of a clean
+    * source and 5% of a noisy one; a quantile gate keeps the BEST slice
+    * of every source, the standard mixture-shaping move before
+    * sampling).
+    *
+    * Score = stopword_ratio − punct_ratio − digit_ratio (each term the
+    * exact [[TextAnalysis.qualityScore]] arithmetic, subtracted left to
+    * right — single-rounded IEEE, oracle-replayable). The gate is
+    * integer-exact: rank-within-source (score desc, doc_id asc ties) ≤
+    * ⌈keepFrac · source size⌉.
+    *
+    * Scale shape: one window partitioned BY SOURCE (parallelism =
+    * source count × AQE; no global order), and the count is a window
+    * aggregate over the same partitioning — one shuffle total. Output:
+    * (doc_id, source, score, src_rank, n_src_docs, kept).
+    */
+  def qualityQuantileGate(docs: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        (col("stopword_ratio") - col("punct_ratio") - col("digit_ratio"))
+          .as("score"))
+    val scored = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("score"), asc("doc_id"))
+    val cw = Window.partitionBy(col("source"))
+    scored
+      .withColumn("src_rank", row_number().over(w))
+      .withColumn("n_src_docs", count(lit(1)).over(cw))
+      .withColumn("kept", col("src_rank") <=
+        ceil(lit(keepFrac) * col("n_src_docs").cast("double")))
+      .select("doc_id", "source", "score", "src_rank", "n_src_docs", "kept")
+  }
 }

@@ -353,7 +353,94 @@ object NorthStar3 extends QueryGroup {
             FROM ranked WHERE rank <= $topK ORDER BY q_id, rank"""))
   }
 
+  /** Per-source boilerplate 2-gram removal at 20% document frequency —
+    * the CCNet/RefinedWeb repeated-chrome cleanup (at n-gram granularity
+    * — the fixture has no line structure). The oracle replays gram
+    * selection on the gram STRINGS (Spark's xxhash64 is a dedupe key;
+    * hash equality == string equality modulo collisions, same as n44).
+    */
+  private val boilerplate = Q(
+    "n55_boilerplate_removal",
+    "drop per-source boilerplate 2-grams (>=20% of source docs), rebuild",
+    (s, dir) => Dedup
+      .boilerplateRemoval(Tables(s, dir).documents, 2, 0.2)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, source, string_split(text, ' ') AS ts
+              FROM documents),
+            pos AS (
+              SELECT doc_id, source, i AS pos,
+                array_to_string(ts[(i+1):(i+2)], ' ') AS g
+              FROM (SELECT doc_id, source, ts, unnest(range(len(ts) - 1)) AS i
+                    FROM t WHERE len(ts) >= 2)),
+            sdocs AS (
+              SELECT source, COUNT(*) AS n_src_docs
+              FROM documents GROUP BY source),
+            boiler AS (
+              SELECT source, g FROM (
+                SELECT source, g, COUNT(DISTINCT doc_id) AS docs_with
+                FROM pos GROUP BY source, g) d
+              JOIN sdocs USING (source)
+              WHERE CAST(docs_with AS DOUBLE) >= 0.2 * CAST(n_src_docs AS DOUBLE)),
+            cov AS (
+              SELECT DISTINCT doc_id, pos + u AS cp
+              FROM (SELECT p.doc_id, p.pos
+                    FROM pos p JOIN boiler b
+                      ON p.source = b.source AND p.g = b.g),
+                unnest(range(2)) AS tt(u)),
+            tokpos AS (
+              SELECT doc_id, i, ts[i+1] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM t)),
+            kept AS (
+              SELECT tp.doc_id, tp.i, tp.tok
+              FROM tokpos tp LEFT JOIN cov
+                ON tp.doc_id = cov.doc_id AND tp.i = cov.cp
+              WHERE cov.cp IS NULL),
+            rebuilt AS (
+              SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                array_to_string(list(tok ORDER BY i), ' ') AS cleaned_text
+              FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, t.source, CAST(len(t.ts) AS INT) AS n_tokens,
+              COALESCE(r.n_kept, 0) AS n_kept,
+              CAST(len(t.ts) - COALESCE(r.n_kept, 0) AS DOUBLE) / len(t.ts)
+                AS boiler_frac,
+              COALESCE(r.cleaned_text, '') AS cleaned_text
+            FROM t LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** Per-source quality-quantile gate: keep each source's top 50% by the
+    * composite score — per-domain calibration vs n08's absolute gate.
+    * Score terms are n08's exact ratio arithmetic, subtracted left to
+    * right; the gate itself is integer-exact (row_number ≤ ⌈frac·n⌉).
+    */
+  private val quantileGate = Q(
+    "n56_quality_quantile_gate",
+    "keep each source's top-50% documents by composite quality score",
+    (s, dir) => graft.operators.Sampling
+      .qualityQuantileGate(Tables(s, dir).documents, 0.5)
+      .orderBy("doc_id"),
+    Some("""WITH q AS (
+              SELECT doc_id, source,
+                (CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+                   / len(string_split(text, ' ')))
+                - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE))
+                - ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE)) AS score
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id) AS src_rank,
+                COUNT(*) OVER (PARTITION BY source) AS n_src_docs
+              FROM q)
+            SELECT doc_id, source, score, CAST(src_rank AS INT) AS src_rank,
+              n_src_docs,
+              src_rank <= CEIL(0.5 * CAST(n_src_docs AS DOUBLE)) AS kept
+            FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
     blocklistGate, snapshotDiff, annLshMultiTable, annLshMultiProbe,
-    annIvfLloyd)
+    annIvfLloyd, boilerplate, quantileGate)
 }

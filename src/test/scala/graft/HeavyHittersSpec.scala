@@ -65,6 +65,59 @@ class HeavyHittersSpec extends AnyFunSuite {
       s"10th count $tenth must exceed N/(k+1) = ${n / 65.0}")
   }
 
+  test("boilerplateRemoval: per-source grams removed, cross-source kept") {
+    // "promo offer" rides 3 of 4 srcA docs (75% >= 20%): boilerplate in
+    // srcA. The SAME bigram appears in only 1 of 4 srcB docs (25% >= 20%
+    // — also boilerplate there; threshold is per-source). "rare gram"
+    // appears once in srcA (25% >= 20% at these tiny sizes) — so use a
+    // 5-doc source where 1/5 = 20% boundary holds and 3/5 vs 1/5 splits.
+    val docs = Seq(
+      (1L, "srcA", "promo offer alpha beta gamma"),
+      (2L, "srcA", "promo offer delta epsilon zeta"),
+      (3L, "srcA", "promo offer eta theta iota"),
+      (4L, "srcA", "kappa lambda mu nu xi"),
+      (5L, "srcA", "omicron pi rho sigma tau"),
+      (6L, "srcB", "promo offer upsilon phi chi")
+    ).toDF("doc_id", "source", "text")
+    // srcA: "promo offer" df=3/5=60% >= 40% -> boilerplate; covered
+    // tokens drop. srcB: df=1/1=100% -> ALSO boilerplate (per-source).
+    val out = graft.operators.Dedup.boilerplateRemoval(docs, 2, 0.4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getString(5))).toMap
+    assert(out(1L) == ((5, 3, "alpha beta gamma")))
+    assert(out(2L) == ((5, 3, "delta epsilon zeta")))
+    assert(out(3L) == ((5, 3, "eta theta iota")))
+    // docs without the gram keep everything
+    assert(out(4L) == ((5, 5, "kappa lambda mu nu xi")))
+    assert(out(5L) == ((5, 5, "omicron pi rho sigma tau")))
+    // srcB's single doc: every bigram has df 1/1 = 100% -> whole doc is
+    // "boilerplate" (degenerate single-doc source; threshold is relative)
+    assert(out(6L)._2 == 0)
+  }
+
+  test("qualityQuantileGate keeps exactly ceil(frac*n) per source, best first") {
+    val docs = Seq(
+      // srcA: 3 docs; stopword-rich text scores higher
+      (1L, "srcA", "the a and of to the a and of to"),
+      (2L, "srcA", "alpha beta gamma delta epsilon"),
+      (3L, "srcA", "the quick brown fox jumps"),
+      // srcB: 2 docs with digits dragging one down
+      (4L, "srcB", "the best of the best"),
+      (5L, "srcB", "12345 67890 11111 22222 33333")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Sampling.qualityQuantileGate(docs, 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    // srcA keeps ceil(0.5*3)=2: the two highest scores
+    assert(out(1L)._1 == 1 && out(1L)._3, "all-stopword doc must rank 1")
+    assert(Seq(out(1L), out(2L), out(3L)).count(_._3) == 2)
+    assert(!out(2L)._3, "no-stopword doc must be the one dropped in srcA")
+    // srcB keeps ceil(0.5*2)=1: the stopword doc, not the digit doc
+    assert(out(4L) == ((1, 2L, true)))
+    assert(out(5L) == ((2, 2L, false)))
+  }
+
   test("editDistancePairs: identical pair scores 1.0, mutation scores < 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
