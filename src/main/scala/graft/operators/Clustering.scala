@@ -218,6 +218,38 @@ object Clustering {
     cents
   }
 
+  /** Quality-aware near-dup cluster representative selection: the
+    * production refinement of [[dupClusters]]' keep-the-minimum-id rule —
+    * when a cluster of near-duplicates collapses to one survivor, keep
+    * the HIGHEST-QUALITY member (composite score: stopword − punct −
+    * digit ratios, the [[TextAnalysis.qualityScore]] arithmetic), ties
+    * to the lowest doc_id. Dedup that throws away the cleanest copy of
+    * a page and keeps the ad-riddled one is strictly worse training
+    * data; this operator is why cluster identification and survivor
+    * choice are separate concerns.
+    *
+    * Scale shape: clusters from the [[dupClusters]] CC machinery
+    * (pointer jumping, O(log n) rounds); scoring is scan-stage
+    * expression work; the representative pick is one window partitioned
+    * by COMPONENT (clusters are near-dup-sized — tiny — and singletons
+    * dominate, so AQE sees an almost-unique key). Output: (doc_id,
+    * component, score, keep).
+    */
+  def dupClustersKeepBest(
+      docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val comp = dupClusters(docs, n, threshold).select("doc_id", "component")
+    val score = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        (col("stopword_ratio") - col("punct_ratio") - col("digit_ratio"))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(desc("score"), asc("doc_id"))
+    comp.join(score, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "component", "score", "keep")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication = k-means
     * cluster the embeddings, then compare pairs only WITHIN a cluster
     * and drop the higher vec_id of every pair with cosine ≥ `threshold`.

@@ -413,21 +413,28 @@ object NorthStar3 extends QueryGroup {
     * Score terms are n08's exact ratio arithmetic, subtracted left to
     * right; the gate itself is integer-exact (row_number ≤ ⌈frac·n⌉).
     */
+  /** The n08 composite-score arithmetic as SQL — shared by n56/n57
+    * (stopword − punct − digit ratios, subtracted left to right; every
+    * term is the exact n08 oracle expression, so the subtraction is the
+    * only new arithmetic and it is single-rounded in both engines).
+    */
+  private val scoreSql: String =
+    """(CAST(len(list_filter(string_split(text, ' '),
+         t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
+         / len(string_split(text, ' ')))
+      - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         / CAST(length(text) AS DOUBLE))
+      - ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         / CAST(length(text) AS DOUBLE))"""
+
   private val quantileGate = Q(
     "n56_quality_quantile_gate",
     "keep each source's top-50% documents by composite quality score",
     (s, dir) => graft.operators.Sampling
       .qualityQuantileGate(Tables(s, dir).documents, 0.5)
       .orderBy("doc_id"),
-    Some("""WITH q AS (
-              SELECT doc_id, source,
-                (CAST(len(list_filter(string_split(text, ' '),
-                   t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
-                   / len(string_split(text, ' ')))
-                - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
-                   / CAST(length(text) AS DOUBLE))
-                - ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-                   / CAST(length(text) AS DOUBLE)) AS score
+    Some(s"""WITH q AS (
+              SELECT doc_id, source, $scoreSql AS score
               FROM documents),
             r AS (
               SELECT doc_id, source, score,
@@ -440,7 +447,33 @@ object NorthStar3 extends QueryGroup {
               src_rank <= CEIL(0.5 * CAST(n_src_docs AS DOUBLE)) AS kept
             FROM r ORDER BY doc_id"""))
 
+  /** Quality-aware dup-cluster survivor: n22's CC closure chooses the
+    * clusters, the n56 composite score chooses the representative (ties
+    * to lowest doc_id). The oracle layers one ranked window over the
+    * shared recursive-CTE closure ([[NorthStar.ccCtes]]).
+    */
+  private val keepBest = Q(
+    "n57_dedup_keep_best",
+    "near-dup clusters keep the highest-quality member, not the min id",
+    (s, dir) => graft.operators.Clustering
+      .dupClustersKeepBest(Tables(s, dir).documents, 3, 0.8)
+      .orderBy("doc_id"),
+    Some(s"""${NorthStar.ccCtes},
+            q AS (
+              SELECT doc_id, $scoreSql AS score
+              FROM documents),
+            asn AS (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+            r AS (
+              SELECT a.doc_id, a.component, q.score,
+                row_number() OVER (PARTITION BY a.component
+                  ORDER BY q.score DESC, a.doc_id) AS rn
+              FROM asn a JOIN q USING (doc_id))
+            SELECT doc_id, component, score, rn = 1 AS keep
+            FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
     blocklistGate, snapshotDiff, annLshMultiTable, annLshMultiProbe,
-    annIvfLloyd, boilerplate, quantileGate)
+    annIvfLloyd, boilerplate, quantileGate, keepBest)
 }

@@ -161,6 +161,24 @@ object ScaleProbe {
       Similarity.ivfTopKLloyd(emb.filter(col("id") < 10), emb, 5).count()
     })
 
+    // Replication keeps each copy's source labels, so per-source doc
+    // counts grow with the copies while gram document-frequency grows in
+    // lockstep — the boilerplate FRACTION is scale-invariant, which is
+    // exactly the per-source-relative contract under test.
+    probe("boilerplate", c =>
+      Dedup.boilerplateRemoval(replicate(t.documents, "doc_id", c), 2, 0.2)
+        .count())
+
+    probe("quantile_gate", c =>
+      graft.operators.Sampling
+        .qualityQuantileGate(replicate(t.documents, "doc_id", c), 0.5)
+        .count())
+
+    probe("keep_best", c =>
+      graft.operators.Clustering
+        .dupClustersKeepBest(replicate(t.documents, "doc_id", c), 3, 0.8)
+        .count())
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each

@@ -118,6 +118,23 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(out(5L) == ((2, 2L, false)))
   }
 
+  test("dupClustersKeepBest keeps the high-quality member, not the min id") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$base 12345"), // digit-laden copy (lower quality), LOWER id
+      (11L, s"$base the"),   // stopword-rich copy (higher quality)
+      (20L, "completely unrelated singleton text here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Clustering.dupClustersKeepBest(docs, 3, 0.8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    // 10 and 11 share 28 of 30 3-shingles (J ≈ 0.93): one cluster,
+    // component = min id = 10 — but the SURVIVOR is 11, the cleaner copy
+    assert(out(10L) == ((10L, false)), "min-id member must lose to quality")
+    assert(out(11L) == ((10L, true)))
+    assert(out(20L) == ((20L, true)), "singleton keeps itself")
+  }
+
   test("editDistancePairs: identical pair scores 1.0, mutation scores < 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
