@@ -473,7 +473,80 @@ object NorthStar3 extends QueryGroup {
             SELECT doc_id, component, score, rn = 1 AS keep
             FROM r ORDER BY doc_id"""))
 
+  /** The composed round-6 pipeline: boilerplate cleanup → per-source
+    * quantile gate on the CLEANED text → keep-best dedup over the
+    * cleaned text. The oracle chains the n55 CTEs, the n56 window, and
+    * the shared recursive closure ([[NorthStar.ccCtesBody]]) spliced
+    * over the survivor relation — every stage is an already-proven
+    * oracle fragment, so the only new thing under test is the
+    * composition itself.
+    */
+  private val pipelineV2 = Q(
+    "n58_curation_pipeline_v2",
+    "boilerplate cleanup -> per-source quantile gate -> keep-best dedup",
+    (s, dir) => graft.operators.Curation
+      .pipelineV2(Tables(s, dir).documents)
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE
+            t0 AS (
+              SELECT doc_id, source, string_split(text, ' ') AS ts
+              FROM documents),
+            pos0 AS (
+              SELECT doc_id, source, i AS pos,
+                array_to_string(ts[(i+1):(i+2)], ' ') AS g
+              FROM (SELECT doc_id, source, ts, unnest(range(len(ts) - 1)) AS i
+                    FROM t0 WHERE len(ts) >= 2)),
+            sdocs0 AS (
+              SELECT source, COUNT(*) AS nsd FROM documents GROUP BY source),
+            boiler0 AS (
+              SELECT source, g FROM (
+                SELECT source, g, COUNT(DISTINCT doc_id) AS dw
+                FROM pos0 GROUP BY source, g) d
+              JOIN sdocs0 USING (source)
+              WHERE CAST(dw AS DOUBLE) >= 0.2 * CAST(nsd AS DOUBLE)),
+            cov0 AS (
+              SELECT DISTINCT doc_id, pos + u AS cp
+              FROM (SELECT p.doc_id, p.pos FROM pos0 p JOIN boiler0 b
+                      ON p.source = b.source AND p.g = b.g),
+                unnest(range(2)) AS tt(u)),
+            tokpos0 AS (
+              SELECT doc_id, i, ts[i+1] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM t0)),
+            kept0 AS (
+              SELECT tp.doc_id, tp.i, tp.tok
+              FROM tokpos0 tp LEFT JOIN cov0
+                ON tp.doc_id = cov0.doc_id AND tp.i = cov0.cp
+              WHERE cov0.cp IS NULL),
+            cleaned AS (
+              SELECT k.doc_id, t0.source,
+                array_to_string(list(k.tok ORDER BY k.i), ' ') AS text
+              FROM kept0 k JOIN t0 USING (doc_id)
+              GROUP BY k.doc_id, t0.source),
+            q2 AS (
+              SELECT doc_id, source, $scoreSql AS score FROM cleaned),
+            g2 AS (
+              SELECT doc_id, source, score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS nsd2
+              FROM q2),
+            surv AS (
+              SELECT g2.doc_id, g2.source, g2.score, c.text
+              FROM g2 JOIN cleaned c USING (doc_id)
+              WHERE g2.rn <= CEIL(0.5 * CAST(g2.nsd2 AS DOUBLE))),
+            ${NorthStar.ccCtesBody("surv")},
+            asn AS (
+              SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component
+              FROM surv s LEFT JOIN comp c ON s.doc_id = c.doc_id),
+            r2 AS (
+              SELECT a.doc_id, s.source, a.component, s.score,
+                row_number() OVER (PARTITION BY a.component
+                  ORDER BY s.score DESC, a.doc_id) AS rn
+              FROM asn a JOIN surv s USING (doc_id))
+            SELECT doc_id, source, component, score
+            FROM r2 WHERE rn = 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(editDistPairs, heavyHitters, tokenHistogram,
     blocklistGate, snapshotDiff, annLshMultiTable, annLshMultiProbe,
-    annIvfLloyd, boilerplate, quantileGate, keepBest)
+    annIvfLloyd, boilerplate, quantileGate, keepBest, pipelineV2)
 }

@@ -135,6 +135,33 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(out(20L) == ((20L, true)), "singleton keeps itself")
   }
 
+  test("pipelineV2 composes: boilerplate stripped, gate top-3, best dup kept") {
+    // letter-only tokens: a digit inside a token (w1, z3…) would feed
+    // digit_ratio and invert the intended score ordering
+    val ab = "abcdefghijklmnopqrstuvwxyz"
+    val base = (0 until 30).map(i => s"t${ab(i % 26)}${ab(i / 26)}")
+      .mkString(" ")
+    val zs = (0 until 10).map(i => s"z${ab(i)}").mkString(" ")
+    val ms = (0 until 10).map(i => s"m${ab(i)}").mkString(" ")
+    val docs = Seq(
+      // "promo offer" rides 3/5 docs (60% >= 50%): boilerplate. After
+      // cleanup, docs 1+2 are near-dups (J = 29/30) with doc 2 scoring
+      // higher (2 stopwords vs 1); doc 3 is a stopword-rich singleton.
+      (1L, "sA", s"promo offer $base the"),
+      (2L, "sA", s"promo offer $base the a"),
+      (3L, "sA", s"promo offer $zs of"),
+      (4L, "sA", ms),                              // no stopwords: score 0
+      (5L, "sA", "na nb 12345")                    // digits: score < 0
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Curation
+      .pipelineV2(docs, boilerN = 2, boilerFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // gate keeps ceil(0.5*5)=3 {3,2,1}; dedup keeps doc 2 over doc 1
+    // (higher quality, component = min id = 1); doc 3 is a singleton
+    assert(out == Map(2L -> 1L, 3L -> 3L),
+      s"expected survivors {2 -> comp 1, 3 -> comp 3}, got $out")
+  }
+
   test("editDistancePairs: identical pair scores 1.0, mutation scores < 1") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
