@@ -296,4 +296,32 @@ object Clustering {
         coalesce(col("component"), col("doc_id")).as("component"))
       .withColumn("keep", col("component") === col("doc_id"))
   }
+
+  /** Soft deduplication: instead of DROPPING near-duplicates, every
+    * member of a dup cluster is kept with a sampling weight of
+    * 1/cluster-size, so each distinct piece of content contributes one
+    * expected epoch occurrence regardless of how many copies the crawl
+    * found (the reweight-don't-remove strand of the dedup literature —
+    * hard removal loses the natural distribution over near-variants;
+    * downweighting preserves it at equal effective mass).
+    *
+    * The weight is emitted in integer parts-per-million
+    * (`1000000 div n_members`) — exact in any engine, no FP division —
+    * ready for [[Sampling.mixtureUpsample]]-style per-mille thinning or
+    * a loss-weighting column at training time.
+    *
+    * Scale shape: [[dupClusters]] CC machinery (pointer jumping,
+    * O(log n) rounds) plus ONE count window partitioned by COMPONENT —
+    * near-dup clusters are tiny and singletons dominate, so the window
+    * key is almost unique and AQE-friendly. Output: (doc_id, component,
+    * n_members, weight_ppm).
+    */
+  def dupClustersSoftWeight(
+      docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    dupClusters(docs, n, threshold)
+      .select(col("doc_id"), col("component"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("weight_ppm", expr("1000000L div n_members"))
+  }
 }

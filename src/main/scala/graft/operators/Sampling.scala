@@ -159,4 +159,117 @@ object Sampling {
         ceil(lit(keepFrac) * col("n_src_docs").cast("double")))
       .select("doc_id", "source", "score", "src_rank", "n_src_docs", "kept")
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its n-gram distribution looks like a TARGET
+    * domain sample, keep the top `keepFrac` fraction.
+    *
+    * Features are unigrams + bigrams of the whitespace tokens. Each
+    * gram g gets an add-one-smoothed target/raw rate ratio in integer
+    * parts-per-million,
+    *
+    *   imp(g) = (10⁶ · (tgt_g + 1) · (N_raw + V)) div ((raw_g + 1) · (N_tgt + V))
+    *
+    * and a document scores Σ_g count_g(doc) · imp(g). This is the
+    * arithmetic-mean form of DSIR's log-likelihood-ratio weight: libm
+    * `ln` is not cross-engine bit-exact (the n42 bigram-LM policy), so
+    * the ratios are combined linearly in exact BIGINT arithmetic rather
+    * than multiplicatively in log space — same per-gram evidence, fully
+    * engine-reproducible. The paper hashes grams into 10⁴ buckets; we
+    * keep exact gram strings for oracle parity (swapping in a 64-bit
+    * hash changes only the join key and makes the importance table
+    * fixed-size — the 100 TB form). At 100 TB the BIGINT products need
+    * one more cast up to DECIMAL(38,0).
+    *
+    * Scale shape: gram counting is explode + two hash aggregations
+    * (map-side partials; the doc_id-keyed one carries only (id, gram,
+    * count)); corpus totals are one-row aggregates crossJoin-broadcast;
+    * the per-gram importance table joins back on the gram key (hashed:
+    * broadcastable); the final rank is [[GlobalOrder.withGlobalIndexCols]]
+    * — a distributed range-partitioned sort, NOT a partition-less
+    * window. Output: (doc_id, score_ppm, rank, kept).
+    */
+  def dsirSelect(
+      docs: DataFrame, isTarget: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val ts = split(col("text"), " ")
+    val grams = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+      explode(concat(ts, when(size(ts) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ts) - 2),
+          i => concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))))))
+        .as("g"))
+    // docGrams feeds BOTH the gram-stats path (raw/tgt counts → imp
+    // table) and the per-doc score join — without the persist the
+    // explode + first aggregation runs twice (the standing
+    // diamond-persist policy; a 100 TB pipeline writes this out).
+    val docGrams = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"), first(col("is_tgt")).as("is_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramStats = docGrams.groupBy("g").agg(
+      sum(col("c")).as("raw_g"),
+      sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("tgt_g"))
+    val totals = gramStats.agg(
+      sum(col("raw_g")).as("n_raw"),
+      sum(col("tgt_g")).as("n_tgt"),
+      count(lit(1)).as("v"))
+    val imp = gramStats.crossJoin(broadcast(totals))
+      .withColumn("num", lit(1000000L) * (col("tgt_g") + 1L) * (col("n_raw") + col("v")))
+      .withColumn("den", (col("raw_g") + 1L) * (col("n_tgt") + col("v")))
+      .select(col("g"), expr("num div den").as("imp_ppm"))
+    val scored = docGrams.join(imp, "g")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("imp_ppm")).as("score_ppm"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    GlobalOrder.withGlobalIndexCols(scored,
+      Seq(desc("score_ppm"), asc("doc_id")))
+      .withColumnRenamed("_global_rank", "rank")
+      .crossJoin(broadcast(n))
+      .withColumn("kept",
+        col("rank") <= ceil(lit(keepFrac) * col("n_docs").cast("double")))
+      .select("doc_id", "score_ppm", "rank", "kept")
+  }
+
+  /** Temperature-scaled source mixture (the mC4/multilingual recipe:
+    * sample source s with probability ∝ |D_s|^α, α < 1 flattening the
+    * head so low-resource sources aren't drowned). Fixed α = 0.5:
+    * `sqrt` is IEEE-correctly-rounded in every engine, while arbitrary
+    * `pow` is libm-dependent — the same exactness policy as n42's
+    * no-`ln` rule. Each source's realized rate is reduced to integer
+    * per-mille,
+    *
+    *   s_s  = ⌊√c_s · 10⁶⌋            (micro-units, exact in BIGINT)
+    *   rate = (1000 · T · s_s) div (Σ_m s_m · c_s)
+    *
+    * and applied with [[mixtureUpsample]]'s systematic `id % 1000`
+    * remainder spread — zero RNG state, reproducible at any
+    * parallelism. `targetTotal` T is the desired expected output size
+    * in documents; rates over 1000‰ replicate (upsample), under 1000‰
+    * thin.
+    *
+    * Scale shape: per-source counts are one tiny hash aggregate (rows =
+    * source count), the rate table broadcasts back onto the corpus, and
+    * the copy explosion is per-row arithmetic — no other shuffle.
+    * Output: (doc_id, source, per_mille, copy_idx).
+    */
+  def temperatureMixture(docs: DataFrame, targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be > 0, got $targetTotal")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("c_s"))
+      .withColumn("s_s", floor(sqrt(col("c_s").cast("double")) * lit(1e6)).cast("long"))
+    val denom = counts.agg(sum(col("s_s")).as("s_tot"))
+    val rates = counts.crossJoin(broadcast(denom))
+      .withColumn("num", lit(1000L) * lit(targetTotal) * col("s_s"))
+      .withColumn("den", col("s_tot") * col("c_s"))
+      .select(col("source"), expr("num div den").as("per_mille"))
+    val copies = expr("per_mille div 1000") +
+      when(pmod(col("doc_id"), lit(1000)) < col("per_mille") % 1000, 1L)
+        .otherwise(0L)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .select("doc_id", "source", "per_mille", "copy_idx")
+  }
 }

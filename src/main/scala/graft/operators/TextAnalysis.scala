@@ -310,4 +310,42 @@ object TextAnalysis {
           .otherwise((col("n_bytes") * col("n_bytes")).cast("double") /
             col("sum_c2")).as("effective_bytes"))
   }
+
+  /** Gopher word-level quality rules (Rae et al. 2021 §A1.1) — the
+    * document-shape complement of [[repetitionStats]]' repetition rules:
+    * word-count bounds, mean word length in [3, 10], ≥ 80% of words
+    * containing an alphabetic character, and at least two distinct
+    * stopword hits. The alpha-fraction gate is kept integer-exact
+    * (`5·n_alpha ≥ 4·n_words`, no FP ratio); mean word length is one
+    * single-rounded division of two exact integers, so every flag is
+    * engine-reproducible.
+    *
+    * The word-count floor is 10 (not the paper's 50): the corpus here is
+    * short synthetic documents, and a gate that fails every row tests
+    * nothing. Scale shape: pure per-row expression work in the scan
+    * stage — no shuffle at all.
+    */
+  def gopherQualityRules(docs: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    val nWords = size(ts)
+    // Σ token length via space-stripping — identical arithmetic exists
+    // in any engine, and it never explodes the token array
+    val sumLen = length(translate(col("text"), " ", ""))
+    val nAlpha = size(filter(ts, t => t.rlike("[a-zA-Z]")))
+    val stopHits = Seq("the", "a", "and", "of", "to")
+      .map(w => when(array_contains(ts, w), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      (sumLen.cast("double") / nWords).as("mean_word_len"),
+      nAlpha.as("n_alpha"), stopHits.as("n_stop_hits"))
+      .withColumn("word_count_ok",
+        col("n_words") >= 10 && col("n_words") <= 100000)
+      .withColumn("mean_len_ok",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("alpha_ok", col("n_alpha") * 5 >= col("n_words") * 4)
+      .withColumn("stop_ok", col("n_stop_hits") >= 2)
+      .withColumn("gopher_ok",
+        col("word_count_ok") && col("mean_len_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+  }
 }

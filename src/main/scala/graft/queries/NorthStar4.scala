@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Clustering, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-6 north-star operators: distribution-level data selection —
+  * importance-based (DSIR), reweighting instead of removal (soft dedup),
+  * temperature-flattened source mixing — plus the Gopher word-shape
+  * gate. All integer-exact scoring (the no-`ln`/no-`pow` cross-engine
+  * policy, see n42): ratios live in parts-per-million BIGINTs, never in
+  * libm transcendentals.
+  */
+object NorthStar4 extends QueryGroup {
+
+  /** DSIR importance selection with lang='en' as the target domain
+    * sample. The oracle restates the whole chain — gram explode,
+    * smoothed ppm importance ratios, BIGINT dot-product score, dense
+    * rank — in exact integer arithmetic, so the hash compare covers the
+    * scores themselves, not just the kept set.
+    */
+  private val dsir = Q(
+    "n59_dsir_importance",
+    "DSIR-style importance selection toward the lang='en' target slice",
+    (s, dir) => Sampling
+      .dsirSelect(Tables(s, dir).documents, col("lang") === "en", 0.25)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, lang = 'en' AS is_tgt,
+                string_split(text, ' ') AS ts
+              FROM documents),
+            g AS (
+              SELECT doc_id, is_tgt, unnest(list_concat(ts,
+                CASE WHEN len(ts) < 2 THEN []
+                     ELSE list_transform(range(len(ts) - 1),
+                            i -> ts[i+1] || ' ' || ts[i+2]) END)) AS g
+              FROM t),
+            dg AS (
+              SELECT doc_id, g, COUNT(*) AS c, bool_or(is_tgt) AS is_tgt
+              FROM g GROUP BY doc_id, g),
+            gs AS (
+              SELECT g, CAST(SUM(c) AS BIGINT) AS raw_g,
+                CAST(SUM(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS tgt_g
+              FROM dg GROUP BY g),
+            tot AS (
+              SELECT CAST(SUM(raw_g) AS BIGINT) AS n_raw,
+                CAST(SUM(tgt_g) AS BIGINT) AS n_tgt,
+                COUNT(*) AS v
+              FROM gs),
+            imp AS (
+              SELECT g, (1000000 * (tgt_g + 1) * (n_raw + v))
+                // ((raw_g + 1) * (n_tgt + v)) AS imp_ppm
+              FROM gs, tot),
+            sc AS (
+              SELECT doc_id, CAST(SUM(c * imp_ppm) AS BIGINT) AS score_ppm
+              FROM dg JOIN imp USING (g) GROUP BY doc_id),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            r AS (
+              SELECT doc_id, score_ppm,
+                row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank
+              FROM sc)
+            SELECT doc_id, score_ppm, rank,
+              rank <= CEIL(0.25 * CAST(n_docs AS DOUBLE)) AS kept
+            FROM r, n ORDER BY doc_id"""))
+
+  /** Soft dedup: same CC closure as n22/n34 (the shared recursive CTE),
+    * weights as exact integer division.
+    */
+  private val softWeight = Q(
+    "n60_dedup_soft_weight",
+    "keep every near-dup, downweighted to 1/cluster-size ppm",
+    (s, dir) => Clustering
+      .dupClustersSoftWeight(Tables(s, dir).documents, 3, 0.8)
+      .orderBy("doc_id"),
+    Some(s"""${NorthStar.ccCtes},
+            asn AS (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+            sized AS (
+              SELECT doc_id, component,
+                COUNT(*) OVER (PARTITION BY component) AS n_members
+              FROM asn)
+            SELECT doc_id, component, n_members,
+              1000000 // n_members AS weight_ppm
+            FROM sized ORDER BY doc_id"""))
+
+  /** α=0.5 temperature mixture targeting 200 expected output documents:
+    * at sf0.001 every source upsamples (~4×), at sf0.1 every source
+    * thins (~4%) — both regimes of the per-mille machinery exercised by
+    * the same constant across the driver's three SFs.
+    */
+  private val temperature = Q(
+    "n61_temperature_mixture",
+    "sqrt-temperature source mixture, systematic per-mille realization",
+    (s, dir) => Sampling
+      .temperatureMixture(Tables(s, dir).documents, 200L)
+      .orderBy("doc_id", "copy_idx"),
+    Some("""WITH c AS (
+              SELECT source, COUNT(*) AS c_s FROM documents GROUP BY source),
+            s AS (
+              SELECT source, c_s,
+                CAST(FLOOR(SQRT(CAST(c_s AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_s
+              FROM c),
+            d AS (SELECT CAST(SUM(s_s) AS BIGINT) AS s_tot FROM s),
+            r AS (
+              SELECT source, (1000 * 200 * s_s) // (s_tot * c_s) AS per_mille
+              FROM s, d),
+            e AS (
+              SELECT doc_id, dd.source, per_mille,
+                per_mille // 1000 +
+                  CASE WHEN doc_id % 1000 < per_mille % 1000
+                       THEN 1 ELSE 0 END AS n
+              FROM documents dd JOIN r ON dd.source = r.source)
+            SELECT doc_id, source, per_mille, CAST(u AS BIGINT) AS copy_idx
+            FROM (SELECT doc_id, source, per_mille, unnest(range(n)) AS u
+                  FROM e WHERE n > 0)
+            ORDER BY doc_id, copy_idx"""))
+
+  /** Gopher word-shape rules; the alpha gate is the integer form
+    * `5·n_alpha ≥ 4·n_words` in both engines.
+    */
+  private val gopher = Q(
+    "n62_gopher_rules",
+    "Gopher word-level quality rules (word count / mean length / alpha / stopwords)",
+    (s, dir) => TextAnalysis
+      .gopherQualityRules(Tables(s, dir).documents)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS ts,
+                length(replace(text, ' ', '')) AS sum_len
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(ts) AS INT) AS n_words,
+                CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT) AS mean_word_len,
+                CAST(len(list_filter(ts,
+                  x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS n_alpha,
+                (CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(ts, 'a') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END +
+                 CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END) AS n_stop_hits
+              FROM t)
+            SELECT doc_id, n_words, mean_word_len, n_alpha, n_stop_hits,
+              n_words >= 10 AND n_words <= 100000 AS word_count_ok,
+              mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_len_ok,
+              n_alpha * 5 >= n_words * 4 AS alpha_ok,
+              n_stop_hits >= 2 AS stop_ok,
+              (n_words >= 10 AND n_words <= 100000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND (n_alpha * 5 >= n_words * 4)
+                AND (n_stop_hits >= 2) AS gopher_ok
+            FROM m ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher)
+}

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   def groups: Seq[QueryGroup] =
     Seq(CoreOps, Relational, Relational2, Relational3, Relational4,
-      TimeWindows, StreamingQueries, NorthStar, NorthStar2, NorthStar3)
+      TimeWindows, StreamingQueries, NorthStar, NorthStar2, NorthStar3,
+      NorthStar4)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.all)

@@ -179,6 +179,35 @@ object ScaleProbe {
         .dupClustersKeepBest(replicate(t.documents, "doc_id", c), 3, 0.8)
         .count())
 
+    probe("curation_v2", c =>
+      graft.operators.Curation
+        .pipelineV2(replicate(t.documents, "doc_id", c))
+        .count())
+
+    // Replication preserves the lang labels, so the target slice grows
+    // with the corpus — the gram-vocab (V) stays fixed while counts
+    // scale, the realistic regime for importance weighting.
+    probe("dsir_select", c =>
+      graft.operators.Sampling
+        .dsirSelect(replicate(t.documents, "doc_id", c),
+          col("lang") === "en", 0.25)
+        .count())
+
+    probe("soft_dedup", c =>
+      graft.operators.Clustering
+        .dupClustersSoftWeight(replicate(t.documents, "doc_id", c), 3, 0.8)
+        .count())
+
+    probe("temperature_mix", c =>
+      graft.operators.Sampling
+        .temperatureMixture(replicate(t.documents, "doc_id", c), 200L)
+        .count())
+
+    probe("gopher_rules", c =>
+      graft.operators.TextAnalysis
+        .gopherQualityRules(replicate(t.documents, "doc_id", c))
+        .count())
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each

@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{Clustering, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 distribution-level selection operators: DSIR importance,
+  * soft-dedup reweighting, temperature mixture, Gopher word-shape
+  * rules. Each test pins the exact integer arithmetic with a planted
+  * fixture or a plain-Scala model replay (the repo's seeded-model
+  * pattern) — no tolerance assertions anywhere, because the operators
+  * are exact by construction.
+  */
+class DataSelectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dsirSelect ranks target-like docs above off-target docs") {
+    // target slice speaks "alpha beta"; off-target speaks "gamma delta".
+    // Docs 10/11 mirror the target distribution, 12/13 the off-target
+    // one — DSIR must rank {10,11} strictly above {12,13}, whatever the
+    // smoothing constants do to absolute scores.
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta alpha"),
+      (2L, "en", "beta alpha beta alpha beta"),
+      (3L, "de", "gamma delta gamma delta gamma"),
+      (4L, "de", "delta gamma delta gamma delta"),
+      (10L, "de", "alpha beta alpha beta gamma"),
+      (11L, "de", "beta alpha beta alpha delta"),
+      (12L, "de", "gamma delta gamma delta alpha"),
+      (13L, "de", "delta gamma delta gamma beta")
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.dsirSelect(docs, col("lang") === "en", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val score = out.view.mapValues(_._1).toMap
+    assert(score(10L) > score(12L) && score(10L) > score(13L))
+    assert(score(11L) > score(12L) && score(11L) > score(13L))
+    // target docs themselves score highest; kept = top half = ranks 1-4
+    val kept = Sampling.dsirSelect(docs, col("lang") === "en", 0.5)
+      .filter(col("kept")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 10L, 11L),
+      s"expected the target-like half kept, got $kept")
+  }
+
+  test("dsirSelect score matches a plain-Scala replay of the ppm arithmetic") {
+    val rows = Seq(
+      (1L, true, "x y x z"), (2L, false, "y z w w"), (3L, false, "x w y"))
+    val docs = rows.map { case (id, t, txt) =>
+      (id, if (t) "en" else "de", txt)
+    }.toDF("doc_id", "lang", "text")
+    // model: unigrams + bigrams with multiplicity
+    def grams(s: String): Seq[String] = {
+      val ts = s.split(" ").toSeq
+      ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val perDoc = rows.map { case (id, t, txt) =>
+      (id, t, grams(txt).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val raw = perDoc.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val tgt = perDoc.filter(_._2).flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val nRaw = raw.values.sum; val nTgt = tgt.values.sum; val v = raw.size.toLong
+    val imp = raw.map { case (g, r) =>
+      g -> (1000000L * (tgt.getOrElse(g, 0L) + 1L) * (nRaw + v)) /
+        ((r + 1L) * (nTgt + v))
+    }
+    val expected = perDoc.map { case (id, _, cs) =>
+      id -> cs.map { case (g, c) => c * imp(g) }.sum
+    }.toMap
+    val got = Sampling.dsirSelect(docs, col("lang") === "en", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"scores diverge: got $got expected $expected")
+  }
+
+  test("dupClustersSoftWeight: ppm weights are exact integer division") {
+    // docs 1-3 are one near-dup cluster (shared shingles), 9 a singleton
+    val dup = "spark shuffle partition broadcast join skew salt"
+    val docs = Seq(
+      (1L, s"$dup alpha"), (2L, s"$dup beta"), (3L, s"$dup gamma"),
+      (9L, "totally different text about nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Clustering.dupClustersSoftWeight(docs, 3, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 333333L)))
+    assert(out(2L) == ((3L, 333333L)))
+    assert(out(3L) == ((3L, 333333L)))
+    assert(out(9L) == ((1L, 1000000L)))
+  }
+
+  test("temperatureMixture realizes the sqrt-flattened per-mille rates") {
+    // c = [16, 4] -> s = [4e6, 2e6], S = 6e6; T = 12:
+    //   rate_big  = 1000*12*4e6 / (6e6*16) = 500 per-mille
+    //   rate_small = 1000*12*2e6 / (6e6*4) = 1000 per-mille
+    // sqrt flattening: the 4x-bigger source gets only 2x the mass.
+    val docs = (0 until 16).map(i => (i * 100L, "big", "t")) ++
+      (0 until 4).map(i => (10000L + i, "small", "t"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = Sampling.temperatureMixture(df, 12L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perMille = out.map(t => t._2 -> t._3).toMap
+    assert(perMille == Map("big" -> 500L, "small" -> 1000L))
+    // systematic realization: big keeps ids with id % 1000 < 500
+    // (0,100,...,400 and 1000,1100,...,1400), small keeps all, 1 copy
+    val bigKept = out.filter(_._2 == "big").map(_._1).sorted.toSeq
+    assert(bigKept == Seq(0L, 100L, 200L, 300L, 400L,
+      1000L, 1100L, 1200L, 1300L, 1400L))
+    assert(out.filter(_._2 == "small").map(_._1).sorted.toSeq ==
+      Seq(10000L, 10001L, 10002L, 10003L))
+    assert(out.forall(_._4 == 0L), "no rate here exceeds 1000 per-mille")
+  }
+
+  test("temperatureMixture upsamples sources whose rate exceeds 1000 per-mille") {
+    // c = [9, 1] -> s = [3e6, 1e6], S = 4e6; T = 8:
+    //   rate_small = 1000*8*1e6 / (4e6*1) = 2000 per-mille -> 2 copies
+    val docs = (0 until 9).map(i => (i.toLong, "big", "t")) :+
+      (500L, "small", "t")
+    val out = Sampling.temperatureMixture(docs.toDF("doc_id", "source", "text"), 8L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val small = out.filter(_._2 == "small")
+    assert(small.map(_._3).sorted.toSeq == Seq(0L, 1L),
+      s"2000 per-mille must yield exactly 2 copies, got $small")
+  }
+
+  test("gopherQualityRules flags each rule at its exact boundary") {
+    val docs = Seq(
+      // 10 words x 3 chars: word_count_ok (==10), mean exactly 3.0 (in),
+      // all alpha, "the"+"and" absent -> needs stopwords: use none
+      (1L, "abc def ghi jkl mno pqr stu vwx yza bcd"),
+      // 9 words: below the word-count floor
+      (2L, "abc def ghi jkl mno pqr stu vwx yza"),
+      // mean word length 2.0 < 3: fails mean_len
+      (3L, "ab cd ef gh ij kl mn op qr st"),
+      // 2 of 10 words non-alpha (8/10 = exactly 80%: passes 5n>=4w);
+      // contains the+and+of -> stop_ok
+      (4L, "the and of word here 123 456 more word text"),
+      // 3 of 10 non-alpha (70% < 80%): fails alpha
+      (5L, "the and of word here 123 456 789 word text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityRules(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))
+      .toMap
+    assert(out(1L) == ((true, true, true, false)), s"doc1: ${out(1L)}")
+    assert(out(2L)._1 == false, "9 words fails the floor")
+    assert(out(3L)._2 == false, "mean 2.0 fails [3,10]")
+    assert(out(4L) == ((true, true, true, true)), s"doc4: ${out(4L)}")
+    assert(out(5L)._3 == false, "70% alpha fails the 80% gate")
+  }
+}

@@ -46,7 +46,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // fail review here, not at 100 TB.
     val allowed = Set(
       "n05_cosine_topk", "n12_ivf_ann", "n13_cosine_dup_pairs",
-      "n20_tfidf_top_terms", "n40_bigram_fluency")
+      "n20_tfidf_top_terms", "n40_bigram_fluency",
+      // one-row corpus-total / denominator aggregates crossJoined back
+      // onto per-row data — the intended broadcast-scalar shape
+      "n59_dsir_importance", "n61_temperature_mixture")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
