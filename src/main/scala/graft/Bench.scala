@@ -56,6 +56,22 @@ object Bench {
     }
   }
 
+  /** One isolated re-measurement of a single query (clean caches, gc'd
+    * heap) — [[graft.tools.BenchGuard]]'s noise-confirm pass. Mirrors
+    * the timed section of [[run]] exactly.
+    */
+  def retime(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, name: String): Double = {
+    GraftSession.dropAllBlocks(spark)
+    System.gc()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    val t = (System.nanoTime() - t0) / 1e9
+    GraftSession.dropAllBlocks(spark)
+    t
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // GraftSession.build = the engine's real configuration, including its

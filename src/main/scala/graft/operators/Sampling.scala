@@ -190,23 +190,24 @@ object Sampling {
     * — a distributed range-partitioned sort, NOT a partition-less
     * window. Output: (doc_id, score_ppm, rank, kept).
     */
-  def dsirSelect(
-      docs: DataFrame, isTarget: Column, keepFrac: Double): DataFrame = {
-    require(keepFrac > 0 && keepFrac <= 1,
-      s"keepFrac must be in (0,1], got $keepFrac")
+  /** Unigram + bigram occurrences of the whitespace tokens, one row per
+    * occurrence — the DSIR feature extraction, shared by the batch
+    * selector and the streaming apply (it is plain scan-stage column
+    * work, so it runs unchanged on a streaming DataFrame).
+    */
+  private def gramOccurrences(docs: DataFrame, isTarget: Column): DataFrame = {
     val ts = split(col("text"), " ")
-    val grams = docs.select(col("doc_id"), isTarget.as("is_tgt"),
+    docs.select(col("doc_id"), isTarget.as("is_tgt"),
       explode(concat(ts, when(size(ts) < 2, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(0), size(ts) - 2),
           i => concat_ws(" ", element_at(ts, i + 1), element_at(ts, i + 2))))))
         .as("g"))
-    // docGrams feeds BOTH the gram-stats path (raw/tgt counts → imp
-    // table) and the per-doc score join — without the persist the
-    // explode + first aggregation runs twice (the standing
-    // diamond-persist policy; a 100 TB pipeline writes this out).
-    val docGrams = grams.groupBy("doc_id", "g")
-      .agg(count(lit(1)).as("c"), first(col("is_tgt")).as("is_tgt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** (g, imp_ppm) from per-doc gram counts — see [[dsirSelect]] for the
+    * arithmetic contract.
+    */
+  private def importanceFromDocGrams(docGrams: DataFrame): DataFrame = {
     val gramStats = docGrams.groupBy("g").agg(
       sum(col("c")).as("raw_g"),
       sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("tgt_g"))
@@ -214,13 +215,70 @@ object Sampling {
       sum(col("raw_g")).as("n_raw"),
       sum(col("tgt_g")).as("n_tgt"),
       count(lit(1)).as("v"))
-    val imp = gramStats.crossJoin(broadcast(totals))
+    gramStats.crossJoin(broadcast(totals))
       .withColumn("num", lit(1000000L) * (col("tgt_g") + 1L) * (col("n_raw") + col("v")))
       .withColumn("den", (col("raw_g") + 1L) * (col("n_tgt") + col("v")))
       .select(col("g"), expr("num div den").as("imp_ppm"))
-    val scored = docGrams.join(imp, "g")
+  }
+
+  /** Train the DSIR importance table alone — the MODEL artifact a
+    * production pipeline materializes once and then applies to every
+    * incoming shard (see `s19_stream_importance_gate` for the streaming
+    * apply). Output: (g, imp_ppm), vocab-sized.
+    */
+  def dsirImportance(docs: DataFrame, isTarget: Column): DataFrame =
+    importanceFromDocGrams(
+      gramOccurrences(docs, isTarget).groupBy("g", "is_tgt")
+        .agg(count(lit(1)).as("c")))
+
+  /** Per-(doc, gram) counts with the target flag — the persisted pivot
+    * both the importance table and the per-doc scores derive from (the
+    * standing diamond-persist policy; a 100 TB pipeline writes this
+    * out).
+    */
+  private def docGramCounts(docs: DataFrame, isTarget: Column): DataFrame =
+    gramOccurrences(docs, isTarget).groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"), first(col("is_tgt")).as("is_tgt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def scoreFromDocGrams(docGrams: DataFrame, imp: DataFrame): DataFrame =
+    docGrams.join(imp, "g")
       .groupBy("doc_id")
       .agg(sum(col("c") * col("imp_ppm")).as("score_ppm"))
+
+  /** Train the full DSIR gate model: the vocab-sized importance table
+    * PLUS the keep threshold (the min score of the kept top-`keepFrac`
+    * under the [[dsirSelect]] rank rule) — the two artifacts a
+    * continuous pipeline materializes offline and then applies to every
+    * incoming shard (`s19_stream_importance_gate`). One persisted
+    * docGrams pass feeds both; the returned importance table is itself
+    * persisted because the caller will join it from another plan (a
+    * streaming one, where lineage re-execution would retrain the model
+    * every micro-batch).
+    */
+  def dsirTrainGate(docs: DataFrame, isTarget: Column,
+      keepFrac: Double): (DataFrame, Long) = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val docGrams = docGramCounts(docs, isTarget)
+    val imp = importanceFromDocGrams(docGrams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = math.ceil(keepFrac * docs.count()).toLong
+    val thr = GlobalOrder
+      .withGlobalIndexCols(scoreFromDocGrams(docGrams, imp),
+        Seq(desc("score_ppm"), asc("doc_id")))
+      .filter(col("_global_rank") <= k)
+      .agg(min(col("score_ppm"))).head().getLong(0)
+    (imp, thr)
+  }
+
+  def dsirSelect(
+      docs: DataFrame, isTarget: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val docGrams = docGramCounts(docs, isTarget)
+    val imp = importanceFromDocGrams(docGrams)
+    val scored = scoreFromDocGrams(docGrams, imp)
     val n = docs.agg(count(lit(1)).as("n_docs"))
     GlobalOrder.withGlobalIndexCols(scored,
       Seq(desc("score_ppm"), asc("doc_id")))
@@ -230,6 +288,19 @@ object Sampling {
         col("rank") <= ceil(lit(keepFrac) * col("n_docs").cast("double")))
       .select("doc_id", "score_ppm", "rank", "kept")
   }
+
+  /** Score a (possibly STREAMING) document set against a trained
+    * importance table: explode gram occurrences, broadcast-join the
+    * vocab-sized model, sum imp over occurrences per document —
+    * arithmetic identical to [[dsirSelect]]'s Σ count·imp, since the
+    * occurrence-level join sees each gram `count` times. No target
+    * labels needed at apply time.
+    */
+  def dsirScore(docs: DataFrame, imp: DataFrame): DataFrame =
+    gramOccurrences(docs, lit(false))
+      .join(broadcast(imp), "g")
+      .groupBy("doc_id")
+      .agg(sum(col("imp_ppm")).as("score_ppm"))
 
   /** Temperature-scaled source mixture (the mC4/multilingual recipe:
     * sample source s with probability ∝ |D_s|^α, α < 1 flattening the

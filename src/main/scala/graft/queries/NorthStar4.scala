@@ -13,19 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object NorthStar4 extends QueryGroup {
 
-  /** DSIR importance selection with lang='en' as the target domain
-    * sample. The oracle restates the whole chain — gram explode,
-    * smoothed ppm importance ratios, BIGINT dot-product score, dense
-    * rank — in exact integer arithmetic, so the hash compare covers the
-    * scores themselves, not just the kept set.
+  /** The DSIR scoring chain as DuckDB CTEs (gram explode → smoothed ppm
+    * importance ratios → BIGINT dot-product scores), ending with
+    * `sc(doc_id, score_ppm)` and `n(n_docs)` — shared by the n59
+    * selection oracle and the s19 streaming-gate oracle, which differ
+    * only in the final selection rule.
     */
-  private val dsir = Q(
-    "n59_dsir_importance",
-    "DSIR-style importance selection toward the lang='en' target slice",
-    (s, dir) => Sampling
-      .dsirSelect(Tables(s, dir).documents, col("lang") === "en", 0.25)
-      .orderBy("doc_id"),
-    Some("""WITH t AS (
+  private[queries] val dsirCtes: String =
+    """WITH t AS (
               SELECT doc_id, lang = 'en' AS is_tgt,
                 string_split(text, ' ') AS ts
               FROM documents),
@@ -54,7 +49,21 @@ object NorthStar4 extends QueryGroup {
             sc AS (
               SELECT doc_id, CAST(SUM(c * imp_ppm) AS BIGINT) AS score_ppm
               FROM dg JOIN imp USING (g) GROUP BY doc_id),
-            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)"""
+
+  /** DSIR importance selection with lang='en' as the target domain
+    * sample. The oracle restates the whole chain — gram explode,
+    * smoothed ppm importance ratios, BIGINT dot-product score, dense
+    * rank — in exact integer arithmetic, so the hash compare covers the
+    * scores themselves, not just the kept set.
+    */
+  private val dsir = Q(
+    "n59_dsir_importance",
+    "DSIR-style importance selection toward the lang='en' target slice",
+    (s, dir) => Sampling
+      .dsirSelect(Tables(s, dir).documents, col("lang") === "en", 0.25)
+      .orderBy("doc_id"),
+    Some(s"""$dsirCtes,
             r AS (
               SELECT doc_id, score_ppm,
                 row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank

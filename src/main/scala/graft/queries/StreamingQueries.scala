@@ -745,10 +745,56 @@ object StreamingQueries extends QueryGroup {
                  AND p.ts <= c.ts + INTERVAL 12 HOUR
             ORDER BY view_id, click_id, purchase_id"""))
 
+  /** The batch-model → streaming-apply production shape: a DSIR
+    * importance model is trained ONCE on the static corpus (the
+    * vocab-sized `(g, imp_ppm)` table plus one threshold scalar — the
+    * min score of the kept top-fraction, the whole model state), then a
+    * STREAMING corpus is scored against it with the very same
+    * [[graft.operators.Sampling.dsirScore]] the batch path uses — the
+    * scan-stage gram explode and the broadcast stream-static model join
+    * run unchanged on the streaming DataFrame. Selection in-stream is
+    * necessarily threshold-based (a global rank needs the whole corpus;
+    * a threshold is local), which is exactly how a continuous pipeline
+    * applies an offline-trained selector. Docs whose score TIES the
+    * threshold beyond the batch top-k are kept — the documented
+    * semantic difference from n59's rank rule, mirrored in the oracle.
+    *
+    * State caveat (same finite-replay contract as s16): the per-doc
+    * score aggregation in update mode keeps one row of state per
+    * doc_id; a continuous deployment scores each micro-batch with
+    * `foreachBatch` (grams of one document never span source files
+    * here) or expires state with a watermark.
+    */
+  private val streamImportanceGate = Q(
+    "s19_stream_importance_gate",
+    "batch-trained DSIR importance model gating a streaming corpus",
+    (s, dir) => {
+      val Samp = graft.operators.Sampling
+      val static = Tables(s, dir).documents
+      val (imp, thr) = Samp.dsirTrainGate(static, col("lang") === "en", 0.25)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val gated = Samp.dsirScore(docs, imp)
+        .filter(col("score_ppm") >= thr)
+      runToTable(gated, "update").orderBy("doc_id")
+    },
+    Some(s"""${NorthStar4.dsirCtes},
+            r AS (
+              SELECT doc_id, score_ppm,
+                row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rn
+              FROM sc),
+            thr AS (
+              SELECT MIN(score_ppm) AS t FROM r, n
+              WHERE rn <= CEIL(0.25 * CAST(n_docs AS DOUBLE)))
+            SELECT doc_id, score_ppm FROM sc, thr
+            WHERE score_ppm >= t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
-    streamThreeWayJoin)
+    streamThreeWayJoin, streamImportanceGate)
 }

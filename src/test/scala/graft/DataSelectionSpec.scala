@@ -73,6 +73,24 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(got == expected, s"scores diverge: got $got expected $expected")
   }
 
+  test("dsirTrainGate/dsirScore agree with dsirSelect (the s19 contract)") {
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta alpha"),
+      (2L, "en", "beta alpha beta alpha beta"),
+      (3L, "de", "gamma delta gamma delta gamma"),
+      (10L, "de", "alpha beta alpha beta gamma"),
+      (12L, "de", "gamma delta gamma delta alpha")
+    ).toDF("doc_id", "lang", "text")
+    val sel = Sampling.dsirSelect(docs, col("lang") === "en", 0.5).collect()
+    val (imp, thr) = Sampling.dsirTrainGate(docs, col("lang") === "en", 0.5)
+    assert(thr == sel.filter(_.getBoolean(3)).map(_.getLong(1)).min,
+      "gate threshold must be the min kept score under the rank rule")
+    val applied = Sampling.dsirScore(docs, imp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(applied == sel.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "occurrence-level apply must reproduce the batch scores exactly")
+  }
+
   test("dupClustersSoftWeight: ppm weights are exact integer division") {
     // docs 1-3 are one near-dup cluster (shared shingles), 9 a singleton
     val dup = "spark shuffle partition broadcast join skew salt"
