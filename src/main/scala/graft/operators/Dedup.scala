@@ -396,4 +396,78 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxHamming)
   }
+
+  /** [[simHashPairs]] with an ENGINE-PORTABLE token hash: the per-token
+    * 64 bits come from the md5 hex prefix (the [[graft.functions.TextFunctions.fingerprint]]
+    * primitive every engine computes identically) instead of the native
+    * xxhash64 [[graft.expressions.SimHash64]] — which makes this the
+    * SimHash variant a DuckDB oracle can replay bit for bit, closing
+    * the one pipeline whose driver check was rows-only (n04). Same
+    * algorithm end to end: per-bit ±1 vote over the token set, 4×16-bit
+    * chunk blocking (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 chunk agrees),
+    * exact hamming verify on the candidates.
+    *
+    * The signature is carried as an ARRAY of 64 0/1 ints and the chunk
+    * key as a 16-char bit string — no 64-bit packing, because a packed
+    * BIGINT with bit 63 set overflows differently across engines
+    * (Spark wraps, DuckDB errors). Production keeps the n04 codegen'd
+    * xxhash64 path; this variant exists so the simhash LOGIC sits under
+    * the hash gate, at the cost of md5-per-token (the measured delta is
+    * the point of keeping both).
+    *
+    * Scale shape: identical to [[simHashPairs]] — signature work is
+    * scan-stage, candidates are an equi-join on (chunk_id, chunk key).
+    */
+  def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking guarantees recall only to hamming 3")
+    // The n27/n44 explode lesson applies to the signature too: the
+    // naive per-row form (transform over 64 bits × aggregate over
+    // tokens × nested digit arrays) is interpreted lambda work and ran
+    // ~100 s at sf0.1; exploding to (doc_id, bit, ±1) rows keeps every
+    // per-element op in whole-stage codegen and the 64-way fan-out in
+    // one hash aggregation. Bit b of a token = bit (3 − b%4) of md5
+    // hex digit b div 4, decoded with ascii arithmetic any engine
+    // reproduces; a bit of the signature is set iff its ±1 vote sum
+    // over the document's tokens is positive.
+    val tokBits = docs
+      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+      // fan the bit index out as ROWS too (not a transform lambda):
+      // higher-order functions evaluate interpreted per element, while
+      // a generate + plain scalar CASE/ascii/substring expressions stay
+      // inside whole-stage codegen (measured 18 s → ~3 s at sf0.1)
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("b"))
+      .select(col("doc_id"), col("b"), expr(
+        """CASE WHEN
+             ((CASE WHEN ascii(substring(h, CAST(b div 4 AS INT) + 1, 1)) >= 97
+                    THEN ascii(substring(h, CAST(b div 4 AS INT) + 1, 1)) - 87
+                    ELSE ascii(substring(h, CAST(b div 4 AS INT) + 1, 1)) - 48 END)
+              div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                              WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+             THEN 1 ELSE -1 END""").as("v"))
+    val hashed = tokBits
+      .groupBy("doc_id", "b").agg(sum(col("v")).as("s"))
+      .groupBy("doc_id")
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(b, s))),
+             x -> CASE WHEN x.s > 0 THEN 1 ELSE 0 END)""").as("sig"))
+    val chunks = hashed.select(col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 3), c -> struct(c AS chunk_id,
+             array_join(transform(slice(sig, c * 16 + 1, 16),
+               x -> cast(x AS string)), '') AS chunk))"""))
+        .as("ck"))
+      .select(col("doc_id"), col("sig"),
+        col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
+          .as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
 }

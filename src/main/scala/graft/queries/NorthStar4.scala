@@ -161,5 +161,60 @@ object NorthStar4 extends QueryGroup {
                 AND (n_stop_hits >= 2) AS gopher_ok
             FROM m ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher)
+  /** The engine-portable SimHash (md5-bit signatures) — n04's pipeline
+    * with the one non-replayable piece (xxhash64) swapped for a hash
+    * every engine computes identically, which upgrades SimHash from the
+    * registry's rows-only check to a full hash-matched oracle. Spark
+    * and DuckDB both run: normalize → tokens → md5 hex digits (ascii
+    * arithmetic) → 64 ±1 bit votes → 4×16-bit chunk blocking → exact
+    * hamming verify.
+    */
+  private val simhashPortable = Q(
+    "n63_dedup_simhash_portable",
+    "SimHash near-dup pairs with an engine-portable md5-bit signature",
+    (s, dir) => graft.operators.Dedup
+      .simHashPairsPortable(Tables(s, dir).documents)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                  ' ') AS ts
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                list_transform(ts, tk ->
+                  list_transform(range(1, 17), i ->
+                    CASE WHEN ascii(substr(md5(tk), CAST(i AS INT), 1)) >= 97
+                         THEN ascii(substr(md5(tk), CAST(i AS INT), 1)) - 87
+                         ELSE ascii(substr(md5(tk), CAST(i AS INT), 1)) - 48
+                    END)) AS dg
+              FROM t),
+            sig AS (
+              SELECT doc_id,
+                list_transform(range(64), b -> CASE WHEN
+                  list_sum(list_transform(dg, d -> CASE WHEN
+                    (d[(b // 4) + 1]
+                     // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                    WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+                    THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END) AS sig
+              FROM h),
+            ck AS (
+              SELECT doc_id, sig, c AS chunk_id,
+                array_to_string(sig[(c*16+1):(c*16+16)], '') AS chunk
+              FROM (SELECT doc_id, sig, unnest(range(4)) AS c FROM sig)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.sig AS sa, b.sig AS sb
+              FROM ck a JOIN ck b ON a.chunk_id = b.chunk_id
+                AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+            scored AS (
+              SELECT id_a, id_b,
+                CAST(list_sum(list_transform(list_zip(sa, sb),
+                  x -> abs(x[1] - x[2]))) AS INT) AS dist
+              FROM cand)
+            SELECT id_a, id_b, dist FROM scored
+            WHERE dist <= 3 ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
+    simhashPortable)
 }

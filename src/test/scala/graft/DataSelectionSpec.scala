@@ -140,6 +140,25 @@ class DataSelectionSpec extends AnyFunSuite {
       s"2000 per-mille must yield exactly 2 copies, got $small")
   }
 
+  test("simHashPairsPortable: exact dups at distance 0, disjoint text unpaired") {
+    // 1 and 2 normalize identically (case + whitespace noise) -> same
+    // md5-bit signature, hamming 0; 9 shares no token, so its expected
+    // hamming from either is ~32 — far outside any <=3 radius
+    val docs = Seq(
+      (1L, "Spark Shuffle  Partition broadcast JOIN skew salt"),
+      (2L, "spark shuffle partition broadcast join skew salt"),
+      (9L, "entirely unrelated words about nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.simHashPairsPortable(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0)),
+      s"expected exactly the normalized-identical pair at dist 0, got ${out.toSeq}")
+    // and the native xxhash64 pipeline agrees on the exact-dup judgment
+    val native = graft.operators.Dedup.simHashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native.contains((1L, 2L)), "native simhash must also pair the dups")
+  }
+
   test("gopherQualityRules flags each rule at its exact boundary") {
     val docs = Seq(
       // 10 words x 3 chars: word_count_ok (==10), mean exactly 3.0 (in),
