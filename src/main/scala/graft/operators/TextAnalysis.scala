@@ -325,6 +325,40 @@ object TextAnalysis {
     * nothing. Scale shape: pure per-row expression work in the scan
     * stage — no shuffle at all.
     */
+  /** Per-source Spearman rank correlation between the composite quality
+    * score and document length — the "is my quality metric just a
+    * length proxy?" calibration check a curation pipeline runs before
+    * trusting a gate. Ranks are `row_number` over (metric, doc_id) —
+    * deterministic total order rather than averaged tie ranks, so the
+    * statistic is EXACT integer arithmetic until one final division:
+    * ρ = 1 − 6·Σd² / (n·(n²−1)), NULL for sources with n < 2.
+    *
+    * Scale shape: two windows partitioned BY SOURCE over the same
+    * shuffle (Spark plans one exchange; the second sort is in-partition)
+    * and one hash aggregation — no global order anywhere.
+    */
+  def qualityLengthSpearman(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScore(docs)
+      .select(col("doc_id"),
+        (col("stopword_ratio") - col("punct_ratio") - col("digit_ratio"))
+          .as("score"))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")), "doc_id")
+    val byScore = Window.partitionBy("source").orderBy(desc("score"), asc("doc_id"))
+    val byLen = Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+    scored
+      .withColumn("rs", row_number().over(byScore).cast("long"))
+      .withColumn("rl", row_number().over(byLen).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("rs") - col("rl")) * (col("rs") - col("rl"))).as("sum_d2"))
+      .withColumn("rho",
+        when(col("n_docs") < 2, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            (lit(6L) * col("sum_d2")).cast("double") /
+              (col("n_docs") * (col("n_docs") * col("n_docs") - 1L)).cast("double")))
+  }
+
   def gopherQualityRules(docs: DataFrame): DataFrame = {
     val ts = split(col("text"), " ")
     val nWords = size(ts)

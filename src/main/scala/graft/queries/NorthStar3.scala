@@ -418,7 +418,7 @@ object NorthStar3 extends QueryGroup {
     * term is the exact n08 oracle expression, so the subtraction is the
     * only new arithmetic and it is single-rounded in both engines).
     */
-  private val scoreSql: String =
+  private[queries] val scoreSql: String =
     """(CAST(len(list_filter(string_split(text, ' '),
          t -> list_contains(['the','a','and','of','to'], t))) AS DOUBLE)
          / len(string_split(text, ' ')))

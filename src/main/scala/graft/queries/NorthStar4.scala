@@ -215,6 +215,33 @@ object NorthStar4 extends QueryGroup {
             SELECT id_a, id_b, dist FROM scored
             WHERE dist <= 3 ORDER BY id_a, id_b"""))
 
+  /** Spearman with deterministic row_number ranks — exact integers up
+    * to the single final division, so the per-source ρ hash-matches.
+    */
+  private val spearman = Q(
+    "n64_quality_length_spearman",
+    "per-source Spearman rank correlation: quality score vs doc length",
+    (s, dir) => TextAnalysis
+      .qualityLengthSpearman(Tables(s, dir).documents)
+      .orderBy("source"),
+    Some(s"""WITH q AS (
+              SELECT doc_id, source, n_chars, ${NorthStar3.scoreSql} AS score
+              FROM documents),
+            r AS (
+              SELECT source,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id) AS rs,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS rl
+              FROM q)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM((rs - rl) * (rs - rl)) AS BIGINT) AS sum_d2,
+              CASE WHEN COUNT(*) < 2 THEN NULL
+                   ELSE 1.0 - CAST(6 * SUM((rs - rl) * (rs - rl)) AS DOUBLE)
+                     / CAST(COUNT(*) * (COUNT(*) * COUNT(*) - 1) AS DOUBLE)
+              END AS rho
+            FROM r GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
-    simhashPortable)
+    simhashPortable, spearman)
 }

@@ -140,6 +140,29 @@ class DataSelectionSpec extends AnyFunSuite {
       s"2000 per-mille must yield exactly 2 copies, got $small")
   }
 
+  test("qualityLengthSpearman: perfect, inverted, and degenerate sources") {
+    // sAgree: higher score <-> longer text (both rank orders identical,
+    // rho = 1). sInvert: score order is the REVERSE of length order for
+    // 3 docs: sum_d2 = (1-3)^2 + 0 + (3-1)^2 = 8, rho = 1 - 48/24 = -1.
+    // sOne: n = 1 -> NULL.
+    val docs = Seq(
+      (1L, "sAgree", "the a and of to xx"),      // 5/6 stopwords, longest
+      (2L, "sAgree", "the a and zz"),            // mid score, mid length
+      (3L, "sAgree", "zz yy"),                   // 0 stopwords, shortest
+      (11L, "sInvert", "the a and of to"),       // best score, SHORTEST
+      (12L, "sInvert", "the a zz yy ww qq"),     // mid score, mid length
+      (13L, "sInvert", "zz yy xx ww vv uu tt ss"), // worst score, longest
+      (21L, "sOne", "anything at all")
+    ).map { case (id, src, txt) => (id, src, txt, txt.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+    val out = graft.operators.TextAnalysis.qualityLengthSpearman(docs)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out("sAgree") == Some(1.0), s"agree: ${out("sAgree")}")
+    assert(out("sInvert") == Some(-1.0), s"invert: ${out("sInvert")}")
+    assert(out("sOne").isEmpty, "singleton source must be NULL")
+  }
+
   test("simHashPairsPortable: exact dups at distance 0, disjoint text unpaired") {
     // 1 and 2 normalize identically (case + whitespace noise) -> same
     // md5-bit signature, hamming 0; 9 shares no token, so its expected
