@@ -208,6 +208,20 @@ object ScaleProbe {
         .gopherQualityRules(replicate(t.documents, "doc_id", c))
         .count())
 
+    // replicas are TRUE simhash dups (identical text → identical
+    // signature): the candidate/pair set grows quadratically per
+    // twin-group while the (token × bit) explode grows linearly — the
+    // n03/n47 regime on the md5-bit pipeline
+    probe("simhash_portable", c =>
+      graft.operators.Dedup
+        .simHashPairsPortable(replicate(t.documents, "doc_id", c))
+        .count())
+
+    probe("spearman_calibration", c =>
+      graft.operators.TextAnalysis
+        .qualityLengthSpearman(replicate(t.documents, "doc_id", c))
+        .count())
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each
