@@ -242,6 +242,60 @@ object NorthStar4 extends QueryGroup {
               END AS rho
             FROM r GROUP BY source ORDER BY source"""))
 
+  /** One BPE training round as DuckDB CTEs: pair counts over the
+    * current vocab symbols, argmax with lexicographic tie-break, and
+    * the two-pass merge rewrite (the operator's documented application
+    * rule).
+    */
+  private def bpeRound(r: Int): String = {
+    val prev = s"v${r - 1}"
+    s"""p$r AS (
+              SELECT ss[i+1] AS lhs, ss[i+2] AS rhs,
+                CAST(SUM(c) AS BIGINT) AS pc
+              FROM (SELECT c, ss, unnest(range(len(ss) - 1)) AS i
+                    FROM (SELECT c,
+                            list_filter(string_split(sym, '|'),
+                              x -> x != '') AS ss
+                          FROM $prev)
+                    WHERE len(ss) >= 2)
+              GROUP BY 1, 2),
+            m$r AS (
+              SELECT lhs, rhs, pc FROM p$r
+              ORDER BY pc DESC, lhs, rhs LIMIT 1),
+            v$r AS (
+              SELECT c, replace(replace(sym,
+                  '|' || lhs || '|' || rhs || '|', '|' || lhs || rhs || '|'),
+                  '|' || lhs || '|' || rhs || '|', '|' || lhs || rhs || '|') AS sym
+              FROM $prev, m$r)"""
+  }
+
+  /** BPE merge training, k = 3 rounds, fully unrolled in the oracle —
+    * the same iterative-trainer replay pattern as the n30/n54 k-means
+    * CTEs. Counts are integers and the argmax tie-break is total, so
+    * every learned merge hash-matches.
+    */
+  private val bpeMerges = Q(
+    "n65_bpe_train_merges",
+    "top-3 BPE merges learned from the corpus word vocabulary",
+    (s, dir) => graft.operators.Tokenizer
+      .bpeTrainMerges(Tables(s, dir).documents, 3)
+      .orderBy("round"),
+    Some(s"""WITH v0 AS (
+              SELECT COUNT(*) AS c,
+                '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY w),
+            ${bpeRound(1)},
+            ${bpeRound(2)},
+            ${bpeRound(3)}
+            SELECT * FROM (
+              SELECT 1 AS round, lhs, rhs, lhs || rhs AS merged,
+                pc AS pair_count FROM m1
+              UNION ALL SELECT 2, lhs, rhs, lhs || rhs, pc FROM m2
+              UNION ALL SELECT 3, lhs, rhs, lhs || rhs, pc FROM m3)
+            ORDER BY round"""))
+
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
-    simhashPortable, spearman)
+    simhashPortable, spearman, bpeMerges)
 }

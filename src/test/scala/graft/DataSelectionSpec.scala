@@ -182,6 +182,24 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(native.contains((1L, 2L)), "native simhash must also pair the dups")
   }
 
+  test("bpeTrainMerges learns the hand-computed merge sequence") {
+    // vocab: aaab x2, ab x1, cd x1.
+    // round 1 pairs: (a,a) 4 [two per 'aaab' x count 2], (a,b) 3, (c,d) 1
+    //   -> merge (a,a); 'aaab' becomes (aa, a, b) under two-pass greedy
+    // round 2: (aa,a) 2, (a,b) 2+1=3, (c,d) 1 -> merge (a,b)
+    // round 3: 'aaab' is (aa, ab): (aa,ab) 2 beats (c,d) 1
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab cd"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Tokenizer.bpeTrainMerges(docs, 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)), s"got ${out.toSeq}")
+  }
+
   test("gopherQualityRules flags each rule at its exact boundary") {
     val docs = Seq(
       // 10 words x 3 chars: word_count_ok (==10), mean exactly 3.0 (in),
