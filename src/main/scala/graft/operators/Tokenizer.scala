@@ -67,4 +67,42 @@ object Tokenizer {
       .withColumn("merged", concat(col("lhs"), col("rhs")))
       .select("round", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** Apply [[bpeTrainMerges]]' learned segmentation back to the corpus
+    * and report per-source tokenization stats — the "how well does the
+    * learned vocab compress each source?" fan-out check (a source that
+    * tokenizes to many more symbols per word than the corpus average is
+    * distributionally far from the training mix). Counting is a join of
+    * the exploded corpus against the TRAINED vocab's final symbol
+    * strings (vocab-sized, broadcastable — the corpus text itself never
+    * carries symbol strings through a shuffle).
+    *
+    * Output per source: (source, n_words, n_symbols, symbols_per_word),
+    * exact integers plus one final division.
+    */
+  def bpeSegmentationStats(docs: DataFrame, k: Int): DataFrame = {
+    // retrain; the trained vocab stays distributed (the k merge rows
+    // are the only driver state) — re-derive final syms by replaying
+    // the merge chain over the vocab
+    val merges = bpeTrainMerges(docs, k)
+      .select("lhs", "rhs").collect().map(r => (r.getString(0), r.getString(1)))
+    val vocabSym = merges.foldLeft(
+      docs.select(explode(split(col("text"), " ")).as("w")).distinct()
+        .select(col("w"),
+          concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"))) {
+      case (v, (l, rt)) =>
+        val pat = s"|$l|$rt|"
+        val rep = s"|$l$rt|"
+        v.select(col("w"),
+          expr(s"replace(replace(sym, '$pat', '$rep'), '$pat', '$rep')").as("sym"))
+    }.select(col("w"),
+      expr("size(filter(split(sym, '\\\\|'), x -> x != ''))").as("n_sym"))
+    docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(vocabSym), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym").cast("long")).as("n_symbols"))
+      .withColumn("symbols_per_word",
+        col("n_symbols").cast("double") / col("n_words").cast("double"))
+  }
 }

@@ -296,6 +296,56 @@ object NorthStar4 extends QueryGroup {
               UNION ALL SELECT 3, lhs, rhs, lhs || rhs, pc FROM m3)
             ORDER BY round"""))
 
+  /** One application round: rewrite the DISTINCT-word symbol table with
+    * round r's learned merge (same two-pass replace rule).
+    */
+  private def bpeApplyRound(r: Int): String =
+    s"""w$r AS (
+              SELECT w, replace(replace(sym,
+                  '|' || lhs || '|' || rhs || '|', '|' || lhs || rhs || '|'),
+                  '|' || lhs || '|' || rhs || '|', '|' || lhs || rhs || '|') AS sym
+              FROM w${r - 1}, m$r)"""
+
+  /** Train (the n65 chain) then apply: per-source symbols-per-word
+    * under the learned segmentation — the distribution-shift fan-out
+    * check. Exact integers plus one final division.
+    */
+  private val bpeStats = Q(
+    "n66_bpe_segmentation_stats",
+    "per-source symbols-per-word under the trained BPE segmentation",
+    (s, dir) => graft.operators.Tokenizer
+      .bpeSegmentationStats(Tables(s, dir).documents, 3)
+      .orderBy("source"),
+    Some(s"""WITH v0 AS (
+              SELECT COUNT(*) AS c,
+                '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY w),
+            ${bpeRound(1)},
+            ${bpeRound(2)},
+            ${bpeRound(3)},
+            w0 AS (
+              SELECT DISTINCT w,
+                '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)),
+            ${bpeApplyRound(1)},
+            ${bpeApplyRound(2)},
+            ${bpeApplyRound(3)},
+            ws AS (
+              SELECT w, CAST(len(list_filter(string_split(sym, '|'),
+                x -> x != '')) AS INT) AS n_sym
+              FROM w3)
+            SELECT source, COUNT(*) AS n_words,
+              CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+              CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS symbols_per_word
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents) cw
+            JOIN ws USING (w)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
-    simhashPortable, spearman, bpeMerges)
+    simhashPortable, spearman, bpeMerges, bpeStats)
 }

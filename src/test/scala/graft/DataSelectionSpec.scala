@@ -200,6 +200,18 @@ class DataSelectionSpec extends AnyFunSuite {
       (3, "aa", "ab", "aaab", 2L)), s"got ${out.toSeq}")
   }
 
+  test("bpeSegmentationStats: learned merges compress the training words") {
+    // merges from the same fixture arithmetic as the trainer test:
+    // (a,a), (a,b), (aa,ab). 'aaab' -> 1 symbol, 'ab' -> 1, 'cd' -> 2.
+    val docs = Seq((1L, "s1", "aaab ab"), (2L, "s2", "aaab cd"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Tokenizer.bpeSegmentationStats(docs, 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == ((2L, 2L, 1.0)), s"s1: ${out("s1")}")
+    assert(out("s2") == ((2L, 3L, 1.5)), s"s2: ${out("s2")}")
+  }
+
   test("gopherQualityRules flags each rule at its exact boundary") {
     val docs = Seq(
       // 10 words x 3 chars: word_count_ok (==10), mean exactly 3.0 (in),
