@@ -295,12 +295,22 @@ object Sampling {
     * arithmetic identical to [[dsirSelect]]'s Σ count·imp, since the
     * occurrence-level join sees each gram `count` times. No target
     * labels needed at apply time.
+    *
+    * Unseen-vocabulary semantics: grams absent from the trained table
+    * contribute 0, via a LEFT join from the document side — so a
+    * document whose grams are ALL unseen at train time still gets an
+    * explicit score of 0 for the gate threshold to judge, instead of
+    * vanishing from the output (an inner join would drop it — the
+    * continuous-deployment case where the stream's vocabulary drifts
+    * past the training corpus). Every document produces at least one
+    * gram row (`split` yields `[""]` even for empty text), so every
+    * incoming doc_id appears in the result exactly once.
     */
   def dsirScore(docs: DataFrame, imp: DataFrame): DataFrame =
     gramOccurrences(docs, lit(false))
-      .join(broadcast(imp), "g")
+      .join(broadcast(imp), Seq("g"), "left")
       .groupBy("doc_id")
-      .agg(sum(col("imp_ppm")).as("score_ppm"))
+      .agg(sum(coalesce(col("imp_ppm"), lit(0L))).as("score_ppm"))
 
   /** Temperature-scaled source mixture (the mC4/multilingual recipe:
     * sample source s with probability ∝ |D_s|^α, α < 1 flattening the

@@ -20,16 +20,45 @@ import org.apache.spark.sql.functions._
   * divergence from single-scan greedy BPE for runs longer than ~4
   * repeats — unobservable on natural-language vocabularies).
   *
+  * Delimiter soundness: a corpus word that itself contains '|' would
+  * corrupt symbol boundaries undetected, so such words are EXCLUDED
+  * from the vocabulary (and therefore from segmentation stats — the
+  * oracle applies the same `NOT LIKE '%|%'` gate). The rewrite itself
+  * is built with the Column API (`functions.replace` on literal
+  * columns), never by interpolating learned symbols into SQL text — an
+  * apostrophe or backslash in a learned symbol is data, not syntax.
+  *
   * Scale shape: the vocabulary aggregation is one hash agg over the
   * exploded corpus (map-side partials; vocab is Zipf-small relative to
   * the corpus); each round is a scan-stage pair explode + hash agg over
   * the VOCAB only, with a single (l, r, count) row collected per round
   * — k rows of driver state total, the k-means-codebook pattern. The
-  * corpus text is read once.
+  * corpus text is read once. The persisted vocab base is released
+  * before returning (the merges are driver-materialized, so no
+  * returned plan can re-read it — see the package-object persist
+  * contract).
   */
 object Tokenizer {
 
-  /** Returns the k merges as (round, left, right, pair_count). */
+  /** Initial '|'-delimited symbol string for a word: `|h|e|l|l|o|`. */
+  private def initialSym(w: org.apache.spark.sql.Column) =
+    concat(lit("|"), regexp_replace(w, "(.)", "$1|"))
+
+  /** Two-pass merge rewrite of round (l, r) — Column API on literal
+    * patterns, so learned symbols are never parsed as SQL.
+    */
+  private def mergeRewrite(sym: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val pat = lit(s"|$l|$r|")
+    val rep = lit(s"|$l$r|")
+    replace(replace(sym, pat, rep), pat, rep)
+  }
+
+  /** Returns the learned merges as (round, lhs, rhs, merged,
+    * pair_count) — up to `k` rows; FEWER when the vocabulary runs out
+    * of adjacent pairs first (a tiny corpus, or every word fully
+    * merged), rather than failing on an empty argmax.
+    */
   def bpeTrainMerges(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
     val spark = docs.sparkSession
@@ -37,33 +66,41 @@ object Tokenizer {
     // vocab persists: every round's pair count and merge rewrite reads
     // it, and round r's symbols chain on round r-1's (lineage of ≤ k
     // cheap string rewrites on top of the persisted agg)
-    var vocab = docs
+    val base = docs
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(!col("w").contains("|"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(col("c"),
-        concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"))
+      .select(col("c"), initialSym(col("w")).as("sym"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val merges = (1 to k).map { r =>
-      val best = vocab
-        .select(col("c"),
-          expr("filter(split(sym, '\\\\|'), x -> x != '')").as("ss"))
-        .filter(size(col("ss")) >= 2)
-        .select(col("c"), explode(expr(
-          """transform(sequence(0, size(ss) - 2),
-               i -> struct(element_at(ss, i + 1) AS l,
-                           element_at(ss, i + 2) AS r))""")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("c")).as("pc"))
-        .orderBy(desc("pc"), asc("l"), asc("r"))
-        .limit(1).head()
-      val (l, rt, pc) = (best.getString(0), best.getString(1), best.getLong(2))
-      val pat = s"|$l|$rt|"
-      val rep = s"|$l$rt|"
-      vocab = vocab.select(col("c"),
-        expr(s"replace(replace(sym, '$pat', '$rep'), '$pat', '$rep')").as("sym"))
-      (r, l, rt, pc)
+    var vocab: DataFrame = base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    (1 to k).foreach { r =>
+      if (!exhausted) {
+        val best = vocab
+          .select(col("c"),
+            filter(split(col("sym"), "\\|"), x => x =!= "").as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(col("c"), explode(expr(
+            """transform(sequence(0, size(ss) - 2),
+                 i -> struct(element_at(ss, i + 1) AS l,
+                             element_at(ss, i + 2) AS r))""")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("c")).as("pc"))
+          .orderBy(desc("pc"), asc("l"), asc("r"))
+          .take(1).headOption
+        best match {
+          case None => exhausted = true // no adjacent pairs left: stop early
+          case Some(row) =>
+            val (l, rt, pc) = (row.getString(0), row.getString(1), row.getLong(2))
+            vocab = vocab.select(col("c"),
+              mergeRewrite(col("sym"), l, rt).as("sym"))
+            merges += ((r, l, rt, pc))
+        }
+      }
     }
-    merges.toDF("round", "lhs", "rhs", "pair_count")
+    base.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "lhs", "rhs", "pair_count")
       .withColumn("merged", concat(col("lhs"), col("rhs")))
       .select("round", "lhs", "rhs", "merged", "pair_count")
   }
@@ -75,7 +112,9 @@ object Tokenizer {
     * distributionally far from the training mix). Counting is a join of
     * the exploded corpus against the TRAINED vocab's final symbol
     * strings (vocab-sized, broadcastable — the corpus text itself never
-    * carries symbol strings through a shuffle).
+    * carries symbol strings through a shuffle). Words containing the
+    * '|' delimiter are outside the vocabulary (see object scaladoc), so
+    * the inner join drops their occurrences on both engines.
     *
     * Output per source: (source, n_words, n_symbols, symbols_per_word),
     * exact integers plus one final division.
@@ -87,16 +126,13 @@ object Tokenizer {
     val merges = bpeTrainMerges(docs, k)
       .select("lhs", "rhs").collect().map(r => (r.getString(0), r.getString(1)))
     val vocabSym = merges.foldLeft(
-      docs.select(explode(split(col("text"), " ")).as("w")).distinct()
-        .select(col("w"),
-          concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("sym"))) {
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(!col("w").contains("|")).distinct()
+        .select(col("w"), initialSym(col("w")).as("sym"))) {
       case (v, (l, rt)) =>
-        val pat = s"|$l|$rt|"
-        val rep = s"|$l$rt|"
-        v.select(col("w"),
-          expr(s"replace(replace(sym, '$pat', '$rep'), '$pat', '$rep')").as("sym"))
+        v.select(col("w"), mergeRewrite(col("sym"), l, rt).as("sym"))
     }.select(col("w"),
-      expr("size(filter(split(sym, '\\\\|'), x -> x != ''))").as("n_sym"))
+      size(filter(split(col("sym"), "\\|"), x => x =!= "")).as("n_sym"))
     docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
       .join(broadcast(vocabSym), "w")
       .groupBy("source")

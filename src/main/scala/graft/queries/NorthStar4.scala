@@ -285,6 +285,7 @@ object NorthStar4 extends QueryGroup {
                 '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents)
+              WHERE w NOT LIKE '%|%'
               GROUP BY w),
             ${bpeRound(1)},
             ${bpeRound(2)},
@@ -321,6 +322,7 @@ object NorthStar4 extends QueryGroup {
                 '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
               FROM (SELECT unnest(string_split(text, ' ')) AS w
                     FROM documents)
+              WHERE w NOT LIKE '%|%'
               GROUP BY w),
             ${bpeRound(1)},
             ${bpeRound(2)},
@@ -329,7 +331,8 @@ object NorthStar4 extends QueryGroup {
               SELECT DISTINCT w,
                 '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
               FROM (SELECT unnest(string_split(text, ' ')) AS w
-                    FROM documents)),
+                    FROM documents)
+              WHERE w NOT LIKE '%|%'),
             ${bpeApplyRound(1)},
             ${bpeApplyRound(2)},
             ${bpeApplyRound(3)},

@@ -212,6 +212,56 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(out("s2") == ((2L, 3L, 1.5)), s"s2: ${out("s2")}")
   }
 
+  test("bpeTrainMerges treats quote characters as data, not SQL syntax") {
+    // apostrophes are ubiquitous in real English; the rewrite must be
+    // Column-API literal work (the old expr-string interpolation failed
+    // to parse the moment a learned symbol contained a quote).
+    // vocab: don't x2, l'a x3. Round 1 pairs: (',a) 3 ties (l,') 3 ->
+    // lexicographic smallest lhs "'" wins; round 2: (l,'a) 3.
+    val docs = Seq((1L, "don't don't l'a"), (2L, "l'a l'a"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Tokenizer.bpeTrainMerges(docs, 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "'", "a", 3L), (2, "l", "'a", 3L)),
+      s"got ${out.toSeq}")
+  }
+
+  test("bpeTrainMerges stops early when adjacent pairs exhaust") {
+    // one two-char word: round 1 merges it fully; rounds 2-3 find no
+    // adjacent pair and must return the merges learned so far, not
+    // throw on an empty argmax
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    val out = graft.operators.Tokenizer.bpeTrainMerges(docs, 3).collect()
+    assert(out.length == 1 && out(0).getString(3) == "ab", s"got ${out.toSeq}")
+  }
+
+  test("bpeTrainMerges excludes words containing the '|' delimiter") {
+    // 'x|y' would corrupt symbol boundaries undetected — it is outside
+    // the vocabulary by contract; only 'cd' trains
+    val docs = Seq((1L, "x|y cd"), (2L, "cd")).toDF("doc_id", "text")
+    val out = graft.operators.Tokenizer.bpeTrainMerges(docs, 3)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1, "cd", 2L)), s"got ${out.toSeq}")
+  }
+
+  test("dsirScore gives unseen-vocabulary docs an explicit 0, not no row") {
+    val train = Seq((1L, "en", "alpha beta"), (2L, "de", "gamma delta"))
+      .toDF("doc_id", "lang", "text")
+    val imp = Sampling.dsirImportance(train, col("lang") === "en")
+    val incoming = Seq(
+      (10L, "zzz yyy"), // every gram unseen at train time
+      (11L, "alpha beta"), // fully in-vocabulary
+      (12L, "") // empty text: still one ("") gram row, still scored
+    ).toDF("doc_id", "text")
+    val out = Sampling.dsirScore(incoming, imp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L),
+      s"every incoming doc must be scored, got ${out.keySet}")
+    assert(out(10L) == 0L && out(12L) == 0L, s"unseen-vocab docs score 0: $out")
+    assert(out(11L) > 0L, s"in-vocab doc scores positive: $out")
+  }
+
   test("gopherQualityRules flags each rule at its exact boundary") {
     val docs = Seq(
       // 10 words x 3 chars: word_count_ok (==10), mean exactly 3.0 (in),
