@@ -470,4 +470,75 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxHamming)
   }
+
+  /** Engine-portable word-shingle table: (doc_id, s) with one row per
+    * DISTINCT n-word shingle of the normalized text (docs with fewer
+    * than n words produce no rows — callers must admit them outside the
+    * candidate machinery). Shingles stay as strings here because the
+    * portable MinHash family below hashes them with md5, which any
+    * engine reproduces bit-for-bit; the non-portable xxhash64 variants
+    * above keep using [[graft.functions.TextFunctions.shingleHashes]].
+    */
+  def portableShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(normalized(col("text"))).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - $n), i -> concat_ws(' ', slice(ts, i + 1, $n)))"))
+        .as("s"))
+      .distinct()
+
+  /** Engine-portable MinHash LSH bands over [[portableShingles]] rows:
+    * hash function i of the family is `substr(md5(i || '|' || shingle),
+    * 1, 15)` and a signature component is the STRING minimum of that
+    * hash over the document's shingles — fixed-length lowercase hex, so
+    * lexicographic min == numeric min and no engine-specific hex→int
+    * conversion exists anywhere. Bands concatenate `rowsPerBand`
+    * adjacent components; two docs are LSH candidates iff they agree on
+    * some band. The hash index fans out as ROWS (the n63 lesson: a
+    * generate + flat scalar expressions stay in whole-stage codegen
+    * where a per-element HOF lambda would run interpreted), and the
+    * per-(doc, i) min is one map-side-partial hash aggregate.
+    */
+  def portableMinHashBands(
+      shingles: DataFrame,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame =
+    shingles
+      .select(col("doc_id"), col("s"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        substring(md5(concat(col("i").cast("string"), lit("|"), col("s"))),
+          1, 15).as("h"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("mh"))
+      .groupBy(col("doc_id"),
+        expr(s"cast(i div $rowsPerBand as int)").as("band_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '-')")
+        .as("band_key"))
+
+  /** Exact-Jaccard filter over candidate (id_a, id_b) pairs on the
+    * portable STRING shingle sets (the md5 family's verify stage —
+    * [[verifyJaccard]]'s shape, but against `(doc_id, ls)` collected
+    * shingle arrays so the score is reproducible in any engine).
+    * Candidate-bounded: shingle strings of candidates only are joined.
+    */
+  def verifyJaccardPortable(
+      candidates: DataFrame,
+      shingleSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = shingleSets.select(col("doc_id").as("id_a"), col("ls").as("ls_a"))
+    val b = shingleSets.select(col("doc_id").as("id_b"), col("ls").as("ls_b"))
+    candidates
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ls_a"), col("ls_b"))).as("inter"),
+        size(col("ls_a")).as("na"), size(col("ls_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -38,6 +38,37 @@ object Packing {
         expr(s"_start_offset DIV $budget").as("pack_id"))
   }
 
+  /** Boundary-exact context manifest — the chunk-side view of
+    * [[packSequences]]: one row per `budget`-token context of the
+    * concatenated stream with (n_docs, first_doc, last_doc, n_tokens),
+    * where a document straddling a boundary counts in BOTH neighbouring
+    * contexts and n_tokens is the exact slice each context receives
+    * (== budget everywhere except the final partial context). This is
+    * what a dataloader consumes: which documents feed context k and how
+    * many of its tokens each one contributes — [[packStats]] by
+    * contrast attributes a document's whole length to the pack it
+    * STARTS in, so its totals drift around boundaries.
+    *
+    * Scale shape: on top of packSequences' distributed prefix sum, each
+    * doc explodes to its spanned contexts (⌈n_tokens/budget⌉+1 bound)
+    * and one map-side-partial hash aggregate builds the manifest; only
+    * (doc_id, offset) pairs move, never text.
+    */
+  def contextManifest(docs: DataFrame, budget: Long): DataFrame =
+    packSequences(docs, budget)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("start_off").as("s"),
+        (col("start_off") + col("n_tokens")).as("e"))
+      .select(col("doc_id"), col("s"), col("e"),
+        explode(expr(s"sequence(s div $budget, (e - 1) div $budget)"))
+          .as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least(col("e"), (col("chunk_id") + 1) * budget) -
+            greatest(col("s"), col("chunk_id") * budget)).as("n_tokens"))
+
   /** Pack-level summary: how full each pack is — the packing-efficiency
     * readout (tokens per pack vs budget, docs per pack).
     */

@@ -353,4 +353,5 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
       .select("doc_id", "source", "per_mille", "copy_idx")
   }
+
 }

@@ -349,6 +349,40 @@ object NorthStar4 extends QueryGroup {
             JOIN ws USING (w)
             GROUP BY source ORDER BY source"""))
 
+  /** Boundary-exact context manifest over n16's packing layout — the
+    * chunk-side join-and-slice accounting a dataloader consumes (docs
+    * spanning a boundary count in both neighbours; every context totals
+    * exactly 512 tokens except the final partial one). All-integer
+    * per-chunk stats; the oracle's partition-less window is DuckDB-side
+    * only (the operator rides the GlobalOrder distributed prefix sum).
+    */
+  private val packing = Q(
+    "n67_context_manifest",
+    "boundary-exact 512-token context manifest (docs + exact token slices per context)",
+    (s, dir) => graft.operators.Packing
+      .contextManifest(Tables(s, dir).documents, 512L)
+      .orderBy("chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tok
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+              FROM t),
+            e AS (SELECT doc_id, s, s + n_tok AS e FROM o WHERE n_tok > 0),
+            ch AS (
+              SELECT doc_id, s, e,
+                unnest(range(s // 512, (e - 1) // 512 + 1)) AS chunk_id
+              FROM e)
+            SELECT chunk_id, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+              MAX(doc_id) AS last_doc,
+              CAST(SUM(LEAST(e, (chunk_id + 1) * 512)
+                       - GREATEST(s, chunk_id * 512)) AS BIGINT) AS n_tokens
+            FROM ch GROUP BY chunk_id ORDER BY chunk_id"""))
+
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
-    simhashPortable, spearman, bpeMerges, bpeStats)
+    simhashPortable, spearman, bpeMerges, bpeStats, packing)
 }

@@ -791,10 +791,202 @@ object StreamingQueries extends QueryGroup {
             SELECT doc_id, score_ppm FROM sc, thr
             WHERE score_ppm >= t ORDER BY doc_id"""))
 
+  /** Streaming NEAR-dedup — s16's exact-fingerprint gate upgraded to
+    * MinHash+LSH, completing the batch→streaming matrix for the dedup
+    * family the way s19 did for DSIR: each micro-batch's documents are
+    * admitted iff they near-duplicate neither the previously ADMITTED
+    * corpus nor a lower-doc_id document of their own batch, and every
+    * admitted document's LSH bands join a standing bucket index that
+    * the next batch probes (the n37 left-anti ingest shape, upgraded
+    * from exact fingerprints to banded signatures + exact-Jaccard
+    * verify). The admission rule is deliberately the candidate-
+    * pessimistic one — a doc is rejected on a verified pair with ANY
+    * lower-id batch-mate, admitted or not — because near-dup is not
+    * transitive and the sequential-greedy alternative needs an
+    * unbounded within-batch chain no set-oriented plan (or oracle)
+    * expresses; lowest-id-wins matches the dedup family's convention.
+    *
+    * Engine-portable end to end: [[graft.operators.Dedup.portableShingles]]
+    * + [[graft.operators.Dedup.portableMinHashBands]] (md5 hash family,
+    * string-min components, 8 bands × 2 rows) and the exact-Jaccard
+    * verify are replayed by the oracle's CTEs bit-for-bit, with the
+    * three arrival batches pinned as doc_id % 3 (slices staged as
+    * files, one processAllAvailable per slice).
+    *
+    * Scale shape: per batch, signature work is scan-stage over the
+    * batch only; the index probe is an equi-join on (band_id,
+    * band_key) against a standing table that production would bucket
+    * by band_key (here parquet re-read per batch — state lives in
+    * files, not the driver); verification joins shingle sets for
+    * CANDIDATES only. Nothing driver-side ever holds corpus state.
+    */
+  private val streamNearDedup = Q(
+    "s20_stream_near_dedup",
+    "streaming MinHash+LSH near-dedup: per-batch admission vs an incremental band index",
+    (s, dir) => {
+      val D = graft.operators.Dedup
+      val base = java.nio.file.Files.createTempDirectory("graft_s20_").toFile
+      base.deleteOnExit()
+      def sub(n: String) = new java.io.File(base, n)
+      val in = sub("in"); in.mkdirs()
+      val stage = sub("stage")
+      val idxDir = sub("index").getAbsolutePath
+      val shDir = sub("shingles").getAbsolutePath
+      val outDir = sub("out").getAbsolutePath
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = Tables(s, dir).documents
+        // deterministic arrival slices: batch k = doc_id ≡ k (mod 3)
+        (0 to 2).foreach { k =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === k)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
+        }
+        // standing state starts empty WITH the right schemas
+        val none = docs.filter(lit(false))
+        D.portableShingles(none).write.parquet(shDir)
+        D.portableMinHashBands(D.portableShingles(none)).write.parquet(idxDir)
+        val admit = (batchRaw: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => {
+          val batch = batchRaw.persist()
+          val shN = D.portableShingles(batch).persist()
+          val bandsN = D.portableMinHashBands(shN).persist()
+          try {
+            val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
+            val ssAll = ssN.unionByName(
+              s.read.parquet(shDir).groupBy("doc_id")
+                .agg(collect_list(col("s")).as("ls")))
+            val candCorpus = bandsN.as("n")
+              .join(s.read.parquet(idxDir).as("o"),
+                col("n.band_id") === col("o.band_id") &&
+                  col("n.band_key") === col("o.band_key"))
+              .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"))
+              .distinct()
+            val candBatch = bandsN.as("a")
+              .join(bandsN.as("b"),
+                col("a.band_id") === col("b.band_id") &&
+                  col("a.band_key") === col("b.band_key") &&
+                  col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+              .distinct()
+            val rejected = D.verifyJaccardPortable(candCorpus, ssAll, 0.5)
+              .select(col("id_a").as("doc_id"))   // the NEW side of a corpus dup
+              .union(D.verifyJaccardPortable(candBatch, ssN, 0.5)
+                .select(col("id_b").as("doc_id"))) // the higher id of a batch dup
+              .distinct()
+            batch.join(rejected, Seq("doc_id"), "left_anti")
+              .select(pmod(col("doc_id"), lit(3)).cast("int").as("batch_no"),
+                col("doc_id"))
+              .write.mode("append").parquet(outDir)
+            // re-read the admission verdict from the output (breaks the
+            // lineage back onto the state dirs we are about to append to)
+            val admIds = s.read.parquet(outDir)
+              .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+              .select(col("doc_id"))
+            shN.join(admIds, Seq("doc_id"), "left_semi")
+              .write.mode("append").parquet(shDir)
+            bandsN.join(admIds, Seq("doc_id"), "left_semi")
+              .write.mode("append").parquet(idxDir)
+          } finally {
+            bandsN.unpersist(); shN.unpersist(); batch.unpersist(); ()
+          }
+        }
+        val q = s.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .parquet(in.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", sub("ckpt").getAbsolutePath)
+          .foreachBatch(admit)
+          .start()
+        try {
+          (0 to 2).foreach { k =>
+            new java.io.File(stage, k.toString).listFiles()
+              .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                java.nio.file.Files.copy(f.toPath,
+                  new java.io.File(in, s"b$k-${f.getName}").toPath)
+              }
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val res = s.read.parquet(outDir).orderBy("doc_id").localCheckpoint()
+        rmTree(base)
+        res
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    },
+    Some("""WITH d AS (
+              SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_no,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                  ' ') AS ts
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, batch_no,
+                array_to_string(ts[(i+1):(i+3)], ' ') AS s
+              FROM (SELECT doc_id, batch_no, ts, unnest(range(len(ts) - 2)) AS i
+                    FROM d WHERE len(ts) >= 3)),
+            mh AS (
+              SELECT doc_id, batch_no, i,
+                MIN(substr(md5(CAST(i AS VARCHAR) || '|' || s), 1, 15)) AS mh
+              FROM (SELECT doc_id, batch_no, s, unnest(range(16)) AS i FROM sh)
+              GROUP BY doc_id, batch_no, i),
+            bands AS (
+              SELECT doc_id, batch_no, i // 2 AS band_id,
+                string_agg(mh, '-' ORDER BY i) AS band_key
+              FROM mh GROUP BY doc_id, batch_no, i // 2),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.batch_no AS ba, b.batch_no AS bb
+              FROM bands a JOIN bands b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+            ss AS (SELECT doc_id, list(s) AS ls FROM sh GROUP BY doc_id),
+            jac AS (
+              SELECT c.id_a, c.id_b, c.ba, c.bb
+              FROM cand c JOIN ss sa ON sa.doc_id = c.id_a
+                          JOIN ss sb ON sb.doc_id = c.id_b
+              WHERE CAST(len(list_filter(sa.ls, x -> list_contains(sb.ls, x))) AS DOUBLE)
+                    / (len(sa.ls) + len(sb.ls)
+                       - len(list_filter(sa.ls, x -> list_contains(sb.ls, x)))) >= 0.5),
+            dup AS (
+              SELECT id_a AS x, id_b AS y, ba AS bx FROM jac
+              UNION ALL
+              SELECT id_b, id_a, bb FROM jac),
+            adm0 AS (
+              SELECT doc_id FROM d WHERE batch_no = 0 AND NOT EXISTS (
+                SELECT 1 FROM dup WHERE dup.y = d.doc_id AND dup.bx = 0
+                  AND dup.x < d.doc_id)),
+            adm1 AS (
+              SELECT doc_id FROM d WHERE batch_no = 1
+                AND NOT EXISTS (
+                  SELECT 1 FROM dup WHERE dup.y = d.doc_id AND dup.bx = 1
+                    AND dup.x < d.doc_id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM dup JOIN adm0 ON adm0.doc_id = dup.x
+                  WHERE dup.y = d.doc_id)),
+            adm2 AS (
+              SELECT doc_id FROM d WHERE batch_no = 2
+                AND NOT EXISTS (
+                  SELECT 1 FROM dup WHERE dup.y = d.doc_id AND dup.bx = 2
+                    AND dup.x < d.doc_id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM dup JOIN adm0 ON adm0.doc_id = dup.x
+                  WHERE dup.y = d.doc_id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM dup JOIN adm1 ON adm1.doc_id = dup.x
+                  WHERE dup.y = d.doc_id))
+            SELECT CAST(doc_id % 3 AS INT) AS batch_no, doc_id FROM adm0
+            UNION ALL SELECT CAST(doc_id % 3 AS INT), doc_id FROM adm1
+            UNION ALL SELECT CAST(doc_id % 3 AS INT), doc_id FROM adm2
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
-    streamThreeWayJoin, streamImportanceGate)
+    streamThreeWayJoin, streamImportanceGate, streamNearDedup)
 }
