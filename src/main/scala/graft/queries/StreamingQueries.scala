@@ -21,18 +21,23 @@ object StreamingQueries extends QueryGroup {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Read the events table as a file stream (same TIMESTAMP(NANOS)
-    * handling as Tables.events, via explicit long schema + conversion).
+  /** Read the events table as a file stream (same schema-adaptive `ts`
+    * handling as Tables.events). The streaming source needs an explicit
+    * schema, so peek at the batch-read schema of the same file — that
+    * is exactly what the vectorized reader will produce (long for
+    * legacy TIMESTAMP(NANOS) under nanosAsLong, TIMESTAMP_NTZ for
+    * timestamp[us]) — then normalize post-read.
     */
   private def eventsStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physicalSchema = s.read.parquet(s"$dir/events.parquet").schema
     // the streaming file source requires a directory: stream the sf dir
     // with a glob selecting just the events table
-    s.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", graft.Tables.nanosToMicrosTimestamp("ts"))
+    graft.Tables.normalizeTs(
+      s.readStream
+        .schema(physicalSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   private def runToTable(

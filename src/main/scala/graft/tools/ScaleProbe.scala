@@ -228,7 +228,11 @@ object ScaleProbe {
     // copy is a fresh population — join/agg STATE grows with input,
     // which is exactly the scaling question for stateful streams.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
+    // normalize ts BEFORE staging: the replicated copies are re-written
+    // by Spark, so they carry a plain TimestampType regardless of the
+    // driver data's physical generation (nanos-long vs timestamp[us])
+    val eventsRaw =
+      graft.Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
     val (uStep, eStep) = {
       val r = eventsRaw
         .agg(max(col("user_id")), max(col("event_id"))).head
@@ -272,10 +276,9 @@ object ScaleProbe {
     }
     def typedStream(dir: String, tpe: String, p: String): DataFrame =
       spark.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-          "value DOUBLE, props STRING")
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE, props STRING")
         .parquet(dir)
-        .withColumn("ts", graft.Tables.nanosToMicrosTimestamp("ts"))
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
           col("event_id").as(s"${p}_id"))
