@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Testdata drift tripwire.
+
+The driver regenerates /root/testdata between rounds and is free to
+change physical schemas (round 7: events.ts went TIMESTAMP(NANOS) →
+timestamp[us], which broke 21 queries at analysis time and silently
+compressed streaming timestamps 1000×). This tool pins the current
+generation so the NEXT regeneration is caught in seconds at round
+start, not via a red driver artifact.
+
+Usage:
+  tools/manifest.py write   # snapshot schemas+stats → data_manifest.json
+  tools/manifest.py check   # diff live testdata vs the committed manifest
+check exits 1 and prints a per-table diff when anything changed.
+"""
+import json
+import sys
+
+import pyarrow.parquet as pq
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+MANIFEST = "data_manifest.json"
+
+
+def snapshot():
+    out = {}
+    for sf in SFS:
+        for t in TABLES:
+            path = f"/root/testdata/{sf}/{t}.parquet"
+            md = pq.read_metadata(path)
+            sch = pq.read_schema(path)
+            out[f"{sf}/{t}"] = {
+                "rows": md.num_rows,
+                "columns": {f.name: str(f.type) for f in sch},
+            }
+    return out
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    live = snapshot()
+    if mode == "write":
+        with open(MANIFEST, "w") as f:
+            json.dump(live, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {MANIFEST}: {len(live)} table snapshots")
+        return 0
+    committed = json.load(open(MANIFEST))
+    drift = []
+    for key in sorted(set(committed) | set(live)):
+        a, b = committed.get(key), live.get(key)
+        if a == b:
+            continue
+        if a is None:
+            drift.append(f"{key}: NEW table (not in committed manifest)")
+            continue
+        if b is None:
+            drift.append(f"{key}: MISSING on disk")
+            continue
+        if a["rows"] != b["rows"]:
+            drift.append(f"{key}: rows {a['rows']} -> {b['rows']}")
+        for c in sorted(set(a["columns"]) | set(b["columns"])):
+            ca, cb = a["columns"].get(c), b["columns"].get(c)
+            if ca != cb:
+                drift.append(f"{key}.{c}: type {ca} -> {cb}")
+    if drift:
+        print("TESTDATA DRIFT — the driver regenerated data; re-verify "
+              "loaders (Tables.normalizeTs) and re-derive bench budgets:")
+        for d in drift:
+            print(" ", d)
+        return 1
+    print(f"manifest OK: {len(live)} table snapshots unchanged")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
