@@ -383,6 +383,90 @@ object NorthStar4 extends QueryGroup {
                        - GREATEST(s, chunk_id * 512)) AS BIGINT) AS n_tokens
             FROM ch GROUP BY chunk_id ORDER BY chunk_id"""))
 
+  /** One unrolled gradient-descent iteration of the n68 oracle: errors
+    * under the current margins, per-bucket + bias gradients through the
+    * double-VARCHAR-routed exact decimal sum ([[Sql.oSum12]] — the
+    * input-side VARCHAR route is what keeps DuckDB's double→decimal
+    * rounding identical to Spark's shortest-string cast), then the
+    * updated weight/bias tables and the next margin CTE. `first` skips
+    * the previous-weights join (the zero model needs no w0 table).
+    */
+  private def qcIter(i: Int, first: Boolean): String = {
+    val wPrev = if (first) "0.0" else "w"
+    val wFrom =
+      if (first) s"g$i CROSS JOIN nd"
+      else s"w${i - 1} JOIN g$i USING (b) CROSS JOIN nd"
+    val bPrev = if (first) "0.0" else "(SELECT bias FROM b" + (i - 1) + ")"
+    s"""e$i AS (
+          SELECT doc_id, (0.5 + (0.5 * m) / (1.0 + abs(m))) - y AS err
+          FROM m$i),
+        g$i AS (
+          SELECT b, ${Sql.oSum12("err * x")} AS g
+          FROM xy JOIN e$i USING (doc_id) GROUP BY b),
+        gb$i AS (
+          SELECT ${Sql.oSum12("err")} AS gb
+          FROM e$i),
+        w$i AS (SELECT b, $wPrev - 1.0 * (g / nd) AS w FROM $wFrom),
+        b$i AS (SELECT $bPrev - 1.0 * (gb / nd) AS bias
+                FROM gb$i CROSS JOIN nd),
+        m${i + 1} AS (
+          SELECT xy.doc_id, y, ${Sql.oSum12("x * w")} + bias AS m
+          FROM xy JOIN w$i USING (b) CROSS JOIN b$i
+          GROUP BY xy.doc_id, y, bias)"""
+  }
+
+  /** Trained quality classifier: the full 3-step gradient-descent
+    * trajectory replayed in DuckDB — portable md5 feature buckets,
+    * fast-sigmoid (no exp), exact decimal aggregation — so the learned
+    * scores themselves hash-match, not just a row count.
+    */
+  private val qualityClassifier = Q(
+    "n68_quality_classifier",
+    "trained quality classifier (hashed features + fast-sigmoid logistic GD), scores hash-exact",
+    (s, dir) => graft.operators.QualityModel
+      .trainedQualityScores(Tables(s, dir).documents,
+        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+        iters = 3)
+      .orderBy("doc_id"),
+    Some(s"""WITH tk AS (
+              SELECT doc_id,
+                len(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS n,
+                unnest(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS t
+              FROM documents),
+            f AS (
+              SELECT doc_id, n,
+                ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
+                       THEN ascii(substr(md5(t), 1, 1)) - 87
+                       ELSE ascii(substr(md5(t), 1, 1)) - 48 END) % 4) * 16
+                + (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
+                        THEN ascii(substr(md5(t), 2, 1)) - 87
+                        ELSE ascii(substr(md5(t), 2, 1)) - 48 END) AS b,
+                COUNT(*) AS c
+              FROM tk GROUP BY doc_id, n, b),
+            x AS (
+              SELECT doc_id, b,
+                CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS x
+              FROM f),
+            lab AS (
+              SELECT doc_id,
+                CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+            xy AS (SELECT x.doc_id, b, x, y FROM x JOIN lab USING (doc_id)),
+            m1 AS (SELECT doc_id, y, CAST(0.0 AS DOUBLE) AS m FROM lab),
+            ${qcIter(1, first = true)},
+            ${qcIter(2, first = false)},
+            ${qcIter(3, first = false)}
+            SELECT doc_id, CAST(y AS INT) AS label,
+              0.5 + (0.5 * m) / (1.0 + abs(m)) AS score,
+              CASE WHEN (0.5 + (0.5 * m) / (1.0 + abs(m))) >= 0.5
+                   THEN 1 ELSE 0 END AS pred
+            FROM m4 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
-    simhashPortable, spearman, bpeMerges, bpeStats, packing)
+    simhashPortable, spearman, bpeMerges, bpeStats, packing,
+    qualityClassifier)
 }

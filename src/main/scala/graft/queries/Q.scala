@@ -63,6 +63,20 @@ object Sql {
   def oAvg(expr: String): String =
     s"${oSum(expr)} / COUNT(*)"
 
+  /** DuckDB-side exact sum of FULL-PRECISION doubles (quotients,
+    * sigmoid outputs) at scale 12, VARCHAR-routed on BOTH casts. The
+    * input-side route is the critical one: Spark's double→decimal cast
+    * rounds the double's SHORTEST string representation (BigDecimal
+    * .valueOf), DuckDB's direct cast rounds the full binary expansion —
+    * near a half-ulp at the 12th decimal they round apart (observed:
+    * n68's iteration-3 bias gradient, which shifted every score by
+    * ~2e-15). Casting the double to VARCHAR first makes DuckDB round
+    * the same shortest string Spark does (both parse it half-up).
+    */
+  def oSum12(expr: String): String =
+    s"""CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR)
+          AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"""
+
   /** DuckDB cosine between two list columns — the same strict
     * left-to-right double accumulation as VectorFunctions.cosine, so
     * values are bit-identical. Shared by every ANN oracle (n05/n12/n46

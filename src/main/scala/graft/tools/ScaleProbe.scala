@@ -222,6 +222,16 @@ object ScaleProbe {
         .qualityLengthSpearman(replicate(t.documents, "doc_id", c))
         .count())
 
+    // per-iteration work is one scan + two keyed partial aggs; model
+    // state is a constant 64+1 doubles per round regardless of corpus
+    // size — time should track the token explode linearly
+    probe("quality_classifier", c =>
+      graft.operators.QualityModel
+        .trainedQualityScores(replicate(t.documents, "doc_id", c),
+          positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+          iters = 3)
+        .count())
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each

@@ -287,4 +287,52 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(out(4L) == ((true, true, true, true)), s"doc4: ${out(4L)}")
     assert(out(5L)._3 == false, "70% alpha fails the 80% gate")
   }
+
+  test("trainedQualityScores separates planted vocabularies in 3 GD steps") {
+    // positive sources speak a disjoint vocabulary from negatives, so
+    // three full-batch steps must already rank every curated doc above
+    // every crawl doc and classify all eight correctly
+    val docs = Seq(
+      (1L, "curated", "alpha beta gamma alpha beta"),
+      (2L, "curated", "beta gamma alpha beta gamma"),
+      (3L, "curated", "gamma alpha beta gamma alpha"),
+      (4L, "curated", "alpha gamma beta alpha gamma"),
+      (5L, "crawl", "zork quux blarg zork quux"),
+      (6L, "crawl", "quux blarg zork quux blarg"),
+      (7L, "crawl", "blarg zork quux blarg zork"),
+      (8L, "crawl", "zork blarg quux zork blarg")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.QualityModel
+      .trainedQualityScores(docs, positiveSources = Seq("curated"), iters = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(out.size == 8, "one scored row per document")
+    val pos = (1L to 4L).map(out(_)._2)
+    val neg = (5L to 8L).map(out(_)._2)
+    assert(pos.min > neg.max,
+      s"curated scores $pos must all exceed crawl scores $neg")
+    (1L to 8L).foreach { d =>
+      val (label, score, pred) = out(d)
+      assert(score > 0.0 && score < 1.0, s"doc $d score $score out of (0,1)")
+      assert(pred == label, s"doc $d misclassified: pred $pred label $label")
+    }
+  }
+
+  test("trainedQualityScores is invariant to input partitioning") {
+    // the DECIMAL(38,12) aggregation route makes the whole training
+    // trajectory order-free: any repartitioning yields bit-identical
+    // scores (this is the property the cross-engine oracle relies on)
+    val docs = (1L to 40L).map { i =>
+      val src = if (i % 3 == 0) "good" else s"src${i % 5}"
+      (i, src, s"tok${i % 7} tok${i % 11} tok${i % 13} tok${i % 7}")
+    }.toDF("doc_id", "source", "text")
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      graft.operators.QualityModel
+        .trainedQualityScores(df, positiveSources = Seq("good"), iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = scores(docs.coalesce(1))
+    val b = scores(docs.repartition(7, col("doc_id")))
+    assert(a == b, "scores must be bit-identical across partitionings")
+  }
 }
