@@ -11,20 +11,29 @@ import org.apache.spark.storage.StorageLevel
   * else") as opposed to the heuristic word-shape scores of
   * [[TextAnalysis.qualityScore]] and the generative importance ratios
   * of DSIR ([[Sampling]]): hashed bag-of-words features, logistic-style
-  * model, batch gradient descent trained INSIDE the engine.
+  * model, batch gradient descent trained INSIDE the engine. The model
+  * splits batch-train from apply ([[trainModel]] / [[scoreWith]]) so a
+  * STREAMING corpus can be gated by an offline-trained model with the
+  * identical scoring arithmetic (the s19 DSIR production shape).
   *
   * Everything is engineered for cross-engine FP exactness so the whole
   * training trajectory sits under the DuckDB hash oracle:
   *   - features are md5-derived 64-bucket hashes (the n63 portable-hash
   *     precedent — ascii arithmetic on hex digits, no engine-native
-  *     hash), count-normalized by exact integer token counts;
+  *     hash); margins and gradients are TOKEN-level sums
+  *     (Σ_tokens w_b(t)/n_d rather than Σ_buckets x_db·w_b), which
+  *     keeps scoring to ONE aggregation — legal in a streaming query,
+  *     where chained stateful aggregations are not;
   *   - the squashing function is the "fast sigmoid"
   *     σ(m) = 0.5 + (0.5·m)/(1+|m|) — only +,·,/,abs, all IEEE-exact,
   *     no libm `exp` (whose last-ulp behavior differs across engines;
   *     same no-transcendentals policy as n42/n61);
-  *   - every FP aggregation (per-doc margins, per-bucket gradients)
-  *     routes through DECIMAL(38,12) — exact, order-free addition —
-  *     and back to double (the pagerank DECIMAL-sum precedent).
+  *   - every FP aggregation routes through DECIMAL(38,12) — exact,
+  *     order-free addition — and back to double, with the oracle
+  *     VARCHAR-routing BOTH casts ([[graft.queries.Sql.oSum12]]: Spark
+  *     rounds the double's shortest string, DuckDB's direct cast
+  *     rounds the full binary expansion, and at scale 12 they have
+  *     been observed to disagree).
   *
   * Scale shape: the corpus is touched once per iteration as a
   * scan + two keyed aggregations (per-doc margin, per-bucket gradient);
@@ -62,59 +71,52 @@ object QualityModel {
   private def xsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 12))).cast("double")
 
-  /** Train `iters` full-batch gradient steps of the quality classifier
-    * (positive class = `positiveSources`) and score every document with
-    * the final model. Output: (doc_id, label, score, pred), one row per
-    * input document.
+  /** One row per TOKEN: (doc_id, n = the doc's token count, b = the
+    * token's feature bucket). Works on batch and streaming frames
+    * alike — pure scan-stage expression work.
     */
-  def trainedQualityScores(
+  private def tokenBuckets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      size(tokens(normalized(col("text")))).as("n"),
+      explode(tokens(normalized(col("text")))).as("t"))
+    .select(col("doc_id"), col("n"), md5(col("t")).as("h"))
+    .select(col("doc_id"), col("n"), expr(bucketExpr("h")).as("b"))
+
+  /** Per-token margin contribution under weights `w`: w_b(t) / n_d. */
+  private def termCol(w: IndexedSeq[Double]): Column =
+    element_at(typedLit(w), col("b") + 1) / col("n").cast("double")
+
+  /** Train `iters` full-batch gradient steps on `docs` (positive class
+    * = `positiveSources`) and return the model: 64 weights + bias.
+    * Bounded driver state by construction; the training diamond is
+    * released before returning (the model is driver-materialized, no
+    * returned plan can re-read it — [[Tokenizer.bpeTrainMerges]]
+    * policy).
+    */
+  def trainModel(
       docs: DataFrame,
       positiveSources: Seq[String],
       iters: Int = 3,
-      lr: Double = 1.0): DataFrame = {
+      lr: Double = 1.0): (IndexedSeq[Double], Double) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // (doc_id, b, x): count-normalized bucket frequencies. The total
-    // token count rides along from the pre-explode size() so no second
-    // aggregation or window is needed (the Dedup n_sh pattern).
-    val x = docs
-      .select(col("doc_id"),
-        size(tokens(normalized(col("text")))).as("n"),
-        explode(tokens(normalized(col("text")))).as("t"))
-      .select(col("doc_id"), col("n"), md5(col("t")).as("h"))
-      .select(col("doc_id"), col("n"), expr(bucketExpr("h")).as("b"))
-      .groupBy(col("doc_id"), col("n"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("b"),
-        (col("c").cast("double") / col("n").cast("double")).as("x"))
-    val lab = docs.select(col("doc_id"),
-      when(col("source").isin(positiveSources: _*), lit(1.0))
-        .otherwise(lit(0.0)).as("y"))
-    // training diamond: scanned once per iteration plus the final
-    // scoring pass — persist (caller owns cleanup, package contract)
-    val xy = x.join(lab, "doc_id")
+    val lab = labels(docs, positiveSources)
+    val xy = tokenBuckets(docs).join(lab, "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count().toDouble
-
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     var bias = 0.0
-    // margins under the CURRENT model: m_d = Σ_b x_db·w_b + bias,
-    // summed through exact decimals so partitioning can't reorder FP
-    def margins: DataFrame = xy
-      .groupBy(col("doc_id"), col("y"))
-      .agg((xsum(col("x") * element_at(typedLit(w), col("b") + 1))
-        + lit(bias)).as("m"))
-
     (1 to iters).foreach { _ =>
-      // two actions (bucket gradients, bias gradient) read the same
-      // per-doc errors: persist so the margin aggregation runs once per
-      // iteration, and release immediately — both consumers are
-      // driver-materialized before the update, so unlike the xy diamond
-      // no returned plan can re-read this block
-      val err = margins
+      // margins under the CURRENT model, then per-doc errors; the two
+      // gradient actions below both read err, so persist it for the
+      // iteration and release before the update (both consumers are
+      // driver-materialized first)
+      val err = xy.groupBy(col("doc_id"), col("y"))
+        .agg((xsum(termCol(w)) + lit(bias)).as("m"))
         .select(col("doc_id"), (sig(col("m")) - col("y")).as("err"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val g = xy.join(err, "doc_id")
-        .groupBy("b").agg(xsum(col("err") * col("x")).as("g"))
+        .groupBy("b")
+        .agg(xsum(col("err") / col("n").cast("double")).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val gBias = err.agg(xsum(col("err"))).head.getDouble(0)
       err.unpersist(blocking = false)
@@ -124,10 +126,42 @@ object QualityModel {
       w = Vector.tabulate(Dim)(b => w(b) - lr * (g.getOrElse(b, 0.0) / nDocs))
       bias = bias - lr * (gBias / nDocs)
     }
-
-    margins.select(col("doc_id"),
-      col("y").cast("int").as("label"),
-      sig(col("m")).as("score"),
-      (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
+    xy.unpersist(blocking = false)
+    (w, bias)
   }
+
+  /** Score any (doc_id, text) frame — batch OR streaming — with a
+    * trained model: (doc_id, score, pred). ONE aggregation, so a
+    * streaming caller runs it directly (update mode, one state row per
+    * doc); the arithmetic is the training margin's, token for token.
+    */
+  def scoreWith(
+      docs: DataFrame, w: IndexedSeq[Double], bias: Double): DataFrame = {
+    require(w.size == Dim, s"weight vector must have $Dim entries")
+    tokenBuckets(docs)
+      .groupBy(col("doc_id"))
+      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
+      .select(col("doc_id"), sig(col("m")).as("score"),
+        (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
+  }
+
+  /** Batch train-and-score: every document labeled and scored by the
+    * final model. Output: (doc_id, label, score, pred).
+    */
+  def trainedQualityScores(
+      docs: DataFrame,
+      positiveSources: Seq[String],
+      iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    val (w, bias) = trainModel(docs, positiveSources, iters, lr)
+    scoreWith(docs, w, bias)
+      .join(labels(docs, positiveSources), "doc_id")
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("score"), col("pred"))
+  }
+
+  private def labels(docs: DataFrame, positiveSources: Seq[String]) =
+    docs.select(col("doc_id"),
+      when(col("source").isin(positiveSources: _*), lit(1.0))
+        .otherwise(lit(0.0)).as("y"))
 }

@@ -401,7 +401,7 @@ object NorthStar4 extends QueryGroup {
           SELECT doc_id, (0.5 + (0.5 * m) / (1.0 + abs(m))) - y AS err
           FROM m$i),
         g$i AS (
-          SELECT b, ${Sql.oSum12("err * x")} AS g
+          SELECT b, ${Sql.oSum12("err / CAST(n AS DOUBLE)")} AS g
           FROM xy JOIN e$i USING (doc_id) GROUP BY b),
         gb$i AS (
           SELECT ${Sql.oSum12("err")} AS gb
@@ -410,10 +410,47 @@ object NorthStar4 extends QueryGroup {
         b$i AS (SELECT $bPrev - 1.0 * (gb / nd) AS bias
                 FROM gb$i CROSS JOIN nd),
         m${i + 1} AS (
-          SELECT xy.doc_id, y, ${Sql.oSum12("x * w")} + bias AS m
+          SELECT xy.doc_id, y,
+            ${Sql.oSum12("w / CAST(n AS DOUBLE)")} + bias AS m
           FROM xy JOIN w$i USING (b) CROSS JOIN b$i
           GROUP BY xy.doc_id, y, bias)"""
   }
+
+  /** The full n68 training replay as CTEs, ending with `m4(doc_id, y,
+    * m)` — the margins under the 3-step model. Token-level throughout
+    * (one row per token in `xy`), mirroring the operator's
+    * streaming-legal single-aggregation scoring. Shared by the n68
+    * batch oracle and the s21 streaming-gate oracle (the dsirCtes
+    * pattern).
+    */
+  private[queries] val qcCtes: String =
+    s"""WITH tk AS (
+              SELECT doc_id,
+                len(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS n,
+                unnest(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS t
+              FROM documents),
+            lab AS (
+              SELECT doc_id,
+                CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+            xy AS (
+              SELECT tk.doc_id, n,
+                ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
+                       THEN ascii(substr(md5(t), 1, 1)) - 87
+                       ELSE ascii(substr(md5(t), 1, 1)) - 48 END) % 4) * 16
+                + (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
+                        THEN ascii(substr(md5(t), 2, 1)) - 87
+                        ELSE ascii(substr(md5(t), 2, 1)) - 48 END) AS b,
+                y
+              FROM tk JOIN lab USING (doc_id)),
+            m1 AS (SELECT doc_id, y, CAST(0.0 AS DOUBLE) AS m FROM lab),
+            ${qcIter(1, first = true)},
+            ${qcIter(2, first = false)},
+            ${qcIter(3, first = false)}"""
 
   /** Trained quality classifier: the full 3-step gradient-descent
     * trajectory replayed in DuckDB — portable md5 feature buckets,
@@ -428,38 +465,7 @@ object NorthStar4 extends QueryGroup {
         positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
         iters = 3)
       .orderBy("doc_id"),
-    Some(s"""WITH tk AS (
-              SELECT doc_id,
-                len(string_split(trim(regexp_replace(lower(text),
-                  '\\s+', ' ', 'g')), ' ')) AS n,
-                unnest(string_split(trim(regexp_replace(lower(text),
-                  '\\s+', ' ', 'g')), ' ')) AS t
-              FROM documents),
-            f AS (
-              SELECT doc_id, n,
-                ((CASE WHEN ascii(substr(md5(t), 1, 1)) >= 97
-                       THEN ascii(substr(md5(t), 1, 1)) - 87
-                       ELSE ascii(substr(md5(t), 1, 1)) - 48 END) % 4) * 16
-                + (CASE WHEN ascii(substr(md5(t), 2, 1)) >= 97
-                        THEN ascii(substr(md5(t), 2, 1)) - 87
-                        ELSE ascii(substr(md5(t), 2, 1)) - 48 END) AS b,
-                COUNT(*) AS c
-              FROM tk GROUP BY doc_id, n, b),
-            x AS (
-              SELECT doc_id, b,
-                CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS x
-              FROM f),
-            lab AS (
-              SELECT doc_id,
-                CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                     THEN 1.0 ELSE 0.0 END AS y
-              FROM documents),
-            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
-            xy AS (SELECT x.doc_id, b, x, y FROM x JOIN lab USING (doc_id)),
-            m1 AS (SELECT doc_id, y, CAST(0.0 AS DOUBLE) AS m FROM lab),
-            ${qcIter(1, first = true)},
-            ${qcIter(2, first = false)},
-            ${qcIter(3, first = false)}
+    Some(s"""$qcCtes
             SELECT doc_id, CAST(y AS INT) AS label,
               0.5 + (0.5 * m) / (1.0 + abs(m)) AS score,
               CASE WHEN (0.5 + (0.5 * m) / (1.0 + abs(m))) >= 0.5

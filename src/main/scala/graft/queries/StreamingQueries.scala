@@ -988,10 +988,73 @@ object StreamingQueries extends QueryGroup {
             UNION ALL SELECT CAST(doc_id % 3 AS INT), doc_id FROM adm2
             ORDER BY doc_id"""))
 
+  /** Batch-trained QUALITY model gating a streaming corpus — the s19
+    * shape for the n68 discriminative classifier: [[graft.operators.QualityModel.trainModel]]
+    * runs once on the static corpus (the whole model is 64 weights +
+    * bias — broadcastable by construction), then the STREAMING corpus
+    * is scored by [[graft.operators.QualityModel.scoreWith]] — the
+    * identical token-level margin arithmetic, which is deliberately
+    * ONE aggregation so it runs as a legal streaming query (chained
+    * stateful aggregations are not supported; this is why the model's
+    * margins are token-level sums). In-stream selection is
+    * threshold-based with the threshold derived OFFLINE from the batch
+    * scores (min score of the kept top fraction — s19's rule: a global
+    * rank needs the whole corpus, a threshold is local, and docs tying
+    * the threshold beyond the batch top-k are kept). The raw 0.5
+    * decision boundary would be vacuous here — a 25%-positive prior
+    * drags the bias negative, so three GD steps leave every absolute
+    * score below 0.5 even though the RANKING separates cleanly.
+    *
+    * State caveat (same finite-replay contract as s16/s19): the
+    * per-doc margin aggregation in update mode keeps one state row per
+    * doc_id; a continuous deployment scores each micro-batch with
+    * foreachBatch or expires state with a watermark.
+    */
+  private val streamQualityGate = Q(
+    "s21_stream_quality_gate",
+    "batch-trained quality classifier gating a streaming corpus",
+    (s, dir) => {
+      val QM = graft.operators.QualityModel
+      val static = Tables(s, dir).documents
+      val (w, bias) = QM.trainModel(static,
+        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+        iters = 3)
+      // offline threshold: min score of the batch top quarter (ties
+      // ranked by doc_id; the min over the top-k set is order-free)
+      val k = math.ceil(0.25 * static.count()).toInt
+      val thr = QM.scoreWith(static, w, bias)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+        .agg(min(col("score"))).head.getDouble(0)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val gated = QM.scoreWith(docs, w, bias)
+        .filter(col("score") >= thr)
+        .select("doc_id", "score")
+      runToTable(gated, "update").orderBy("doc_id")
+    },
+    Some(s"""${NorthStar4.qcCtes},
+            sc AS (
+              SELECT doc_id,
+                0.5 + (0.5 * m) / (1.0 + abs(m)) AS score
+              FROM m4),
+            r AS (
+              SELECT doc_id, score,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM sc),
+            thr AS (
+              SELECT MIN(score) AS t FROM r, nd
+              WHERE rn <= CEIL(0.25 * nd))
+            SELECT doc_id, score FROM sc, thr
+            WHERE score >= t ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
-    streamThreeWayJoin, streamImportanceGate, streamNearDedup)
+    streamThreeWayJoin, streamImportanceGate, streamNearDedup,
+    streamQualityGate)
 }
