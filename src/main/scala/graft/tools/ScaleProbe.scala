@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * realistically (each copy forms its own near-dup clusters instead of
   * collapsing into one giant bucket).
   *
-  * Run: sbt "runMain graft.tools.ScaleProbe [sfDir]"
+  * Run: sbt "runMain graft.tools.ScaleProbe [sfDir] [probeSubstr ...]"
+  * — trailing args filter probes by name substring, so one new
+  * operator's row can be (re)measured without the full sweep.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only: Seq[String] = args.drop(1).toSeq
     val spark = GraftSession.build("graft-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, sfDir)
@@ -51,6 +54,7 @@ object ScaleProbe {
     }
 
     def probe(name: String, run: Int => Long): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       run(1) // warm
       val results = Seq(1, 4, 8).map { c =>
         GraftSession.dropAllBlocks(spark)
