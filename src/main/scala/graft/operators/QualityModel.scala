@@ -98,11 +98,55 @@ object QualityModel {
       positiveSources: Seq[String],
       iters: Int = 3,
       lr: Double = 1.0): (IndexedSeq[Double], Double) = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val lab = labels(docs, positiveSources)
-    val xy = tokenBuckets(docs).join(lab, "doc_id")
+    val xy = tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nDocs = docs.count().toDouble
+    val out = trainOn(xy, docs.count().toDouble, iters, lr)
+    xy.unpersist(blocking = false)
+    out
+  }
+
+  /** Train + derive the in-stream gate threshold (min score of the
+    * batch top `frac` — s19's offline-threshold rule) in one pass over
+    * a SHARED persisted feature frame: training, final margins and the
+    * rank all read the same tokenize+md5 scan instead of re-deriving
+    * it per stage. Returns (weights, bias, threshold); all three are
+    * driver-materialized, so the feature diamond is released before
+    * returning.
+    */
+  def trainGate(
+      docs: DataFrame,
+      positiveSources: Seq[String],
+      frac: Double,
+      iters: Int = 3,
+      lr: Double = 1.0): (IndexedSeq[Double], Double, Double) = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    val xy = tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+    val (w, bias) = trainOn(xy, nDocs.toDouble, iters, lr)
+    val k = math.ceil(frac * nDocs).toInt
+    val thr = xy.groupBy(col("doc_id"))
+      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
+      .select(col("doc_id"), sig(col("m")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .agg(min(col("score"))).head.getDouble(0)
+    xy.unpersist(blocking = false)
+    (w, bias, thr)
+  }
+
+  /** The gradient loop over a prepared (doc_id, n, b, y) frame —
+    * shared by [[trainModel]], [[trainGate]] and
+    * [[trainedQualityScores]], whose persisted feature frames differ
+    * only in lifetime. Margins grouped by (doc_id, y) sum the same
+    * per-token terms as any other grouping of the same rows — decimal
+    * addition is order- and grouping-free, which is what lets every
+    * caller share one definition.
+    */
+  private def trainOn(
+      xy: DataFrame, nDocs: Double, iters: Int,
+      lr: Double): (IndexedSeq[Double], Double) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     var bias = 0.0
     (1 to iters).foreach { _ =>
@@ -126,7 +170,6 @@ object QualityModel {
       w = Vector.tabulate(Dim)(b => w(b) - lr * (g.getOrElse(b, 0.0) / nDocs))
       bias = bias - lr * (gBias / nDocs)
     }
-    xy.unpersist(blocking = false)
     (w, bias)
   }
 
@@ -146,18 +189,24 @@ object QualityModel {
   }
 
   /** Batch train-and-score: every document labeled and scored by the
-    * final model. Output: (doc_id, label, score, pred).
+    * final model. Output: (doc_id, label, score, pred). Training and
+    * the final scoring pass share ONE persisted feature frame (the
+    * diamond contract — the block stays alive for the returned plan,
+    * caller owns cleanup).
     */
   def trainedQualityScores(
       docs: DataFrame,
       positiveSources: Seq[String],
       iters: Int = 3,
       lr: Double = 1.0): DataFrame = {
-    val (w, bias) = trainModel(docs, positiveSources, iters, lr)
-    scoreWith(docs, w, bias)
-      .join(labels(docs, positiveSources), "doc_id")
+    val xy = tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (w, bias) = trainOn(xy, docs.count().toDouble, iters, lr)
+    xy.groupBy(col("doc_id"), col("y"))
+      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
       .select(col("doc_id"), col("y").cast("int").as("label"),
-        col("score"), col("pred"))
+        sig(col("m")).as("score"),
+        (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
   }
 
   private def labels(docs: DataFrame, positiveSources: Seq[String]) =

@@ -1016,16 +1016,12 @@ object StreamingQueries extends QueryGroup {
     (s, dir) => {
       val QM = graft.operators.QualityModel
       val static = Tables(s, dir).documents
-      val (w, bias) = QM.trainModel(static,
+      // offline train + top-quarter threshold over one shared feature
+      // scan (min score of the kept top frac; ties ranked by doc_id —
+      // the min over the top-k set is order-free)
+      val (w, bias, thr) = QM.trainGate(static,
         positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
-        iters = 3)
-      // offline threshold: min score of the batch top quarter (ties
-      // ranked by doc_id; the min over the top-k set is order-free)
-      val k = math.ceil(0.25 * static.count()).toInt
-      val thr = QM.scoreWith(static, w, bias)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
-        .agg(min(col("score"))).head.getDouble(0)
+        frac = 0.25, iters = 3)
       val docs = s.readStream
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("pathGlobFilter", "documents.parquet")
