@@ -53,7 +53,7 @@ class TsNormalizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
-  test("Tables.events and the streaming events source agree on schema and instants") {
+  test("Tables.events loads TimestampType with a non-degenerate time spread") {
     val batch = Tables(spark, "/root/testdata/sf0.001").events
     assert(batch.schema("ts").dataType == TimestampType)
     // the current on-disk generation must load with non-degenerate time
