@@ -472,7 +472,63 @@ object NorthStar4 extends QueryGroup {
                    THEN 1 ELSE 0 END AS pred
             FROM m4 ORDER BY doc_id"""))
 
+  /** CDC merge — the write side of n51's diff audit. The changeset
+    * derives deterministically from the fixture (doc_id % 7 == 0 →
+    * delete; else % 5 == 0 → upsert with " v2" appended; % 13 == 0 →
+    * a brand-new id inserted at +1,000,000), so the oracle restates it
+    * and the merged snapshot is checked ROW-LEVEL: id, provenance, and
+    * the final text's fingerprint all hash-exact.
+    */
+  private val snapshotMerge = Q(
+    "n69_snapshot_merge",
+    "apply a CDC changeset (upsert/delete/insert) to a corpus snapshot, row-level provenance",
+    (s, dir) => {
+      import graft.functions.TextFunctions.fingerprint
+      val docs = Tables(s, dir).documents
+      val base = docs.select(col("doc_id"), col("text"))
+      val changes = docs
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("upsert").as("op"),
+            concat(col("text"), lit(" new")).as("text")))
+      graft.operators.Snapshot
+        .applyChangeset(base, changes, idCol = "doc_id")
+        .select(col("doc_id"), col("provenance"),
+          fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, text FROM documents),
+            ch AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+                CASE WHEN doc_id % 7 = 0 THEN NULL
+                     ELSE text || ' v2' END AS text
+              FROM documents WHERE doc_id % 7 = 0 OR doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'upsert', text || ' new'
+              FROM documents WHERE doc_id % 13 = 0),
+            j AS (
+              SELECT b.doc_id AS bid, b.text AS btext,
+                c.doc_id AS cid, c.op, c.text AS ctext
+              FROM base b FULL JOIN ch c ON b.doc_id = c.doc_id)
+            SELECT COALESCE(bid, cid) AS doc_id,
+              CASE WHEN op IS NULL THEN 'kept'
+                   WHEN bid IS NOT NULL THEN 'updated'
+                   ELSE 'inserted' END AS provenance,
+              substr(md5(trim(regexp_replace(lower(
+                CASE WHEN op IS NOT NULL THEN ctext ELSE btext END),
+                '\s+', ' ', 'g'))), 1, 16) AS fp
+            FROM j
+            WHERE op IS NULL OR op <> 'delete'
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
     simhashPortable, spearman, bpeMerges, bpeStats, packing,
-    qualityClassifier)
+    qualityClassifier, snapshotMerge)
 }
