@@ -486,24 +486,25 @@ object NorthStar4 extends QueryGroup {
       import graft.functions.TextFunctions.fingerprint
       val docs = Tables(s, dir).documents
       val base = docs.select(col("doc_id"), col("text"))
-      val changes = docs
-        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
-        .select(col("doc_id"),
-          when(col("doc_id") % 7 === 0, lit("delete"))
-            .otherwise(lit("upsert")).as("op"),
-          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
-            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
-        .unionByName(docs.filter(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            lit("upsert").as("op"),
-            concat(col("text"), lit(" new")).as("text")))
+      val changes = mergeChangeset(docs)
       graft.operators.Snapshot
         .applyChangeset(base, changes, idCol = "doc_id")
         .select(col("doc_id"), col("provenance"),
           fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
-    Some("""WITH base AS (SELECT doc_id, text FROM documents),
+    Some(mergeOracleSql))
+
+  /** The merged-snapshot oracle shared by n69 (one-shot batch merge)
+    * and s22 (three incremental streaming merges): the change ids are
+    * disjoint across the stream's doc_id%3 arrival slices, so the
+    * incremental application MUST converge to this same one-shot
+    * relational result — that equality is s22's correctness statement.
+    */
+  // lazy: snapshotMerge's Q val captures this during object init,
+  // before a plain later-declared val would have been assigned
+  private[queries] lazy val mergeOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
             ch AS (
               SELECT doc_id,
                 CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
@@ -526,7 +527,23 @@ object NorthStar4 extends QueryGroup {
                 '\s+', ' ', 'g'))), 1, 16) AS fp
             FROM j
             WHERE op IS NULL OR op <> 'delete'
-            ORDER BY doc_id"""))
+            ORDER BY doc_id"""
+
+  /** The n69 changeset as a DataFrame — shared with s22, whose stream
+    * replays exactly these rows in three doc_id%3 slices.
+    */
+  private[queries] def mergeChangeset(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("upsert").as("op"),
+          concat(col("text"), lit(" new")).as("text")))
 
   val all: Seq[Q] = Seq(dsir, softWeight, temperature, gopher,
     simhashPortable, spearman, bpeMerges, bpeStats, packing,

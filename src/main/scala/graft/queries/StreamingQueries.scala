@@ -1046,11 +1046,109 @@ object StreamingQueries extends QueryGroup {
             SELECT doc_id, score FROM sc, thr
             WHERE score >= t ORDER BY doc_id"""))
 
+  /** Streaming CDC merge — the incremental form of n69, the way a
+    * continuously-refreshed corpus actually applies its change feed:
+    * each micro-batch of changeset rows merges against the CURRENT
+    * file-backed snapshot (read → [[graft.operators.Snapshot.applyChangeset]]
+    * → write the next version; state lives in files, not the driver —
+    * the s20 standing-index contract), and the materialized result is
+    * the FINAL snapshot classified against the original base. The
+    * change ids are disjoint across the three doc_id%3 arrival slices,
+    * so the incremental application must converge to n69's one-shot
+    * relational merge — the shared oracle IS that equality statement
+    * (the s17 restart-equals-batch pattern, applied to table
+    * maintenance).
+    *
+    * Scale shape: per batch, one co-partitioned join of snapshot ×
+    * changeset (changeset side broadcasts); the snapshot rewrite is
+    * the full-copy cost any format-less merge pays — a production
+    * deployment swaps the write for a Delta/Iceberg MERGE or
+    * partitions the snapshot so only touched partitions rewrite, and
+    * the ping-pong versioned-directory scheme here is exactly the
+    * copy-on-write table-version mechanism those formats implement.
+    */
+  private val streamSnapshotMerge = Q(
+    "s22_stream_snapshot_merge",
+    "streaming CDC merge: per-batch snapshot versions converge to the one-shot merge",
+    (s, dir) => {
+      import graft.functions.TextFunctions.fingerprint
+      val Snap = graft.operators.Snapshot
+      val base = java.nio.file.Files.createTempDirectory("graft_s22_").toFile
+      base.deleteOnExit()
+      def sub(n: String) = new java.io.File(base, n)
+      val in = sub("in"); in.mkdirs()
+      val stage = sub("stage")
+      def snapDir(v: Int) = new java.io.File(base, s"snap$v").getAbsolutePath
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = Tables(s, dir).documents
+        val baseSnap = docs.select(col("doc_id"), col("text"))
+        baseSnap.write.parquet(snapDir(0))
+        // deterministic arrival slices of the n69 changeset
+        val changes = NorthStar4.mergeChangeset(docs)
+        (0 to 2).foreach { k =>
+          changes.filter(pmod(col("doc_id"), lit(3)) === k)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
+        }
+        var version = 0
+        val apply = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => {
+          if (!batch.isEmpty) {
+            val cur = s.read.parquet(snapDir(version))
+            Snap.applyChangeset(cur, batch, idCol = "doc_id")
+              .select(col("doc_id"), col("text"))
+              .write.parquet(snapDir(version + 1))
+            version += 1
+          }
+        }
+        val q = s.readStream
+          .schema("doc_id LONG, op STRING, text STRING")
+          .parquet(in.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", sub("ckpt").getAbsolutePath)
+          .foreachBatch(apply)
+          .start()
+        try {
+          (0 to 2).foreach { k =>
+            new java.io.File(stage, k.toString).listFiles()
+              .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                java.nio.file.Files.copy(f.toPath,
+                  new java.io.File(in, s"b$k-${f.getName}").toPath)
+              }
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // final snapshot classified against the original base — for
+        // this changeset (upserts always change the text) the diff
+        // labels coincide with n69's per-op provenance, which is what
+        // lets both queries share one oracle
+        val fin = s.read.parquet(snapDir(version))
+        val res = fin.as("n")
+          .join(baseSnap.as("b"), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            when(col("b.text").isNull, lit("inserted"))
+              .when(col("n.text") === col("b.text"), lit("kept"))
+              .otherwise(lit("updated")).as("provenance"),
+            fingerprint(col("n.text")).as("fp"))
+          .orderBy("doc_id")
+          .localCheckpoint()
+        rmTree(base)
+        res
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    },
+    Some(NorthStar4.mergeOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
-    streamQualityGate)
+    streamQualityGate, streamSnapshotMerge)
 }
