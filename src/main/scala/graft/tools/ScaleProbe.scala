@@ -236,6 +236,24 @@ object ScaleProbe {
           iters = 3)
         .count())
 
+    // one co-partitioned full-outer join; the changeset replicates with
+    // the base (same modulus rules per copy) so the change fraction is
+    // scale-invariant — time should track the snapshot scan
+    probe("snapshot_merge", c => {
+      val docs = replicate(t.documents, "doc_id", c)
+      val base = docs.select(col("doc_id"), col("text"))
+      val changes = docs
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      graft.operators.Snapshot
+        .applyChangeset(base, changes, idCol = "doc_id")
+        .count()
+    })
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each
