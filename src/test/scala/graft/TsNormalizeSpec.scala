@@ -64,6 +64,24 @@ class TsNormalizeSpec extends AnyFunSuite {
     assert(hours > 100, s"suspiciously few distinct event hours: $hours")
   }
 
+  test("legacy TIMESTAMP(NANOS) parquet loads end-to-end through nanosAsLong + normalizeTs") {
+    // a REAL nanos-physical file (committed fixture, written by
+    // pyarrow — Spark cannot write this type), pinning the rounds-≤6
+    // data generation's full load path: legacy conf reads nanos as
+    // long, normalizeTs divides to micros. Without this fixture the
+    // legacy branch would only ever be unit-tested on synthetic longs.
+    val path = getClass.getResource("/events_nanos_legacy.parquet").getPath
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    assert(raw.schema("ts").dataType == LongType,
+      "nanosAsLong must surface TIMESTAMP(NANOS) as long")
+    val out = Tables.normalizeTs(raw).orderBy("event_id")
+    assert(out.schema("ts").dataType == TimestampType)
+    val got = out.select(unix_micros(col("ts"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1700000123456789L, 1500000000000001L,
+      1800000999999999L))
+  }
+
   test("normalizeTs round-trips a Spark-written parquet copy (staging path)") {
     // ScaleProbe stages replicated events by re-writing with Spark; the
     // staged files must re-load as plain TimestampType with no drift
