@@ -18,7 +18,27 @@ object Bench {
       secs: Double,
       err: Option[String] = None,
       firstPass: Option[Double] = None,
-      retry: Option[Double] = None)
+      retry: Option[Double] = None,
+      gc: Option[GcProbe] = None,
+      retryGc: Option[GcProbe] = None)
+
+  /** JVM-pressure evidence captured around one timed section: GC time
+    * spent DURING the window and used heap at its end (before the
+    * harness-hygiene cache drop). The shared-JVM debt story — which
+    * adjudicates first-pass flaps like r8's 41 s n44 — rides these
+    * numbers instead of prose inference.
+    */
+  final case class GcProbe(gcMs: Long, heapGb: Double)
+
+  private def gcTotalMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def usedHeapGb(): Double =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / 1e9
 
   /** Committed per-query ceilings (bench_budget.json), read from the
     * working directory — used only to decide which first-pass timings
@@ -61,10 +81,12 @@ object Bench {
     dropAllBlocks()
     val ceil = budgets()
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcTotalMs()
       val t0 = System.nanoTime()
       val first = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        val probe = GcProbe(gcTotalMs() - g0, usedHeapGb())
         // operators persist their diamond intermediates (bigram tables,
         // shingle indexes); queries never unpersist — over 100+ queries
         // the stale blocks pile into executor memory and the GC/spill
@@ -78,7 +100,7 @@ object Bench {
         // 0.9s queries were recording 7s purely from inherited heap debt.
         dropAllBlocks()
         System.gc()
-        Timing(name, t)
+        Timing(name, t, gc = Some(probe))
       } catch {
         case e: Throwable =>
           // best-effort: a clearCache failure after a query failure must
@@ -88,11 +110,14 @@ object Bench {
             String.valueOf(e.getMessage).take(80)}"))
       }
       first match {
-        case Timing(n, t, None, _, _) if t >= 0 && ceil.get(n).exists(t > _) =>
-          val r = try retime(spark, sfDir, n) catch { case _: Throwable => t }
+        case tm @ Timing(n, t, None, _, _, _, _)
+            if t >= 0 && ceil.get(n).exists(t > _) =>
+          val (r, rp) = try retime(spark, sfDir, n)
+            catch { case _: Throwable => (t, None: Option[GcProbe]) }
           println(f"Bench: $n first-pass ${t}%.2fs over its " +
             f"${ceil(n)}%.2fs ceiling — isolated re-time ${r}%.2fs (min kept)")
-          Timing(n, math.min(t, r), firstPass = Some(t), retry = Some(r))
+          Timing(n, math.min(t, r), firstPass = Some(t), retry = Some(r),
+            gc = tm.gc, retryGc = rp)
         case other => other
       }
     }
@@ -103,15 +128,17 @@ object Bench {
     * of [[run]] exactly.
     */
   def retime(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, name: String): Double = {
+      sfDir: String, name: String): (Double, Option[GcProbe]) = {
     GraftSession.dropAllBlocks(spark)
     System.gc()
+    val g0 = gcTotalMs()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val t = (System.nanoTime() - t0) / 1e9
+    val probe = GcProbe(gcTotalMs() - g0, usedHeapGb())
     GraftSession.dropAllBlocks(spark)
-    t
+    (t, Some(probe))
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,12 +190,27 @@ object Bench {
     }
     val qs = results.map(t => "\"" + t.name + "\":" + fmt(t.secs))
       .mkString("{", ",", "}")
-    val errs = results.collect { case Timing(n, _, Some(m), _, _) =>
-      "\"" + esc(n) + "\":\"" + esc(m) + "\""
+    val errs = results.collect { case t if t.err.isDefined =>
+      "\"" + esc(t.name) + "\":\"" + esc(t.err.get) + "\""
+    }.mkString("{", ",", "}")
+    // per-query JVM-pressure evidence: GC ms inside the timed window +
+    // used heap at its end — the data PLANS.md cites when adjudicating
+    // shared-JVM flaps (sits BEFORE retimed/value so tail-truncated
+    // driver captures keep the adjudication fields)
+    def probeJson(p: GcProbe): String =
+      "{\"gc_ms\":" + p.gcMs + ",\"heap_gb\":" + fmt(p.heapGb) + "}"
+    val gcs = results.collect { case t if t.gc.isDefined =>
+      "\"" + t.name + "\":" + probeJson(t.gc.get)
     }.mkString("{", ",", "}")
     val retimed = results.collect {
-      case Timing(n, _, _, Some(f), Some(r)) =>
-        "\"" + n + "\":{\"first\":" + fmt(f) + ",\"retry\":" + fmt(r) + "}"
+      case t @ Timing(n, _, _, Some(f), Some(r), _, _) =>
+        val gcFields =
+          t.gc.map(p => ",\"first_gc_ms\":" + p.gcMs +
+            ",\"first_heap_gb\":" + fmt(p.heapGb)).getOrElse("") +
+          t.retryGc.map(p => ",\"retry_gc_ms\":" + p.gcMs +
+            ",\"retry_heap_gb\":" + fmt(p.heapGb)).getOrElse("")
+        "\"" + n + "\":{\"first\":" + fmt(f) + ",\"retry\":" + fmt(r) +
+          gcFields + "}"
     }.mkString("{", ",", "}")
     val total = results.filter(_.secs >= 0).map(_.secs).sum
     // environment fields make warm-vs-cold harness deltas explainable
@@ -182,6 +224,6 @@ object Bench {
     // the final ~2k chars of output still contain it after the per-query
     // map outgrows that window (which it did once the registry passed ~100
     // queries).
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"queries":$qs,"errors":$errs,"retimed":$retimed,"value":${fmt(total)}}"""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"queries":$qs,"gc":$gcs,"errors":$errs,"retimed":$retimed,"value":${fmt(total)}}"""
   }
 }

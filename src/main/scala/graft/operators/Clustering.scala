@@ -89,9 +89,24 @@ object Clustering {
       src: String = "id_a",
       dst: String = "id_b"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // `edges` carries UNIQUE undirected pairs (id_a < id_b — what every
+    // upstream pair generator emits), so the two-direction union is
+    // already duplicate-free: no dedup exchange. Duplicate input pairs
+    // degrade gracefully to multigraph semantics (deg counts edge
+    // multiplicity), the standard weighted-PR reading.
+    //
+    // The edge set is persisted ALREADY HASH-PARTITIONED on the join
+    // key u, and deg/pr inherit hash(id) from their keyed aggregates —
+    // so each iteration's two joins (contrib: bi⋈pr on u=id; update:
+    // deg⋈contrib on id) are co-partitioned with ZERO exchange, and the
+    // only per-iteration shuffle left is the contribution transfer
+    // itself (groupBy dst), which is the algorithm's irreducible
+    // communication. At 1000 executors that turns 3 full edge-set
+    // shuffles per iteration into one keyed transfer of (node, contrib)
+    // rows.
     val bi = edges.select(col(src).as("u"), col(dst).as("v"))
       .union(edges.select(col(dst).as("u"), col(src).as("v")))
-      .distinct()
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = bi.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -124,15 +124,40 @@ object QualityModel {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
     val (w, bias) = trainOn(xy, nDocs.toDouble, iters, lr)
-    val k = math.ceil(frac * nDocs).toInt
-    val thr = xy.groupBy(col("doc_id"))
-      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
-      .select(col("doc_id"), sig(col("m")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-      .agg(min(col("score"))).head.getDouble(0)
+    val k = math.ceil(frac * nDocs).toLong
+    val thr = gateThresholdFrame(xy, w, bias, k).head.getDouble(0)
     xy.unpersist(blocking = false)
     (w, bias, thr)
+  }
+
+  /** Threshold = min score of the global top-k, derived DISTRIBUTED:
+    * range-partitioned global rank + filter ([[GlobalOrder]]), never a
+    * single-point TakeOrderedAndProject gather of k ∝ corpus rows (the
+    * s19 shape, [[Sampling.dsirTrainGate]]). Exposed as a frame so
+    * PlanQualitySpec can assert the plan carries no global limit — the
+    * class of scale defect an eagerly-executed operator interior would
+    * otherwise hide from registry-wide plan audits.
+    */
+  /** The threshold plan over raw docs with a zero model — the exact
+    * frame shape [[trainGate]] executes, buildable by PlanQualitySpec
+    * without running the training loop.
+    */
+  private[graft] def gateThresholdPlan(
+      docs: DataFrame, positiveSources: Seq[String], k: Long): DataFrame =
+    gateThresholdFrame(
+      tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id"),
+      Vector.fill(Dim)(0.0), 0.0, k)
+
+  private[graft] def gateThresholdFrame(
+      xy: DataFrame, w: IndexedSeq[Double], bias: Double,
+      k: Long): DataFrame = {
+    val scored = xy.groupBy(col("doc_id"))
+      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
+      .select(col("doc_id"), sig(col("m")).as("score"))
+    GlobalOrder
+      .withGlobalIndexCols(scored, Seq(desc("score"), asc("doc_id")))
+      .filter(col("_global_rank") <= k)
+      .agg(min(col("score")))
   }
 
   /** The gradient loop over a prepared (doc_id, n, b, y) frame —

@@ -25,7 +25,8 @@ object Snapshot {
   /** Apply `changes` to `base`. `changes` carries the same payload
     * columns as `base` plus `opCol` ∈ {"upsert", "delete"}: delete
     * drops the id (a delete for an absent id is a no-op), upsert
-    * replaces the payload (an upsert for an absent id inserts).
+    * replaces the payload (an upsert for an absent id inserts). The op
+    * domain is enforced data-side: any other value (or NULL) raises.
     * At most one change row per id (enforce upstream — last-writer-wins
     * compaction is a groupBy max(version) before calling).
     * Output: id, payload columns, provenance ∈ {kept, updated,
@@ -39,8 +40,16 @@ object Snapshot {
     val payload = base.columns.filterNot(_ == idCol)
     require(payload.forall(changes.columns.contains),
       s"changes must carry the payload columns ${payload.mkString(",")}")
+    // enforce the op domain DATA-side: any op outside {upsert, delete}
+    // (a typo, or a NULL on a change row) fails the job loudly instead
+    // of silently merging as an upsert / emitting a null-payload row
+    val vchanges = changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"Snapshot.applyChangeset: $opCol must be upsert|delete, got "),
+          coalesce(col(opCol).cast("string"), lit("NULL"))))))
     val joined = base.as("b")
-      .join(changes.as("c"), col(s"b.$idCol") === col(s"c.$idCol"),
+      .join(vchanges.as("c"), col(s"b.$idCol") === col(s"c.$idCol"),
         "full_outer")
     val changed = col(s"c.$opCol").isNotNull
     val cols =

@@ -447,7 +447,8 @@ object NorthStar4 extends QueryGroup {
                         ELSE ascii(substr(md5(t), 2, 1)) - 48 END) AS b,
                 y
               FROM tk JOIN lab USING (doc_id)),
-            m1 AS (SELECT doc_id, y, CAST(0.0 AS DOUBLE) AS m FROM lab),
+            m1 AS (SELECT DISTINCT doc_id, y, CAST(0.0 AS DOUBLE) AS m
+                   FROM xy),
             ${qcIter(1, first = true)},
             ${qcIter(2, first = false)},
             ${qcIter(3, first = false)}"""

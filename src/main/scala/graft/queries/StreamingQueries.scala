@@ -1138,9 +1138,14 @@ object StreamingQueries extends QueryGroup {
             fingerprint(col("n.text")).as("fp"))
           .orderBy("doc_id")
           .localCheckpoint()
-        rmTree(base)
         res
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        // localCheckpoint has materialized the result, so the snapshot
+        // tree is safe to drop — and dropping it HERE (not after the
+        // try) means failed runs don't accumulate tmp copies
+        rmTree(base)
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     },
     Some(NorthStar4.mergeOracleSql))
 

@@ -113,7 +113,7 @@ object BenchGuard {
         println(line)
         Bench.writeArtifact(line)
         (results.map(r => r.name -> r.secs).toMap,
-          results.collect { case Bench.Timing(n, _, Some(e), _, _) => n -> e }
+          results.collect { case t if t.err.isDefined => t.name -> t.err.get }
             .toMap, false)
     }
 

@@ -76,6 +76,49 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("no corpus-proportional global limit in any registered query plan") {
+    // limit(k) with k ∝ corpus size funnels k rows through ONE point
+    // (TakeOrderedAndProject / CollectLimit) — invisible at test SF,
+    // fatal at 100 TB. Every registered plan's limit must be a FIXED
+    // top-k below this bound (the registry's largest deliberate top-k
+    // is c08's 100). A corpus-proportional k slips under the bound at
+    // sf0.001, so this registry sweep is paired with the operator-level
+    // assert below, which pins the one interior plan that class of
+    // defect actually shipped in (trainGate round 8).
+    val FixedTopKBound = 128L
+    val limitRe =
+      "(?:TakeOrderedAndProject\\(limit=|GlobalLimit |CollectLimit )(\\d+)".r
+    batchPlans.foreach { case (name, plan, _) =>
+      limitRe.findAllMatchIn(plan).map(_.group(1).toLong).foreach { n =>
+        assert(n <= FixedTopKBound,
+          s"$name plans a global limit of $n rows (> $FixedTopKBound): " +
+            s"either a corpus-proportional k or an undocumented top-k")
+      }
+    }
+  }
+
+  test("trainGate threshold plan is distributed — no global limit anywhere") {
+    // the round-8 shape was orderBy().limit(k).agg(min) with
+    // k = ceil(frac·nDocs): a TakeOrderedAndProject gathering a quarter
+    // of the corpus through one task. The fixed shape ranks via
+    // GlobalOrder and filters; its plan must carry NO limit node of any
+    // kind (the result is a 1-row aggregate, not a top-k).
+    val docs = Tables(spark, dir).documents
+    val frame = graft.operators.QualityModel
+      .gateThresholdPlan(docs, Seq("src0", "src1"), k = 1000L)
+    val optimized = frame.queryExecution.optimizedPlan
+    val limits = optimized.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+    }
+    assert(limits.isEmpty,
+      s"gate threshold plan contains limit nodes:\n$optimized")
+    val physical = frame.queryExecution.executedPlan.toString
+    assert(!physical.contains("TakeOrderedAndProject") &&
+      !physical.contains("CollectLimit"),
+      s"gate threshold physical plan gathers through a limit:\n$physical")
+  }
+
   test("q28 closed forms == Spark window analytics, including uneven ntile") {
     // n = 10 is NOT divisible by 4 (bucket sizes 3,3,2,2) — the driver
     // fixtures are, so the uneven branch is pinned here.

@@ -49,33 +49,33 @@ class RuntimeFilterSpec extends AnyFunSuite {
     spark.conf.set(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "0")
-    try {
-      val optimized = selectiveDimJoin().queryExecution.optimizedPlan.toString
-      assert(optimized.contains("might_contain") &&
-        optimized.contains("bloom_filter_agg"),
-        s"expected InjectRuntimeFilter to add a bloom semi-filter:\n$optimized")
-      // the filter must land on the FACT side scan (l_partkey), built
-      // from the selective dim side (p_partkey)
-      assert(optimized.contains("might_contain") &&
-        optimized.indexOf("might_contain") <
-          optimized.indexOf("bloom_filter_agg"),
-        "bloom consumer should filter the fact scan fed by the dim aggregate")
-      // and it must preserve results exactly
-      val rows = selectiveDimJoin().orderBy("p_brand")
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        prevScan)
-      val broadcastRows = selectiveDimJoin().orderBy("p_brand")
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      assert(rows == broadcastRows,
-        "bloom-filtered shuffle join must return the broadcast join's rows")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        prevScan)
+    val (optimized, rows) =
+      try {
+        val plan = selectiveDimJoin().queryExecution.optimizedPlan
+        val r = selectiveDimJoin().orderBy("p_brand")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        (plan, r)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          prevScan)
+      }
+    assert(optimized.toString.contains("bloom_filter_agg"),
+      s"expected InjectRuntimeFilter to build a bloom from the dim side:\n$optimized")
+    // the consumer must land on the FACT side: a Filter whose condition
+    // calls might_contain over the fact join key (l_partkey), not just
+    // anywhere in the plan string
+    val bloomConsumers = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("might_contain") => f
     }
+    assert(bloomConsumers.exists(_.condition.toString.contains("l_partkey")),
+      s"bloom consumer should filter the fact scan on l_partkey:\n$optimized")
+    // restored confs → broadcast regime; results must match exactly
+    val broadcastRows = selectiveDimJoin().orderBy("p_brand")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == broadcastRows,
+      "bloom-filtered shuffle join must return the broadcast join's rows")
   }
 }

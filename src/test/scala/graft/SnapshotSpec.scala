@@ -38,6 +38,19 @@ class SnapshotSpec extends AnyFunSuite {
     assert(e.getMessage.contains("payload"))
   }
 
+  test("applyChangeset fails loudly on an op outside {upsert, delete}") {
+    val base = Seq((1L, "one")).toDF("id", "payload")
+    val typo = Seq((1L, "remove", "x")).toDF("id", "op", "payload")
+    val e1 = intercept[Exception](
+      Snapshot.applyChangeset(base, typo, idCol = "id").collect())
+    assert(e1.getMessage.contains("upsert|delete"), e1.getMessage)
+    val nullOp = Seq((9L, null.asInstanceOf[String], "x"))
+      .toDF("id", "op", "payload")
+    val e2 = intercept[Exception](
+      Snapshot.applyChangeset(base, nullOp, idCol = "id").collect())
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
+
   test("merging the n51-style changeset then diffing yields no 'changed' surprises") {
     // apply → diff closure: every provenance the merge emits must map
     // to the diff's classification of (base, merged)
