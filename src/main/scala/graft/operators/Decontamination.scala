@@ -130,4 +130,54 @@ object Decontamination {
       .agg(count(lit(1)).as("inter"))
     rankContainment(overlap, sizes, threshold)
   }
+
+  /** EMBEDDING-space decontamination — the semantic sibling of the
+    * n-gram variants above: a paraphrased eval item shares no shingles
+    * with its contaminated training doc, but their embeddings stay
+    * close, so the third member of the decontamination family flags
+    * corpus vectors whose cosine to ANY eval vector reaches
+    * `threshold`. Candidates come from one LSH sign-bucket table with
+    * single-bit multi-probing on the EVAL side (the n53 recall knob
+    * that never re-hashes the corpus: eval items fan out into
+    * 1 + numPlanes probe buckets; the corpus is bucketed once,
+    * scan-stage); every candidate is verified with the exact cosine, so
+    * a flagged pair is never a false positive — missed pairs are the
+    * documented candidate-bounded contract every LSH surface here
+    * shares (n06/n52/n53).
+    *
+    * Scale shape: corpus bucketing is per-row expression work; the
+    * probe table is (eval × (numPlanes+1)) rows — eval suites are
+    * small, so it broadcasts; the candidate equi-join on the bucket key
+    * never shuffles the corpus; the exact verify runs on candidates
+    * only. A pair collides in at most one probe bucket (its bucket-xor
+    * is a constant), so no dedup step is needed.
+    *
+    * Output: (vec_id, eval_id, cos_sim) for every verified
+    * contaminated pair.
+    */
+  def flagContaminatedEmbedding(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      Similarity.bucketExpr(col("embedding"), planes).as("bucket"))
+    val flips = array((lit(0L) +: (0 until numPlanes)
+      .map(j => lit(1L << j))): _*)
+    val probes = evalSet
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"),
+        Similarity.bucketExpr(col("embedding"), planes).as("b0"))
+      .withColumn("flip", explode(flips))
+      .select(col("eval_id"), col("e_emb"),
+        col("b0").bitwiseXOR(col("flip")).as("bucket"))
+    cb.join(broadcast(probes), "bucket")
+      .filter(col("vec_id") =!= col("eval_id"))
+      .select(col("vec_id"), col("eval_id"),
+        graft.functions.VectorFunctions.cosine(
+          col("embedding"), col("e_emb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 }

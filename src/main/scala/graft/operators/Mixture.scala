@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+/** DoReMi-style trained domain mixture weights (Xie et al. 2023,
+  * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+  * Pretraining"): instead of the FIXED closed-form source weights of
+  * [[Sampling.temperatureMixture]] (|D_s|^α) or a hand-written
+  * per-mille map (n21), LEARN the mixture by iterative multiplicative
+  * reweighting — each round, upweight the domains whose data the
+  * current mixture models worst (the Group-DRO excess-loss signal),
+  * renormalize, and smooth toward uniform.
+  *
+  * The paper's proxy model is a small LM; the in-engine analog is the
+  * corpus's own unigram distribution family, which keeps every quantity
+  * exactly replayable (the n42 bigram-LM precedent):
+  *
+  *   - per-domain unigram model  p_d(t) = c_{d,t} / n_d,
+  *   - round-r mixture model     pm(t)  = Σ_d α_d · p_d(t),
+  *   - domain loss under a model q: the LINEAR surrogate
+  *     L_d(q) = 1 − (Σ_t c_{d,t} · q(t)) / n_d — expected (1 − q(token))
+  *     over the domain's tokens. Cross-entropy needs `ln`, which is not
+  *     cross-engine bit-exact (the no-transcendentals policy, n42/n61);
+  *     the linear loss ranks models by the same mass-on-my-tokens
+  *     signal using only +,·,/.
+  *   - excess loss ε_d = max(0, L_d(pm) − L_d(p_d)) — how much worse the
+  *     mixture fits domain d than d's own model (DoReMi's clipped
+  *     reference-regret), and the multiplicative-weights update
+  *     α′_d ∝ α_d · (1 + η·ε_d), smoothed (1−c)·α′ + c·(1/D). The
+  *     rational (1 + η·ε) gain replaces the paper's exp(η·ε) for
+  *     exactness — equal to first order, monotone in ε, and IEEE-exact.
+  *
+  * Every token/vocab-level sum routes through DECIMAL(38,12)
+  * ([[graft.queries.Sql.oSum12]] contract); the per-round driver state
+  * is D doubles (the codebook pattern, reference capability analog:
+  * the fold-iteration `Stream.scala:56-68`), and the driver-side
+  * normalizer replays the engines' decimal route bit for bit
+  * ([[exactSum12]]), so the whole trajectory hash-matches the oracle's
+  * unrolled CTEs.
+  *
+  * Scale shape: the corpus is tokenized ONCE into the persisted
+  * per-domain count table (explode + hash agg with map-side partials —
+  * the only corpus-sized pass); each round is a vocab-keyed aggregation
+  * (mixture mass per token) plus a vocab-keyed join back and a D-row
+  * aggregation, all bounded by |vocab|·|domains|, never corpus². The
+  * weight table is D rows — broadcast-trivial; at 100 TB the count
+  * table is the materialized artifact (bucket by token) and rounds cost
+  * vocab-sized scans only.
+  */
+object Mixture {
+
+  /** Per-round training record for one domain. */
+  final case class DomainRound(
+      round: Int, source: String, loss: Double, excess: Double,
+      weight: Double)
+
+  /** Exact order-free double sum (DECIMAL(38,12) route) — data side. */
+  private def xsum12(c: Column): Column =
+    sum(c.cast(DecimalType(38, 12))).cast("double")
+
+  /** DRIVER-side replay of the engines' decimal-12 sum: round each
+    * operand at its shortest decimal string to 12 dp half-up (Spark's
+    * double→decimal cast goes through `BigDecimal.valueOf` = shortest
+    * string; the oracle VARCHAR-routes DuckDB onto the same string),
+    * add exactly, parse the plain string back to double (both engines'
+    * decimal→double is the correctly-rounded string parse). Decimal
+    * addition is associative, so iteration order is irrelevant.
+    */
+  private[graft] def exactSum12(xs: Iterable[Double]): Double = {
+    val z = xs.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
+      acc.add(java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    java.lang.Double.parseDouble(z.toPlainString)
+  }
+
+  /** The persisted (source, t, c, n, p) table: per-domain token counts
+    * with the domain total and unigram probability. The one corpus-
+    * sized pass; everything per-round reads this.
+    */
+  private def domainTokenProbs(docs: DataFrame): DataFrame = {
+    val ct = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val nd = ct.groupBy("source").agg(sum(col("c")).as("n"))
+    ct.join(nd, "source")
+      .select(col("source"), col("t"), col("c"), col("n"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+  }
+
+  /** Domain losses under a model frame `q(t, pm)`:
+    * 1 − (Σ_t c·pm) / n per source (missing vocab contributes 0 mass
+    * via the inner join — a token the model has no mass on adds its
+    * full (1 − 0) loss, which is the point).
+    */
+  private def lossUnder(p: DataFrame, q: DataFrame): Map[String, Double] =
+    p.join(q, "t")
+      .groupBy(col("source"), col("n"))
+      .agg(xsum12(col("c").cast("double") * col("pm")).as("s"))
+      .select(col("source"),
+        (lit(1.0) - col("s") / col("n").cast("double")).as("loss"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Train `iters` reweighting rounds; returns the full trajectory and
+    * the final weights. Driver state: D doubles per round.
+    */
+  def doremiTrain(
+      docs: DataFrame,
+      iters: Int = 3,
+      lr: Double = 1.0,
+      smooth: Double = 0.01): (Seq[DomainRound], Map[String, Double]) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(smooth >= 0.0 && smooth < 1.0,
+      s"smooth must be in [0,1), got $smooth")
+    val p = domainTokenProbs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sources = p.select("source").distinct()
+        .collect().map(_.getString(0)).sorted.toIndexedSeq
+      val dD = sources.size.toDouble
+      // reference loss: each domain under its OWN unigram model — the
+      // best any mixture could fit that domain, fixed across rounds
+      val ref = p.groupBy(col("source"), col("n"))
+        .agg(xsum12(col("c").cast("double") * col("p")).as("s"))
+        .select(col("source"),
+          (lit(1.0) - col("s") / col("n").cast("double")).as("ref_loss"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      var weights: Map[String, Double] =
+        sources.map(_ -> 1.0 / dD).toMap
+      val trajectory = Vector.newBuilder[DomainRound]
+      (1 to iters).foreach { r =>
+        val wCol = element_at(typedLit(weights), col("source"))
+        val pm = p.withColumn("ap", wCol * col("p"))
+          .groupBy("t").agg(xsum12(col("ap")).as("pm"))
+        val loss = lossUnder(p, pm)
+        // per-element driver arithmetic, mirrored by the oracle's CTEs
+        val excess = sources.map(s =>
+          s -> math.max(0.0, loss(s) - ref(s))).toMap
+        val u = sources.map(s =>
+          s -> weights(s) * (1.0 + lr * excess(s))).toMap
+        val z = exactSum12(sources.map(u))
+        weights = sources.map(s =>
+          s -> ((1.0 - smooth) * (u(s) / z) + smooth * (1.0 / dD))).toMap
+        sources.foreach(s => trajectory +=
+          DomainRound(r, s, loss(s), excess(s), weights(s)))
+      }
+      (trajectory.result(), weights)
+    } finally { p.unpersist(blocking = false); () }
+  }
+
+  /** The n70 query surface: one row per (round, domain) with the loss,
+    * clipped excess, and post-update weight — the full training
+    * trajectory, hash-comparable.
+    */
+  def doremiTrajectory(
+      docs: DataFrame,
+      iters: Int = 3,
+      lr: Double = 1.0,
+      smooth: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    doremiTrain(docs, iters, lr, smooth)._1
+      .toDF("round", "source", "loss", "excess", "weight")
+  }
+
+  /** Realize trained weights as integer per-mille sampling rates
+    * against the actual source sizes (the n61 realization machinery:
+    * s_s = ⌊α_d·10⁶⌋ micro-units, rate = (1000·T·s_s) div (10⁶·c_s)),
+    * targeting `targetTotal` expected output documents. Static D-row
+    * frame — broadcastable into a batch or STREAMING apply.
+    */
+  def realizedRates(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      targetTotal: Long): DataFrame = {
+    require(targetTotal > 0, s"targetTotal must be > 0, got $targetTotal")
+    docs.groupBy("source").agg(count(lit(1)).as("c_s"))
+      .withColumn("s_s",
+        floor(element_at(typedLit(weights), col("source")) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("num", lit(1000L) * lit(targetTotal) * col("s_s"))
+      .withColumn("den", lit(1000000L) * col("c_s"))
+      .select(col("source"), expr("num div den").as("per_mille"))
+  }
+
+  /** Leave-one-domain-out data valuation: how much does REMOVING each
+    * domain hurt the pooled model's fit of a target slice? The
+    * influence-function idea at domain granularity, made closed-form by
+    * the same linear surrogate loss [[doremiTrain]] uses: with integer
+    * token counts C_t (global), c_{d,t} (domain) and target counts
+    * tt_t,
+    *
+    *   L_tgt(pool)   = 1 − (Σ_t tt_t·C_t) / N / n_tgt
+    *   L_tgt(pool−d) = 1 − (Σ_t tt_t·(C_t − c_{d,t})) / (N − n_d) / n_tgt
+    *
+    * Every sum is EXACT BIGINT arithmetic (no decimal routing needed —
+    * the n59 integer-ppm precedent); only the final two divisions are
+    * doubles, identically ordered in both engines, so the valuation
+    * hash-matches with no FP policy at all. delta > 0 means the domain
+    * is net-positive for the target (removing it raises the loss).
+    *
+    * Scale shape: per-domain and global count tables are hash aggs with
+    * map-side partials over one tokenize pass; the A/B sums are
+    * vocab-keyed joins bounded by |vocab| (target-vocab, even — the tt
+    * join prunes to tokens the target uses); totals are one-row
+    * broadcasts. Output is D rows. At 100 TB the BIGINT products move
+    * up to DECIMAL(38,0) — same arithmetic, wider lanes.
+    *
+    * Output: (source, n_d, loss_full, loss_without, delta).
+    */
+  def domainAblation(docs: DataFrame, isTarget: Column): DataFrame = {
+    val tok = docs.select(col("source"), isTarget.as("is_tgt"),
+      explode(split(col("text"), " ")).as("t"))
+    val ct = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gt = ct.groupBy("t").agg(sum(col("c")).as("ct_all"))
+    val tt = tok.filter(col("is_tgt")).groupBy("t")
+      .agg(count(lit(1)).as("tt"))
+    val nd = ct.groupBy("source").agg(sum(col("c")).as("n_d"))
+    val na = gt.agg(sum(col("ct_all")).as("n_all"))
+    val nt = tok.filter(col("is_tgt")).agg(count(lit(1)).as("n_tgt"))
+    val aa = gt.join(tt, "t").agg(sum(col("tt") * col("ct_all")).as("a"))
+    val bb = ct.join(tt, "t").groupBy("source")
+      .agg(sum(col("tt") * col("c")).as("b"))
+    val lossFull = lit(1.0) -
+      (col("a").cast("double") / col("n_all").cast("double")) /
+        col("n_tgt").cast("double")
+    val lossWo = lit(1.0) -
+      ((col("a") - coalesce(col("b"), lit(0L))).cast("double") /
+        (col("n_all") - col("n_d")).cast("double")) /
+        col("n_tgt").cast("double")
+    nd.join(bb, Seq("source"), "left")
+      .crossJoin(broadcast(aa)).crossJoin(broadcast(na))
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("n_d"), lossFull.as("loss_full"),
+        lossWo.as("loss_without"), (lossWo - lossFull).as("delta"))
+  }
+
+  /** Apply a per-mille rate table to a (possibly STREAMING) document
+    * frame with the systematic `id % 1000` remainder spread
+    * ([[Sampling.mixtureUpsample]]'s zero-RNG realization): stateless
+    * scan work + a broadcast stream-static join, so it runs unchanged
+    * in append mode. Output: (doc_id, source, per_mille, copy_idx).
+    */
+  def applyRates(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val copies = expr("per_mille div 1000") +
+      when(pmod(col("doc_id"), lit(1000)) < col("per_mille") % 1000, 1L)
+        .otherwise(0L)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("_n", copies)
+      .filter(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
+      .select("doc_id", "source", "per_mille", "copy_idx")
+  }
+}

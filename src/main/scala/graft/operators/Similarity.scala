@@ -92,7 +92,7 @@ object Similarity {
     * embedding · plane_j ≥ 0. Strict left-to-right double accumulation —
     * deterministic and oracle-reproducible.
     */
-  private def bucketExpr(emb: org.apache.spark.sql.Column,
+  private[operators] def bucketExpr(emb: org.apache.spark.sql.Column,
       planes: Array[Array[Double]]): org.apache.spark.sql.Column =
     planes.zipWithIndex.map { case (p, j) =>
       val plane = array(p.toIndexedSeq.map(lit): _*)

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Decontamination, Mixture, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-9 north-star operators: learned mixture weights — the
+  * quality family's missing member class (heuristic n08/n62,
+  * rank-calibration n64, generative-importance n59, discriminative-
+  * trained n68 all exist; the mixture family n21/n61 was fixed/closed-
+  * form until now). Same exactness regime as n68: no transcendentals,
+  * every sum through DECIMAL(38,12), trajectory fully oracled.
+  */
+object NorthStar5 extends QueryGroup {
+
+  /** The DoReMi reweighting replay as DuckDB CTEs, ending with
+    * `a1..a{iters}` (post-round weights, (source, a)) and `ex1..` (per-
+    * round loss/excess) defined — shared by the n70 trajectory oracle
+    * and the s23 streaming-realization oracle (the dsirCtes pattern).
+    * Mirrors [[graft.operators.Mixture.doremiTrain]] op for op:
+    * lr = 1.0, smooth = 0.01, unigram models over whitespace tokens.
+    */
+  private def doremiRound(r: Int): String =
+    s"""pm$r AS (
+              SELECT t, ${Sql.oSum12("a * pr")} AS pm
+              FROM p JOIN a${r - 1} USING (source) GROUP BY t),
+            ls$r AS (
+              SELECT source,
+                1.0 - ${Sql.oSum12("CAST(c AS DOUBLE) * pm")}
+                  / CAST(n AS DOUBLE) AS loss
+              FROM p JOIN pm$r USING (t) GROUP BY source, n),
+            ex$r AS (
+              SELECT source, loss,
+                GREATEST(0.0, loss - ref_loss) AS excess
+              FROM ls$r JOIN ref USING (source)),
+            u$r AS (
+              SELECT source, a * (1.0 + 1.0 * excess) AS u
+              FROM ex$r JOIN a${r - 1} USING (source)),
+            z$r AS (SELECT ${Sql.oSum12("u")} AS z FROM u$r),
+            a$r AS (
+              SELECT source,
+                (1.0 - 0.01) * (u / z) + 0.01 * (1.0 / d) AS a
+              FROM u$r CROSS JOIN z$r CROSS JOIN dc)"""
+
+  private[queries] val doremiCtes: String =
+    s"""WITH tok AS (
+              SELECT source, unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            ct AS (
+              SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+            nd AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n
+              FROM ct GROUP BY source),
+            dc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM nd),
+            p AS (
+              SELECT ct.source, t, c, n,
+                CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS pr
+              FROM ct JOIN nd USING (source)),
+            ref AS (
+              SELECT source,
+                1.0 - ${Sql.oSum12("CAST(c AS DOUBLE) * pr")}
+                  / CAST(n AS DOUBLE) AS ref_loss
+              FROM p GROUP BY source, n),
+            a0 AS (SELECT source, 1.0 / d AS a FROM nd CROSS JOIN dc),
+            ${doremiRound(1)},
+            ${doremiRound(2)},
+            ${doremiRound(3)}"""
+
+  /** DoReMi-style trained domain mixture weights: 3 multiplicative-
+    * reweighting rounds over per-domain unigram excess loss, the full
+    * (round, domain) trajectory — losses, clipped excesses, post-update
+    * weights — hash-exact against the unrolled-CTE replay.
+    */
+  private val doremi = Q(
+    "n70_doremi_mixture",
+    "DoReMi-style trained domain mixture weights (excess-loss reweighting), trajectory hash-exact",
+    (s, dir) => Mixture
+      .doremiTrajectory(Tables(s, dir).documents)
+      .orderBy("round", "source"),
+    Some(s"""$doremiCtes
+            SELECT round, source, loss, excess, weight FROM (
+              SELECT 1 AS round, ex1.source, loss, excess, a AS weight
+              FROM ex1 JOIN a1 USING (source)
+              UNION ALL
+              SELECT 2, ex2.source, loss, excess, a
+              FROM ex2 JOIN a2 USING (source)
+              UNION ALL
+              SELECT 3, ex3.source, loss, excess, a
+              FROM ex3 JOIN a3 USING (source))
+            ORDER BY round, source"""))
+
+  /** Embedding-space decontamination: the semantic member of the
+    * decontamination family (n18 exact shingles, n41 Bloom-prefiltered
+    * shingles) — a paraphrased eval item shares no n-grams with its
+    * contaminated double, but the embeddings stay close. Candidates
+    * from one sign-bucket table with single-bit multi-probing on the
+    * eval side (the n53 pattern), exact-cosine verified; the oracle
+    * replays buckets, probes, and cosines over the same embedded plane
+    * constants.
+    */
+  /** The n71 oracle, shared verbatim with s24's streaming apply (the
+    * mergeOracleSql pattern — the streaming run must converge to the
+    * identical flagged set).
+    */
+  private[queries] lazy val embedDecontamOracleSql: String = {
+    val numPlanes = 8
+    val planeRows = Similarity.hyperplanes(numPlanes, 64, 42L).zipWithIndex
+      .map { case (p, j) =>
+        s"($j, [${p.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+      }.mkString(",\n")
+    val xorVals = (0L +: (0 until numPlanes).map(1L << _).map(_.toLong))
+      .mkString(", ")
+    s"""WITH planes(plane_id, pv) AS (VALUES $planeRows),
+            buckets AS (
+              SELECT vec_id, SUM(CASE WHEN dot >= 0
+                THEN CAST(1 AS BIGINT) << plane_id ELSE 0 END) AS bucket
+              FROM (SELECT e.vec_id, p.plane_id,
+                      list_reduce(list_transform(list_zip(e.embedding, p.pv),
+                          x -> CAST(x[1] AS DOUBLE) * x[2]),
+                        (acc, x) -> acc + x) AS dot
+                    FROM embeddings e CROSS JOIN planes p)
+              GROUP BY vec_id),
+            flagged AS (
+              SELECT c.vec_id, q.vec_id AS eval_id,
+                ${Sql.oCos("c.embedding", "q.embedding")} AS cos_sim
+              FROM embeddings c
+              JOIN buckets cb ON cb.vec_id = c.vec_id
+              JOIN buckets qb ON xor(cb.bucket, qb.bucket) IN ($xorVals)
+              JOIN embeddings q ON q.vec_id = qb.vec_id
+              WHERE c.vec_id >= 100 AND q.vec_id < 100)
+            SELECT vec_id, eval_id, cos_sim FROM flagged
+            WHERE cos_sim >= 0.2 ORDER BY vec_id, eval_id"""
+  }
+
+  private val embedDecontam = Q(
+    "n71_embedding_decontam",
+    "embedding-space decontamination: corpus vectors near any eval vector (LSH multi-probe + exact verify)",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      Decontamination.flagContaminatedEmbedding(
+        emb.filter(col("vec_id") >= 100),
+        emb.filter(col("vec_id") < 100),
+        threshold = 0.2)
+        .orderBy("vec_id", "eval_id")
+    },
+    Some(embedDecontamOracleSql))
+
+  /** Leave-one-domain-out valuation: closed-form domain ablation over
+    * the linear surrogate loss — all-BIGINT sums, two final double
+    * divisions, no FP policy needed at all.
+    */
+  private val ablation = Q(
+    "n72_domain_ablation",
+    "leave-one-domain-out data valuation vs the lang='en' target slice, exact integer form",
+    (s, dir) => Mixture
+      .domainAblation(Tables(s, dir).documents, col("lang") === "en")
+      .orderBy("source"),
+    Some("""WITH tok AS (
+              SELECT source, lang = 'en' AS is_tgt,
+                unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            ct AS (
+              SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+            gt AS (
+              SELECT t, CAST(SUM(c) AS BIGINT) AS ct_all
+              FROM ct GROUP BY t),
+            tt AS (
+              SELECT t, COUNT(*) AS tt FROM tok WHERE is_tgt GROUP BY t),
+            nd AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_d
+              FROM ct GROUP BY source),
+            na AS (SELECT CAST(SUM(ct_all) AS BIGINT) AS n_all FROM gt),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tgt
+                   FROM tok WHERE is_tgt),
+            aa AS (SELECT CAST(SUM(tt * ct_all) AS BIGINT) AS a
+                   FROM gt JOIN tt USING (t)),
+            bb AS (SELECT source, CAST(SUM(tt * c) AS BIGINT) AS b
+                   FROM ct JOIN tt USING (t) GROUP BY source)
+            SELECT source, n_d, loss_full, loss_without,
+              loss_without - loss_full AS delta
+            FROM (
+              SELECT source, n_d,
+                1.0 - (CAST(a AS DOUBLE) / CAST(n_all AS DOUBLE))
+                  / CAST(n_tgt AS DOUBLE) AS loss_full,
+                1.0 - (CAST(a - COALESCE(b, 0) AS DOUBLE)
+                    / CAST(n_all - n_d AS DOUBLE))
+                  / CAST(n_tgt AS DOUBLE) AS loss_without
+              FROM nd LEFT JOIN bb USING (source)
+              CROSS JOIN aa CROSS JOIN na CROSS JOIN nt)
+            ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(doremi, embedDecontam, ablation)
+}

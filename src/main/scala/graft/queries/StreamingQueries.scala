@@ -863,15 +863,22 @@ object StreamingQueries extends QueryGroup {
           val bandsN = D.portableMinHashBands(shN).persist()
           try {
             val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
-            val ssAll = ssN.unionByName(
-              s.read.parquet(shDir).groupBy("doc_id")
-                .agg(collect_list(col("s")).as("ls")))
             val candCorpus = bandsN.as("n")
               .join(s.read.parquet(idxDir).as("o"),
                 col("n.band_id") === col("o.band_id") &&
                   col("n.band_key") === col("o.band_key"))
               .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"))
               .distinct()
+            // standing-state read is CANDIDATE-bounded: semi-filter the
+            // shingle files to the index docs the band probe surfaced
+            // BEFORE the per-doc aggregation — the un-filtered groupBy
+            // grew with the index, not the batch (the axis the
+            // stream_dedup_index ScaleProbe row measures)
+            val ssAll = ssN.unionByName(
+              s.read.parquet(shDir)
+                .join(candCorpus.select(col("id_b").as("doc_id")).distinct(),
+                  Seq("doc_id"), "left_semi")
+                .groupBy("doc_id").agg(collect_list(col("s")).as("ls")))
             val candBatch = bandsN.as("a")
               .join(bandsN.as("b"),
                 col("a.band_id") === col("b.band_id") &&
@@ -1149,11 +1156,98 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar4.mergeOracleSql))
 
+  /** Batch-trained mixture → streaming realization: DoReMi weights are
+    * learned ONCE on the static corpus (n70's trainer), reduced against
+    * the actual source sizes to a D-row integer per-mille rate table —
+    * the whole model artifact, collected to bounded driver state like
+    * s19's threshold — and every streaming document is replicated or
+    * thinned by [[graft.operators.Mixture.applyRates]]' systematic
+    * `id % 1000` spread. The apply side is STATELESS (scan arithmetic +
+    * a broadcast stream-static join + a copy explode), so it runs in
+    * append mode with no state store at all — of the batch→streaming
+    * production gates (s19 threshold, s21 classifier, s20 index) this
+    * is the cheapest possible shape: a continuous pipeline realizes a
+    * trained mixture at full scan speed.
+    *
+    * The oracle replays the entire chain — the three reweighting
+    * rounds, the micro-unit rate reduction, and the per-document copy
+    * realization — so the emitted copy set is hash-exact, not just
+    * counted.
+    */
+  private val streamMixtureRealize = Q(
+    "s23_stream_mixture_realize",
+    "batch-trained DoReMi mixture weights realized on a streaming corpus (stateless)",
+    (s, dir) => {
+      val M = graft.operators.Mixture
+      val static = Tables(s, dir).documents
+      val (_, weights) = M.doremiTrain(static)
+      // the D-row model artifact, driver-materialized (bounded) so the
+      // streaming plan never re-derives it per micro-batch
+      import s.implicits._
+      val rates = M.realizedRates(static, weights, targetTotal = 400L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("source", "per_mille")
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      runToTable(M.applyRates(docs, rates), "append")
+        .orderBy("doc_id", "copy_idx")
+    },
+    Some(s"""${NorthStar5.doremiCtes},
+            cs AS (SELECT source, COUNT(*) AS c_s FROM documents GROUP BY source),
+            rt AS (
+              SELECT source, (1000 * 400 * s_s) // (1000000 * c_s) AS per_mille
+              FROM (SELECT source, CAST(FLOOR(a * 1000000.0) AS BIGINT) AS s_s,
+                      c_s
+                    FROM a3 JOIN cs USING (source))),
+            e AS (
+              SELECT doc_id, source, per_mille,
+                per_mille // 1000 +
+                  CASE WHEN doc_id % 1000 < per_mille % 1000
+                       THEN 1 ELSE 0 END AS nn
+              FROM documents JOIN rt USING (source))
+            SELECT doc_id, source, per_mille, CAST(u AS BIGINT) AS copy_idx
+            FROM (SELECT doc_id, source, per_mille, unnest(range(nn)) AS u
+                  FROM e WHERE nn > 0)
+            ORDER BY doc_id, copy_idx"""))
+
+  /** Streaming embedding-space decontamination — n71's batch→streaming
+    * completion, and like s23 a fully STATELESS gate: the corpus
+    * arrives as a stream of vectors, each is sign-bucketed in the scan
+    * stage, probed against the broadcast (eval × 9-probe) table, and
+    * exact-cosine verified — no aggregation, no state store, append
+    * mode at full scan speed. This is how a continuous ingest pipeline
+    * actually screens new shards against a frozen eval suite: the eval
+    * side is the offline model artifact (here a static frame; its
+    * bucketing runs per micro-batch against a D-row table — a
+    * production deployment would materialize the probe table once).
+    * The oracle is n71's verbatim — the streaming run must converge to
+    * the identical flagged set.
+    */
+  private val streamEmbedDecontam = Q(
+    "s24_stream_embedding_decontam",
+    "streaming embedding decontamination vs a static eval set (stateless)",
+    (s, dir) => {
+      val evalSet = Tables(s, dir).embeddings.filter(col("vec_id") < 100)
+      val physicalSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val corpus = s.readStream
+        .schema(physicalSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(col("vec_id") >= 100)
+      val flagged = graft.operators.Decontamination
+        .flagContaminatedEmbedding(corpus, evalSet, threshold = 0.2)
+      runToTable(flagged, "append").orderBy("vec_id", "eval_id")
+    },
+    Some(NorthStar5.embedDecontamOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
     streamChained, streamUnion, streamSliding, streamTws, streamTimerSessions,
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
-    streamQualityGate, streamSnapshotMerge)
+    streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
+    streamEmbedDecontam)
 }

@@ -254,6 +254,29 @@ object ScaleProbe {
         .count()
     })
 
+    // round-9 rows: the trained mixture and valuation operators are
+    // vocab-bounded after their one corpus-sized count pass (the dsir
+    // regime — vocab is FIXED under replication while counts scale), so
+    // both should be near-flat; embedding decontam's corpus replicas
+    // are identical vectors, so true matches per eval item grow
+    // linearly with copies — candidate-bounded growth (the dedup
+    // regime), never corpus × eval
+    probe("doremi_mixture", c =>
+      graft.operators.Mixture
+        .doremiTrajectory(replicate(t.documents, "doc_id", c)).count())
+
+    probe("domain_ablation", c =>
+      graft.operators.Mixture
+        .domainAblation(replicate(t.documents, "doc_id", c),
+          col("lang") === "en").count())
+
+    probe("embed_decontam", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+      graft.operators.Decontamination.flagContaminatedEmbedding(
+        emb.filter(col("vec_id") >= 100),
+        t.embeddings.filter(col("vec_id") < 100), 0.2).count()
+    })
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each
@@ -367,6 +390,68 @@ object ScaleProbe {
     })
 
     rmTree(evBase)
+
+    // ---- s20 standing-index growth: per-batch ADMISSION cost as the
+    // file-backed band index grows (the index-size axis, not the
+    // batch-size axis the other dedup rows measure). Indexes of 1x/4x/8x
+    // corpora are staged OUTSIDE the timed probe; copies beyond the
+    // first get per-copy-salted text, so a fixed probe batch generates
+    // the SAME candidate set against every index size — what grows is
+    // only the standing table the equi-join probes. Production buckets
+    // that table by band_key so the probe touches matching buckets
+    // only; here it is a flat parquet re-read, so the measured growth
+    // bounds the UNbucketed worst case from above.
+    val s20Base = java.nio.file.Files
+      .createTempDirectory("graft_probe_s20_").toFile
+    val s20Step = t.documents.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val s20Dirs: Map[Int, (String, String)] = Seq(1, 4, 8).map { c =>
+      val corpus = (0 until c).map { i =>
+        val shifted = t.documents
+          .withColumn("doc_id", col("doc_id") + lit(i * s20Step))
+        // copies beyond the first get a token INTERLEAVED into every
+        // gap — every shingle then contains the copy tag, so copies
+        // share no shingles with the batch or each other (a suffix tag
+        // would leave Jaccard ≥ threshold and candidates would scale
+        // with the index — measured: 4x/8x pair growth)
+        if (i == 0) shifted
+        else shifted.withColumn("text",
+          regexp_replace(col("text"), " ", s" zq$i "))
+      }.reduce(_ union _)
+      val shDir = new java.io.File(s20Base, s"sh$c").getAbsolutePath
+      Dedup.portableShingles(corpus).write.parquet(shDir)
+      val idxDir = new java.io.File(s20Base, s"idx$c").getAbsolutePath
+      Dedup.portableMinHashBands(spark.read.parquet(shDir))
+        .write.parquet(idxDir)
+      c -> (idxDir, shDir)
+    }.toMap
+
+    probe("stream_dedup_index", c => {
+      val (idxDir, shDir) = s20Dirs(c)
+      // the fixed incoming batch: base texts (near-dups of the UNsalted
+      // index copy only), fresh ids — the s20 admission shape minus the
+      // within-batch pass, which does not touch the index
+      val batch = t.documents
+        .withColumn("doc_id", col("doc_id") + lit(100L * s20Step))
+      val shN = Dedup.portableShingles(batch)
+      val bandsN = Dedup.portableMinHashBands(shN)
+      val cand = bandsN.as("n")
+        .join(spark.read.parquet(idxDir).as("o"),
+          col("n.band_id") === col("o.band_id") &&
+            col("n.band_key") === col("o.band_key"))
+        .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"))
+        .distinct()
+      // candidate-bounded standing-state read (the s20 admission shape):
+      // the shingle files semi-filter to surfaced index docs before the
+      // per-doc aggregation
+      val ssAll = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
+        .unionByName(spark.read.parquet(shDir)
+          .join(cand.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+          .groupBy("doc_id").agg(collect_list(col("s")).as("ls")))
+      Dedup.verifyJaccardPortable(cand, ssAll, 0.5).count()
+    })
+
+    rmTree(s20Base)
 
     probe("punctuated_windows", c => {
       // replicate on user_id: each copy is a fresh set of keyed streams,

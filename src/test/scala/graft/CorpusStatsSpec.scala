@@ -148,4 +148,25 @@ class CorpusStatsSpec extends AnyFunSuite {
     // single-token doc: no bigrams, null score, null gate
     assert(out(2).getLong(1) == 0 && out(2).isNullAt(2) && out(2).isNullAt(3))
   }
+
+  test("embedding decontamination flags the planted semantic double only") {
+    import spark.implicits._
+    // dim-64 fixture: eval vector v; corpus holds 2·v (same direction →
+    // same sign-bucket under every plane, cosine ≈ 1) and an orthogonal
+    // w (cosine exactly 0 — below any threshold even when a probe
+    // bucket happens to collide)
+    val v = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else 0.0f)
+    val v2 = v.map(_ * 2.0f)
+    val w = Array.tabulate(64)(i => if (i % 2 == 1) 1.0f else 0.0f)
+    val emb = Seq((1L, v.toSeq), (200L, v2.toSeq), (300L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Decontamination
+      .flagContaminatedEmbedding(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 100),
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 100),
+        threshold = 0.2)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((200L, 1L)))
+    assert(out.head.getDouble(2) > 0.999999)
+  }
 }

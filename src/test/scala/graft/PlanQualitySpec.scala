@@ -49,7 +49,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "n20_tfidf_top_terms", "n40_bigram_fluency",
       // one-row corpus-total / denominator aggregates crossJoined back
       // onto per-row data — the intended broadcast-scalar shape
-      "n59_dsir_importance", "n61_temperature_mixture")
+      "n59_dsir_importance", "n61_temperature_mixture",
+      // three one-row scalars (A, N, n_tgt) crossJoined onto the D-row
+      // per-domain frame — same broadcast-scalar shape
+      "n72_domain_ablation")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
