@@ -69,6 +69,60 @@ object Packing {
         sum(least(col("e"), (col("chunk_id") + 1) * budget) -
             greatest(col("s"), col("chunk_id") * budget)).as("n_tokens"))
 
+  /** Epoch-decorrelated packing plan — [[contextManifest]] composed
+    * with a deterministic per-epoch hash shuffle, which is what a
+    * multi-epoch dataloader actually consumes: training on the SAME
+    * document order every epoch correlates gradient noise across
+    * epochs, so each epoch lays the corpus out in a fresh
+    * pseudo-random order. The order key is `md5(epoch ':' doc_id)` —
+    * engine-portable (the n63/n68 md5 precedent), zero RNG state,
+    * reproducible at any parallelism, and hex strings compare
+    * identically under binary collation in any engine. Every epoch is
+    * a fresh effectively-random permutation, so consecutive-epoch
+    * positions decorrelate by construction.
+    *
+    * Scale shape: one tokenize pass persisted across epochs; per epoch
+    * ONE distributed range-partitioned prefix sum over the hash order
+    * ([[GlobalOrder.withRunningTotal]] — the hash key is uniform, so
+    * range partitions are perfectly balanced; never a partition-less
+    * window), then the bounded chunk explode and one hash aggregate.
+    * Epoch count is a small constant — the union is a handful of
+    * identical scale-safe plans.
+    *
+    * Output: (epoch, chunk_id, n_docs, first_doc, last_doc, n_tokens)
+    * — every context totals exactly `budget` tokens except each
+    * epoch's final partial one.
+    */
+  def epochPackingPlan(
+      docs: DataFrame, epochs: Int, budget: Long): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    val toks = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perEpoch = (0 until epochs).map { ep =>
+      val ordered = toks.withColumn("ord",
+        md5(concat(lit(s"$ep:"), col("doc_id").cast("string"))))
+      GlobalOrder
+        .withRunningTotal(ordered, Seq(col("ord"), col("doc_id")),
+          col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .select(lit(ep.toLong).as("epoch"), col("doc_id"),
+          col("_start_offset").as("s"),
+          (col("_start_offset") + col("n_tokens")).as("fin"))
+    }
+    perEpoch.reduce(_ unionByName _)
+      .select(col("epoch"), col("doc_id"), col("s"), col("fin"),
+        explode(expr(s"sequence(s div $budget, (fin - 1) div $budget)"))
+          .as("chunk_id"))
+      .groupBy("epoch", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(least(col("fin"), (col("chunk_id") + 1) * budget) -
+            greatest(col("s"), col("chunk_id") * budget)).as("n_tokens"))
+  }
+
   /** Pack-level summary: how full each pack is — the packing-efficiency
     * readout (tokens per pack vs budget, docs per pack).
     */

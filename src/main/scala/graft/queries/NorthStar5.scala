@@ -189,5 +189,47 @@ object NorthStar5 extends QueryGroup {
               CROSS JOIN aa CROSS JOIN na CROSS JOIN nt)
             ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(doremi, embedDecontam, ablation)
+  /** Epoch-decorrelated packing plan: the n67 boundary-exact manifest
+    * composed with a deterministic per-epoch md5 hash shuffle — the
+    * multi-epoch dataloader order. Oracle: per-epoch hash-ordered
+    * prefix sums (DuckDB-side window; the operator rides the
+    * distributed GlobalOrder prefix sum per epoch).
+    */
+  private val epochPlan = Q(
+    "n73_epoch_packing_plan",
+    "epoch-decorrelated 512-token packing plan (md5 hash shuffle per epoch, boundary-exact)",
+    (s, dir) => graft.operators.Packing
+      .epochPackingPlan(Tables(s, dir).documents, epochs = 3, budget = 512L)
+      .orderBy("epoch", "chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tok
+              FROM documents),
+            ep AS (SELECT unnest(range(3)) AS epoch),
+            h AS (
+              SELECT epoch, doc_id, n_tok,
+                md5(CAST(epoch AS VARCHAR) || ':' ||
+                    CAST(doc_id AS VARCHAR)) AS ord
+              FROM t CROSS JOIN ep),
+            o AS (
+              SELECT epoch, doc_id, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY epoch
+                  ORDER BY ord, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+              FROM h),
+            sp AS (SELECT epoch, doc_id, s, s + n_tok AS fin
+                   FROM o WHERE n_tok > 0),
+            ch AS (
+              SELECT epoch, doc_id, s, fin,
+                unnest(range(s // 512, (fin - 1) // 512 + 1)) AS chunk_id
+              FROM sp)
+            SELECT epoch, chunk_id, COUNT(*) AS n_docs,
+              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+              CAST(SUM(LEAST(fin, (chunk_id + 1) * 512)
+                       - GREATEST(s, chunk_id * 512)) AS BIGINT) AS n_tokens
+            FROM ch GROUP BY epoch, chunk_id
+            ORDER BY epoch, chunk_id"""))
+
+  val all: Seq[Q] = Seq(doremi, embedDecontam, ablation, epochPlan)
 }

@@ -315,6 +315,33 @@ class NorthStarSpec extends AnyFunSuite {
     assert(packed.map(_.getLong(3)).distinct.length > 1)
   }
 
+  test("epoch packing plan: budget-exact chunks, decorrelated epoch orders") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val plan = graft.operators.Packing
+      .epochPackingPlan(t.documents, epochs = 3, budget = 512L)
+      .orderBy("epoch", "chunk_id").collect()
+    val byEpoch = plan.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // every context carries exactly 512 tokens except the final one
+      sorted.init.foreach(r => assert(r.getLong(5) == 512L,
+        s"chunk ${r.getLong(1)} of epoch ${r.getLong(0)} not full"))
+      assert(sorted.last.getLong(5) <= 512L && sorted.last.getLong(5) > 0L)
+      // chunk ids are gapless from 0
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+    }
+    // all epochs pack the same token stream: identical totals and
+    // chunk counts, but the md5 shuffle gives each a different layout —
+    // the first chunk's document set must differ between epochs
+    val totals = byEpoch.values.map(_.map(_.getLong(5)).sum).toSet
+    assert(totals.size == 1, s"epoch token totals diverged: $totals")
+    val firstDocs = byEpoch.toSeq.sortBy(_._1)
+      .map(_._2.minBy(_.getLong(1)).getLong(3))
+    assert(firstDocs.distinct.size > 1,
+      s"every epoch started with doc $firstDocs — orders not decorrelated")
+  }
+
   test("multimodal resize clamps into the box preserving aspect") {
     val recs = spark.createDataset(List(
       Multimodal.MediaFeatures(1L, "image", 10L, 640, 480, 1, 0L),
