@@ -104,6 +104,24 @@ object Mixture {
         (lit(1.0) - col("s") / col("n").cast("double")).as("loss"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  /** The per-round loss plan over raw docs with unit weights — the
+    * exact frame shape every training round executes ([[doremiTrain]]'s
+    * pm + loss chain), buildable by PlanQualitySpec without running the
+    * loop (the [[QualityModel.gateThresholdPlan]] pattern): the audit
+    * must see no window, no limit, no cartesian — just the two
+    * vocab-keyed aggregations and the vocab-keyed join.
+    */
+  private[graft] def roundLossPlan(docs: DataFrame): DataFrame = {
+    val p = domainTokenProbs(docs)
+    val pm = p.withColumn("ap", lit(1.0) * col("p"))
+      .groupBy("t").agg(xsum12(col("ap")).as("pm"))
+    p.join(pm, "t")
+      .groupBy(col("source"), col("n"))
+      .agg(xsum12(col("c").cast("double") * col("pm")).as("s"))
+      .select(col("source"),
+        (lit(1.0) - col("s") / col("n").cast("double")).as("loss"))
+  }
+
   /** Train `iters` reweighting rounds; returns the full trajectory and
     * the final weights. Driver state: D doubles per round.
     */

@@ -183,4 +183,64 @@ object Multimodal {
       col("text").cast("binary").as("payload"))
       .as[MediaRecord]
   }
+
+  /** Multimodal context-packing plan — the dataloader-side token
+    * accounting for a corpus where every training example interleaves
+    * a media attachment with its text (the VLM pretraining layout):
+    * each example contributes its MEDIA tokens first, then its text
+    * tokens, and the concatenated stream chunks into fixed
+    * `budget`-token contexts (the n67 convention — consumers slice;
+    * boundary-exact on both segment kinds). Media token budgets follow
+    * the standard encoder arithmetic, all integer-exact:
+    *
+    *   - image: ⌈w/16⌉·⌈h/16⌉ ViT patch tokens,
+    *   - audio: ⌈n_frames/4⌉ conv-downsampled frame tokens,
+    *   - video: ⌈n_frames/5⌉·64 — every 5th frame sampled (the
+    *     [[sampleFrames]] cadence) at 64 patch tokens per frame.
+    *
+    * Output per context: (chunk_id, n_examples, n_media_tokens,
+    * n_text_tokens, n_tokens) with n_media + n_text = n_tokens =
+    * budget everywhere but the final partial context — the media/text
+    * split is the number a dataloader needs to pre-size its pixel
+    * buffers per context.
+    *
+    * Scale shape: feature extraction is the per-partition batched stub
+    * decode (scan-stage); token arithmetic is per-row; the layout is
+    * ONE distributed [[GlobalOrder.withRunningTotal]] prefix sum, a
+    * bounded chunk explode, and one hash aggregate — identical plan
+    * skeleton to [[Packing.contextManifest]].
+    */
+  def packingPlan(
+      spark: SparkSession, docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    val feats = extractFeatures(fromDocuments(spark, docs)).toDF()
+    val mediaTok = feats.select(
+      col("media_id").as("doc_id"),
+      when(col("kind") === "image",
+        expr("((width + 15) div 16) * ((height + 15) div 16)"))
+        .when(col("kind") === "audio", expr("(n_frames + 3) div 4"))
+        .otherwise(expr("((n_frames + 4) div 5) * 64"))
+        .cast("long").as("m"))
+    val textTok = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("t"))
+    val ex = mediaTok.join(textTok, "doc_id")
+      .withColumn("n", col("m") + col("t"))
+    val lo = col("chunk_id") * budget
+    val hi = (col("chunk_id") + 1) * budget
+    def overlap(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      greatest(lit(0L), least(b, hi) - greatest(a, lo))
+    GlobalOrder.withRunningTotal(ex, Seq(col("doc_id")), col("n"))
+      .select(col("doc_id"), col("m"), col("t"),
+        col("_start_offset").as("s"),
+        (col("_start_offset") + col("n")).as("fin"))
+      .select(col("doc_id"), col("m"), col("t"), col("s"), col("fin"),
+        explode(expr(s"sequence(s div $budget, (fin - 1) div $budget)"))
+          .as("chunk_id"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_examples"),
+        sum(overlap(col("s"), col("s") + col("m"))).as("n_media_tokens"),
+        sum(overlap(col("s") + col("m"), col("fin"))).as("n_text_tokens"),
+        sum(overlap(col("s"), col("fin"))).as("n_tokens"))
+  }
 }

@@ -231,5 +231,59 @@ object NorthStar5 extends QueryGroup {
             FROM ch GROUP BY epoch, chunk_id
             ORDER BY epoch, chunk_id"""))
 
-  val all: Seq[Q] = Seq(doremi, embedDecontam, ablation, epochPlan)
+  /** Multimodal context packing: media tokens (ViT patches / audio
+    * frames / sampled video patches) interleaved with text tokens,
+    * chunked into 2048-token contexts with a boundary-exact media/text
+    * split per context — the VLM dataloader accounting. The oracle
+    * replays the stub decode's octet arithmetic (the n11 chain), the
+    * integer token budgets, and the prefix-sum slicing.
+    */
+  private val mmPacking = Q(
+    "n74_multimodal_packing",
+    "multimodal 2048-token context plan: media+text interleave, boundary-exact split",
+    (s, dir) => graft.operators.Multimodal
+      .packingPlan(s, Tables(s, dir).documents, budget = 2048L)
+      .orderBy("chunk_id"),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS t,
+                doc_id % 3 AS k,
+                octet_length(encode(text)) AS nb,
+                CAST(16 + CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                  ELSE list_reduce(list_transform(
+                    range(least(16, octet_length(encode(text)))),
+                    i -> CAST(('0x' || substr(hex(encode(text)),
+                      CAST(2*i+1 AS INT), 2)) AS INT)),
+                  (a, b) -> a + b) END % 640 AS INT) AS width,
+                CAST(16 + octet_length(encode(text)) % 480 AS INT) AS height
+              FROM documents),
+            m AS (
+              SELECT doc_id, CAST(t AS BIGINT) AS t,
+                CAST(CASE k
+                  WHEN 0 THEN ((width + 15) // 16) * ((height + 15) // 16)
+                  WHEN 1 THEN ((1 + nb % 1000) + 3) // 4
+                  ELSE (((1 + nb % 30) + 4) // 5) * 64 END AS BIGINT) AS m
+              FROM f),
+            o AS (
+              SELECT doc_id, m, t, m + t AS n,
+                CAST(COALESCE(SUM(m + t) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+              FROM m),
+            sp AS (SELECT doc_id, m, t, s, s + n AS fin FROM o),
+            ch AS (
+              SELECT doc_id, m, t, s, fin,
+                unnest(range(s // 2048, (fin - 1) // 2048 + 1)) AS chunk_id
+              FROM sp)
+            SELECT chunk_id, COUNT(*) AS n_examples,
+              CAST(SUM(GREATEST(0, LEAST(s + m, (chunk_id + 1) * 2048)
+                - GREATEST(s, chunk_id * 2048))) AS BIGINT) AS n_media_tokens,
+              CAST(SUM(GREATEST(0, LEAST(fin, (chunk_id + 1) * 2048)
+                - GREATEST(s + m, chunk_id * 2048))) AS BIGINT) AS n_text_tokens,
+              CAST(SUM(GREATEST(0, LEAST(fin, (chunk_id + 1) * 2048)
+                - GREATEST(s, chunk_id * 2048))) AS BIGINT) AS n_tokens
+            FROM ch GROUP BY chunk_id ORDER BY chunk_id"""))
+
+  val all: Seq[Q] = Seq(doremi, embedDecontam, ablation, epochPlan,
+    mmPacking)
 }

@@ -342,6 +342,27 @@ class NorthStarSpec extends AnyFunSuite {
       s"every epoch started with doc $firstDocs — orders not decorrelated")
   }
 
+  test("multimodal packing: hand-computed media/text split per context") {
+    import spark.implicits._
+    // doc 0 (image): "a b c" = 5 bytes, octet sum 358 → 374x21 → 24·2 =
+    // 48 patches, 3 text tokens; doc 1 (audio): nb=3 → 4 frames → 1
+    // token, 2 text; doc 2 (video): nb=5 → 6 frames → 2 sampled · 64 =
+    // 128 media, 1 text. Stream: [0,51) [51,54) [54,183), budget 64.
+    val docs = Seq((0L, "a b c"), (1L, "x y"), (2L, "hello"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Multimodal.packingPlan(spark, docs, 64L)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 59L, 5L, 64L),
+      (1L, 1L, 64L, 0L, 64L),
+      (2L, 1L, 54L, 1L, 55L)))
+    // the invariants the dataloader relies on: split sums to total,
+    // every context full except the tail
+    out.foreach { case (_, _, m, t, n) => assert(m + t == n) }
+  }
+
   test("multimodal resize clamps into the box preserving aspect") {
     val recs = spark.createDataset(List(
       Multimodal.MediaFeatures(1L, "image", 10L, 640, 480, 1, 0L),

@@ -122,6 +122,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"gate threshold physical plan gathers through a limit:\n$physical")
   }
 
+  test("doremi round plan: vocab-keyed aggs only — no window, limit, or cartesian") {
+    // each n70 training round is two vocab-keyed aggregations and one
+    // vocab-keyed join; a window or limit sneaking in would serialize
+    // the round through one task at scale. Audited on the interior
+    // frame shape since the trainer's output is driver-materialized
+    // and invisible to the registry-wide sweep.
+    val frame = graft.operators.Mixture
+      .roundLossPlan(Tables(spark, dir).documents)
+    val optimized = frame.queryExecution.optimizedPlan
+    val bad = optimized.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(bad.isEmpty, s"doremi round plan has window/limit nodes:\n$optimized")
+    val physical = frame.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"doremi round plan lost its equi-keys:\n$physical")
+  }
+
   test("q28 closed forms == Spark window analytics, including uneven ntile") {
     // n = 10 is NOT divisible by 4 (bucket sizes 3,3,2,2) — the driver
     // fixtures are, so the uneven branch is pinned here.
