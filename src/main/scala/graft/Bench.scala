@@ -195,8 +195,12 @@ object Bench {
     }.mkString("{", ",", "}")
     // per-query JVM-pressure evidence: GC ms inside the timed window +
     // used heap at its end — the data PLANS.md cites when adjudicating
-    // shared-JVM flaps (sits BEFORE retimed/value so tail-truncated
-    // driver captures keep the adjudication fields)
+    // shared-JVM flaps. Emitted BEFORE "queries": a ~2 kB driver tail
+    // capture must keep the END of the queries map (BenchGuard's
+    // truncated-artifact fallback greps query-shaped name:number pairs
+    // there — an ~8 kB gc object between "queries" and the tail would
+    // starve it), and the flap-adjudication gc numbers ride the
+    // "retimed" entries inline, which DO sit in the tail.
     def probeJson(p: GcProbe): String =
       "{\"gc_ms\":" + p.gcMs + ",\"heap_gb\":" + fmt(p.heapGb) + "}"
     val gcs = results.collect { case t if t.gc.isDefined =>
@@ -224,6 +228,6 @@ object Bench {
     // the final ~2k chars of output still contain it after the per-query
     // map outgrows that window (which it did once the registry passed ~100
     // queries).
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"queries":$qs,"gc":$gcs,"errors":$errs,"retimed":$retimed,"value":${fmt(total)}}"""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"queries":$qs,"errors":$errs,"retimed":$retimed,"value":${fmt(total)}}"""
   }
 }

@@ -541,4 +541,40 @@ object Dedup {
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Verified near-dup pairs of a NEW batch against a STANDING band
+    * index — the s20 admission probe, factored here so the shipped
+    * query and the ScaleProbe index-growth row measure the identical
+    * shape (they briefly diverged by hand-copying): candidates from a
+    * (band_id, band_key) equi-join (new side is `id_a`), the standing
+    * shingle state semi-filtered to surfaced index docs BEFORE its
+    * per-doc aggregation (the read is candidate-bounded, not
+    * index-bounded), exact-Jaccard verify on candidates only.
+    *
+    * `newBands`/`newShingles`: [[portableMinHashBands]] /
+    * [[portableShingles]] of the incoming batch. `bandIndex` /
+    * `standingShingles`: the file-backed standing state (production:
+    * bucketed by band_key). Output: (id_a = new doc, id_b = index doc,
+    * jaccard) at or above `threshold`.
+    */
+  def verifiedIndexDups(
+      newBands: DataFrame,
+      newShingles: DataFrame,
+      bandIndex: DataFrame,
+      standingShingles: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = newBands.as("n")
+      .join(bandIndex.as("o"),
+        col("n.band_id") === col("o.band_id") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"))
+      .distinct()
+    val ssAll = newShingles.groupBy("doc_id")
+      .agg(collect_list(col("s")).as("ls"))
+      .unionByName(standingShingles
+        .join(cand.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_list(col("s")).as("ls")))
+    verifyJaccardPortable(cand, ssAll, threshold)
+  }
 }

@@ -231,14 +231,20 @@ object Mixture {
   def domainAblation(docs: DataFrame, isTarget: Column): DataFrame = {
     val tok = docs.select(col("source"), isTarget.as("is_tgt"),
       explode(split(col("text"), " ")).as("t"))
-    val ct = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    // genuinely ONE corpus pass: the per-(source, token) aggregation
+    // carries the target-occurrence count alongside the total, so the
+    // target vocabulary and totals all derive from the persisted
+    // vocab-sized frame instead of re-tokenizing the corpus
+    val ct = tok.groupBy("source", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val gt = ct.groupBy("t").agg(sum(col("c")).as("ct_all"))
-    val tt = tok.filter(col("is_tgt")).groupBy("t")
-      .agg(count(lit(1)).as("tt"))
+    val tt = ct.groupBy("t").agg(sum(col("c_tgt")).as("tt"))
+      .filter(col("tt") > 0)
     val nd = ct.groupBy("source").agg(sum(col("c")).as("n_d"))
     val na = gt.agg(sum(col("ct_all")).as("n_all"))
-    val nt = tok.filter(col("is_tgt")).agg(count(lit(1)).as("n_tgt"))
+    val nt = ct.agg(sum(col("c_tgt")).as("n_tgt"))
     val aa = gt.join(tt, "t").agg(sum(col("tt") * col("ct_all")).as("a"))
     val bb = ct.join(tt, "t").groupBy("source")
       .agg(sum(col("tt") * col("c")).as("b"))

@@ -130,14 +130,6 @@ object QualityModel {
     (w, bias, thr)
   }
 
-  /** Threshold = min score of the global top-k, derived DISTRIBUTED:
-    * range-partitioned global rank + filter ([[GlobalOrder]]), never a
-    * single-point TakeOrderedAndProject gather of k ∝ corpus rows (the
-    * s19 shape, [[Sampling.dsirTrainGate]]). Exposed as a frame so
-    * PlanQualitySpec can assert the plan carries no global limit — the
-    * class of scale defect an eagerly-executed operator interior would
-    * otherwise hide from registry-wide plan audits.
-    */
   /** The threshold plan over raw docs with a zero model — the exact
     * frame shape [[trainGate]] executes, buildable by PlanQualitySpec
     * without running the training loop.
@@ -148,6 +140,14 @@ object QualityModel {
       tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id"),
       Vector.fill(Dim)(0.0), 0.0, k)
 
+  /** Threshold = min score of the global top-k, derived DISTRIBUTED:
+    * range-partitioned global rank + filter ([[GlobalOrder]]), never a
+    * single-point TakeOrderedAndProject gather of k ∝ corpus rows (the
+    * s19 shape, [[Sampling.dsirTrainGate]]). Exposed as a frame so
+    * PlanQualitySpec can assert the plan carries no global limit — the
+    * class of scale defect an eagerly-executed operator interior would
+    * otherwise hide from registry-wide plan audits.
+    */
   private[graft] def gateThresholdFrame(
       xy: DataFrame, w: IndexedSeq[Double], bias: Double,
       k: Long): DataFrame = {

@@ -863,22 +863,15 @@ object StreamingQueries extends QueryGroup {
           val bandsN = D.portableMinHashBands(shN).persist()
           try {
             val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
-            val candCorpus = bandsN.as("n")
-              .join(s.read.parquet(idxDir).as("o"),
-                col("n.band_id") === col("o.band_id") &&
-                  col("n.band_key") === col("o.band_key"))
-              .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"))
-              .distinct()
-            // standing-state read is CANDIDATE-bounded: semi-filter the
-            // shingle files to the index docs the band probe surfaced
-            // BEFORE the per-doc aggregation — the un-filtered groupBy
-            // grew with the index, not the batch (the axis the
-            // stream_dedup_index ScaleProbe row measures)
-            val ssAll = ssN.unionByName(
-              s.read.parquet(shDir)
-                .join(candCorpus.select(col("id_b").as("doc_id")).distinct(),
-                  Seq("doc_id"), "left_semi")
-                .groupBy("doc_id").agg(collect_list(col("s")).as("ls")))
+            // batch-vs-index admission through the SHARED
+            // [[graft.operators.Dedup.verifiedIndexDups]] probe: band
+            // equi-join candidates, standing shingle state semi-filtered
+            // to surfaced docs BEFORE its per-doc aggregation (the read
+            // is candidate-bounded, not index-bounded — the axis the
+            // stream_dedup_index ScaleProbe row measures on this same
+            // code path)
+            val corpusDups = D.verifiedIndexDups(bandsN, shN,
+              s.read.parquet(idxDir), s.read.parquet(shDir), 0.5)
             val candBatch = bandsN.as("a")
               .join(bandsN.as("b"),
                 col("a.band_id") === col("b.band_id") &&
@@ -886,7 +879,7 @@ object StreamingQueries extends QueryGroup {
                   col("a.doc_id") < col("b.doc_id"))
               .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
               .distinct()
-            val rejected = D.verifyJaccardPortable(candCorpus, ssAll, 0.5)
+            val rejected = corpusDups
               .select(col("id_a").as("doc_id"))   // the NEW side of a corpus dup
               .union(D.verifyJaccardPortable(candBatch, ssN, 0.5)
                 .select(col("id_b").as("doc_id"))) // the higher id of a batch dup

@@ -23,6 +23,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val only: Seq[String] = args.drop(1).toSeq
+    // staging blocks are minutes of work at sf0.1 — only pay one when
+    // the name filter actually selects a probe that reads it (the
+    // single-row re-measure workflow the tool documents)
+    def wanted(name: String): Boolean =
+      only.isEmpty || only.exists(name.contains)
     val spark = GraftSession.build("graft-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, sfDir)
@@ -288,7 +293,7 @@ object ScaleProbe {
     // driver data's physical generation (nanos-long vs timestamp[us])
     val eventsRaw =
       graft.Tables.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
-    val (uStep, eStep) = {
+    lazy val evSteps: (Long, Long) = {
       val r = eventsRaw
         .agg(max(col("user_id")), max(col("event_id"))).head
       (r.getLong(0) + 1L, r.getLong(1) + 1L)
@@ -299,8 +304,12 @@ object ScaleProbe {
     }
     val evBase = java.nio.file.Files.createTempDirectory("graft_probe_ev_")
       .toFile
-    val evDirs: Map[Int, String] = Seq(1, 4, 8).map { c =>
+    val evDirs: Map[Int, String] =
+      if (!wanted("stream_3way_join") && !wanted("stream_ckpt_restart"))
+        Map.empty
+      else Seq(1, 4, 8).map { c =>
       val p = new java.io.File(evBase, s"x$c")
+      val (uStep, eStep) = evSteps
       (0 until c).map(i => eventsRaw
           .withColumn("user_id", col("user_id") + lit(i * uStep))
           .withColumn("event_id", col("event_id") + lit(i * eStep)))
@@ -403,8 +412,11 @@ object ScaleProbe {
     // bounds the UNbucketed worst case from above.
     val s20Base = java.nio.file.Files
       .createTempDirectory("graft_probe_s20_").toFile
-    val s20Step = t.documents.agg(max(col("doc_id"))).head.getLong(0) + 1L
-    val s20Dirs: Map[Int, (String, String)] = Seq(1, 4, 8).map { c =>
+    lazy val s20Step =
+      t.documents.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val s20Dirs: Map[Int, (String, String)] =
+      if (!wanted("stream_dedup_index")) Map.empty
+      else Seq(1, 4, 8).map { c =>
       val corpus = (0 until c).map { i =>
         val shifted = t.documents
           .withColumn("doc_id", col("doc_id") + lit(i * s20Step))
@@ -428,27 +440,16 @@ object ScaleProbe {
     probe("stream_dedup_index", c => {
       val (idxDir, shDir) = s20Dirs(c)
       // the fixed incoming batch: base texts (near-dups of the UNsalted
-      // index copy only), fresh ids — the s20 admission shape minus the
-      // within-batch pass, which does not touch the index
+      // index copy only), fresh ids — s20's admission probe via the
+      // SHARED Dedup.verifiedIndexDups (the same code path the shipped
+      // query runs), minus the within-batch pass, which does not touch
+      // the index
       val batch = t.documents
         .withColumn("doc_id", col("doc_id") + lit(100L * s20Step))
       val shN = Dedup.portableShingles(batch)
-      val bandsN = Dedup.portableMinHashBands(shN)
-      val cand = bandsN.as("n")
-        .join(spark.read.parquet(idxDir).as("o"),
-          col("n.band_id") === col("o.band_id") &&
-            col("n.band_key") === col("o.band_key"))
-        .select(col("n.doc_id").as("id_a"), col("o.doc_id").as("id_b"))
-        .distinct()
-      // candidate-bounded standing-state read (the s20 admission shape):
-      // the shingle files semi-filter to surfaced index docs before the
-      // per-doc aggregation
-      val ssAll = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
-        .unionByName(spark.read.parquet(shDir)
-          .join(cand.select(col("id_b").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi")
-          .groupBy("doc_id").agg(collect_list(col("s")).as("ls")))
-      Dedup.verifyJaccardPortable(cand, ssAll, 0.5).count()
+      Dedup.verifiedIndexDups(Dedup.portableMinHashBands(shN), shN,
+        spark.read.parquet(idxDir), spark.read.parquet(shDir), 0.5)
+        .count()
     })
 
     rmTree(s20Base)
