@@ -354,4 +354,64 @@ object Sampling {
       .select("doc_id", "source", "per_mille", "copy_idx")
   }
 
+  /** Multi-signal quality selection by Borda rank fusion: the ENSEMBLE
+    * member of the quality family (heuristic n08/n62, rank-calibration
+    * n64, generative-importance n59, discriminative-trained n68 are the
+    * single-signal members). Each document is ranked independently
+    * under three signals —
+    *
+    *   1. the composite heuristic score (the n56/n64 arithmetic:
+    *      stopword − punct − digit ratios),
+    *   2. the DSIR importance score toward `isTarget` (the n59 BIGINT
+    *      score_ppm),
+    *   3. the Gopher rule pass count (0–4 of the n62 word-level rules),
+    *
+    * and fused by rank SUM (Borda): signals on incomparable scales
+    * combine on the one scale they share — position. Rank fusion is the
+    * standard way to ensemble quality filters whose scores have no
+    * common calibration (the RRF idea with integer weights); the
+    * all-integer form keeps the whole trajectory hash-exact with no FP
+    * policy at all.
+    *
+    * Scale shape: each per-signal rank is a
+    * [[GlobalOrder.withGlobalIndexCols]] distributed range-partitioned
+    * sort (NEVER a partition-less window); the three rank frames join
+    * back on doc_id (co-partitioned hash joins); the fused rank is one
+    * more distributed sort; the corpus count broadcasts as a one-row
+    * frame. The DSIR signal's gram explode dominates the cost — the
+    * rank machinery adds only sorts of (doc_id, long) pairs.
+    * Output: (doc_id, r_heur, r_imp, r_rules, borda, fused_rank, kept).
+    */
+  def rankFusionGate(
+      docs: DataFrame, isTarget: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val heur = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        (col("stopword_ratio") - col("punct_ratio") - col("digit_ratio"))
+          .as("q"))
+    val docGrams = docGramCounts(docs, isTarget)
+    val dsir = scoreFromDocGrams(docGrams, importanceFromDocGrams(docGrams))
+    val rules = TextAnalysis.gopherQualityRules(docs)
+      .select(col("doc_id"),
+        (col("word_count_ok").cast("int") + col("mean_len_ok").cast("int") +
+          col("alpha_ok").cast("int") + col("stop_ok").cast("int"))
+          .as("n_rules"))
+    def ranked(df: DataFrame, sig: String, as: String): DataFrame =
+      GlobalOrder.withGlobalIndexCols(df, Seq(desc(sig), asc("doc_id")))
+        .select(col("doc_id"), col("_global_rank").as(as))
+    val fusedIn = ranked(heur, "q", "r_heur")
+      .join(ranked(dsir, "score_ppm", "r_imp"), "doc_id")
+      .join(ranked(rules, "n_rules", "r_rules"), "doc_id")
+      .withColumn("borda", col("r_heur") + col("r_imp") + col("r_rules"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    GlobalOrder.withGlobalIndexCols(fusedIn, Seq(asc("borda"), asc("doc_id")))
+      .withColumnRenamed("_global_rank", "fused_rank")
+      .crossJoin(broadcast(n))
+      .withColumn("kept",
+        col("fused_rank") <= ceil(lit(keepFrac) * col("n_docs").cast("double")))
+      .select("doc_id", "r_heur", "r_imp", "r_rules", "borda", "fused_rank",
+        "kept")
+  }
+
 }

@@ -461,4 +461,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Contrastive training-triplet mining: (anchor, positive, negatives)
+    * for embedding-model training — positives are semantic neighbors,
+    * negatives a deterministic corpus sample with accidental positives
+    * filtered out (the in-batch-negatives recipe, materialized
+    * offline).
+    *
+    *   - POSITIVES: anchors (vec_id < `anchorMax`) meet only corpus
+    *     vectors in the same hyperplane sign-bucket (the n06/n71
+    *     candidate shape — an equi-join, never all-pairs), exact-cosine
+    *     verified ≥ `posThreshold`. Both directions of an
+    *     anchor–anchor pair emit (each anchor owns its own triplet
+    *     list).
+    *   - NEGATIVES: per (anchor, positive) pair and slot j, the
+    *     candidate is the vector at global rank
+    *     `hexint(md5(anchor:pos:j)) mod N` — zero RNG state, engine-
+    *     portable (the n73 md5-shuffle policy), uniform over the
+    *     corpus. Candidates equal to the anchor/positive, or whose
+    *     exact cosine reaches `posThreshold` (a false negative), are
+    *     dropped rather than resampled — a production dataloader
+    *     prefers a short triplet list over a nondeterministic retry
+    *     loop.
+    *
+    * Scale shape: positives ride one broadcast equi-join on bucket;
+    * the rank table is [[GlobalOrder.withGlobalIndex]] (distributed
+    * sort — at dense ids it degenerates to vec_id+1, but the table
+    * keeps the op correct under arbitrary/sparse ids); negative lookup
+    * is an equi-join on the rank key; every cosine is candidate-
+    * bounded (|pairs| · negsPerPair, never corpus²).
+    * Output: (anchor_id, pos_id, pos_cos, j, neg_id, neg_cos).
+    */
+  def contrastiveTriplets(
+      corpus: DataFrame,
+      anchorMax: Long,
+      posThreshold: Double,
+      negsPerPair: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(negsPerPair > 0, s"negsPerPair must be > 0, got $negsPerPair")
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      bucketExpr(col("embedding"), planes).as("bucket"))
+    val anchors = cb.filter(col("vec_id") < anchorMax)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+        col("bucket"))
+    val pos = cb.join(broadcast(anchors), "bucket")
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("a_emb"), col("vec_id").as("pos_id"),
+        cosine(col("a_emb"), col("embedding")).as("pos_cos"))
+      .filter(col("pos_cos") >= posThreshold)
+    val n = corpus.agg(count(lit(1)).as("n_vecs"))
+    val cand = pos.crossJoin(broadcast(n))
+      .withColumn("j", explode(array((0 until negsPerPair).map(lit): _*)))
+      .withColumn("neg_rank",
+        conv(substring(md5(concat_ws(":",
+          col("anchor_id"), col("pos_id"), col("j"))), 1, 8), 16, 10)
+          .cast("long") % col("n_vecs") + 1L)
+    val rankTable = GlobalOrder
+      .withGlobalIndex(corpus.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .select(col("_global_rank").as("neg_rank"),
+        col("vec_id").as("neg_id"), col("embedding").as("n_emb"))
+    cand.join(rankTable, "neg_rank")
+      .withColumn("neg_cos", cosine(col("a_emb"), col("n_emb")))
+      .filter(col("neg_id") =!= col("anchor_id") &&
+        col("neg_id") =!= col("pos_id") &&
+        col("neg_cos") < posThreshold)
+      .select("anchor_id", "pos_id", "pos_cos", "j", "neg_id", "neg_cos")
+  }
 }

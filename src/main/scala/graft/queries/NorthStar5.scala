@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, Mixture, Similarity}
+import graft.operators.{Decontamination, Mixture, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-9 north-star operators: learned mixture weights — the
@@ -284,6 +284,128 @@ object NorthStar5 extends QueryGroup {
                 - GREATEST(s, chunk_id * 2048))) AS BIGINT) AS n_tokens
             FROM ch GROUP BY chunk_id ORDER BY chunk_id"""))
 
+  /** Borda rank fusion over three quality signals — the ensemble
+    * member of the quality family. All-integer ranks; the oracle
+    * replays each signal's arithmetic (the n56 composite score, the
+    * n59 DSIR BIGINT scoring chain, the n62 Gopher rules) and fuses by
+    * row_number, so the compare covers every rank, the Borda sums, and
+    * the kept set.
+    */
+  private val rankFusion = Q(
+    "n75_quality_rank_fusion",
+    "Borda rank fusion of heuristic / DSIR / Gopher quality signals, top-25% gate",
+    (s, dir) => Sampling
+      .rankFusionGate(Tables(s, dir).documents, col("lang") === "en", 0.25)
+      .orderBy("doc_id"),
+    Some(s"""${NorthStar4.dsirCtes},
+            hq AS (
+              SELECT doc_id, ${NorthStar3.scoreSql} AS q FROM documents),
+            gm AS (
+              SELECT doc_id,
+                (CASE WHEN len(ts) >= 10 AND len(ts) <= 100000
+                      THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
+                          >= 3.0
+                        AND CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
+                          <= 10.0
+                      THEN 1 ELSE 0 END)
+                + (CASE WHEN len(list_filter(ts,
+                          x -> regexp_matches(x, '[a-zA-Z]'))) * 5
+                          >= len(ts) * 4
+                      THEN 1 ELSE 0 END)
+                + (CASE WHEN
+                     (CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END +
+                      CASE WHEN list_contains(ts, 'a') THEN 1 ELSE 0 END +
+                      CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END +
+                      CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END +
+                      CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+                        >= 2
+                      THEN 1 ELSE 0 END) AS n_rules
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts,
+                      length(replace(text, ' ', '')) AS sum_len
+                    FROM documents)),
+            rr AS (
+              SELECT hq.doc_id,
+                row_number() OVER (ORDER BY q DESC, hq.doc_id) AS r_heur,
+                row_number() OVER (ORDER BY score_ppm DESC, hq.doc_id)
+                  AS r_imp,
+                row_number() OVER (ORDER BY n_rules DESC, hq.doc_id)
+                  AS r_rules
+              FROM hq JOIN sc ON sc.doc_id = hq.doc_id
+                      JOIN gm ON gm.doc_id = hq.doc_id),
+            f AS (
+              SELECT doc_id, r_heur, r_imp, r_rules,
+                r_heur + r_imp + r_rules AS borda,
+                row_number() OVER (ORDER BY r_heur + r_imp + r_rules,
+                  doc_id) AS fused_rank
+              FROM rr)
+            SELECT doc_id, r_heur, r_imp, r_rules, borda, fused_rank,
+              fused_rank <= CEIL(0.25 * CAST(n_docs AS DOUBLE)) AS kept
+            FROM f, n ORDER BY doc_id"""))
+
+  /** Contrastive triplet mining: sign-bucket positives (exact-cosine
+    * verified) + md5-deterministic corpus negatives with
+    * false-negative filtering. The oracle replays the plane buckets,
+    * the pair join, the md5 hex-int rank draws, and both cosine sides.
+    */
+  private val contrastive = Q(
+    "n76_contrastive_triplets",
+    "contrastive (anchor, positive, negative) mining: bucketed positives, md5-deterministic negatives",
+    (s, dir) => Similarity
+      .contrastiveTriplets(Tables(s, dir).embeddings,
+        anchorMax = 100L, posThreshold = 0.35, negsPerPair = 2)
+      .orderBy("anchor_id", "pos_id", "j"),
+    Some {
+      val numPlanes = 8
+      val planeRows = Similarity.hyperplanes(numPlanes, 64, 42L).zipWithIndex
+        .map { case (p, j) =>
+          s"($j, [${p.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+        }.mkString(",\n")
+      s"""WITH planes(plane_id, pv) AS (VALUES $planeRows),
+            buckets AS (
+              SELECT vec_id, SUM(CASE WHEN dot >= 0
+                THEN CAST(1 AS BIGINT) << plane_id ELSE 0 END) AS bucket
+              FROM (SELECT e.vec_id, p.plane_id,
+                      list_reduce(list_transform(list_zip(e.embedding, p.pv),
+                          x -> CAST(x[1] AS DOUBLE) * x[2]),
+                        (acc, x) -> acc + x) AS dot
+                    FROM embeddings e CROSS JOIN planes p)
+              GROUP BY vec_id),
+            pos AS (
+              SELECT * FROM (
+                SELECT a.vec_id AS anchor_id, ea.embedding AS a_emb,
+                  c.vec_id AS pos_id,
+                  ${Sql.oCos("ea.embedding", "ec.embedding")} AS pos_cos
+                FROM buckets a
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN buckets c ON c.bucket = a.bucket
+                  AND c.vec_id <> a.vec_id
+                JOIN embeddings ec ON ec.vec_id = c.vec_id
+                WHERE a.vec_id < 100)
+              WHERE pos_cos >= 0.35),
+            nv AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+            rt AS (
+              SELECT vec_id AS neg_id, embedding AS n_emb,
+                row_number() OVER (ORDER BY vec_id) AS neg_rank
+              FROM embeddings),
+            cand AS (
+              SELECT anchor_id, pos_id, pos_cos, a_emb, j,
+                CAST(('0x' || substr(md5(
+                    CAST(anchor_id AS VARCHAR) || ':' ||
+                    CAST(pos_id AS VARCHAR) || ':' ||
+                    CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % n_vecs + 1 AS neg_rank
+              FROM pos CROSS JOIN nv
+              CROSS JOIN (SELECT unnest(range(2)) AS j))
+            SELECT * FROM (
+              SELECT anchor_id, pos_id, pos_cos, CAST(j AS INT) AS j,
+                neg_id, ${Sql.oCos("a_emb", "n_emb")} AS neg_cos
+              FROM cand JOIN rt USING (neg_rank)
+              WHERE neg_id <> anchor_id AND neg_id <> pos_id)
+            WHERE neg_cos < 0.35
+            ORDER BY anchor_id, pos_id, j"""
+    })
+
   val all: Seq[Q] = Seq(doremi, embedDecontam, ablation, epochPlan,
-    mmPacking)
+    mmPacking, rankFusion, contrastive)
 }

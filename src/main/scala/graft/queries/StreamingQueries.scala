@@ -1235,6 +1235,99 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar5.embedDecontamOracleSql))
 
+  /** Streaming per-source token-budget admission — the QUOTA member of
+    * the stateful family (running agg s09, sessionization s07/s14,
+    * dedup s03): a cumulative per-source token count decides admission
+    * for every incoming document, the production shape for "cap each
+    * source's contribution while the corpus streams in". Unlike the
+    * stateless gates (s19/s21/s23/s24), the verdict depends on
+    * everything the key has already admitted — genuinely stateful, yet
+    * the state is ONE long per source.
+    *
+    * Equality with the batch window ([[graft.operators.Sampling
+    * .capSourceTokens]]'s shape at budget 2000) needs arrival order =
+    * doc_id order per source, which the staging guarantees with
+    * CONTIGUOUS id-range batches (batch k = ids in [k·cut, (k+1)·cut));
+    * within a batch [[graft.streaming.StatefulOps.tokenQuota]] sorts
+    * the group's slice. The oracle is the plain batch window — the
+    * streaming run must converge to it bit-for-bit across 3 real
+    * micro-batches of carried state.
+    *
+    * Scale shape: one shuffle per batch on source (the state key), one
+    * long of state per source, no watermark (the quota spans all
+    * time), output in append mode — each document emits exactly once.
+    */
+  private val streamSourceQuota = Q(
+    "s25_stream_source_quota",
+    "streaming per-source token quota: one-long-per-key stateful admission == batch window",
+    (s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_s25_").toFile
+      base.deleteOnExit()
+      def sub(n: String) = new java.io.File(base, n)
+      val in = sub("in"); in.mkdirs()
+      val stage = sub("stage")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = Tables(s, dir).documents
+        // contiguous id-range arrival slices: per-source arrival order
+        // is doc_id order — the order the oracle's window sums in
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = maxId / 3 + 1
+        (0 to 2).foreach { k =>
+          docs.filter(col("doc_id") >= k * cut &&
+              col("doc_id") < (k + 1) * cut)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
+        }
+        val src = s.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(in.getAbsolutePath)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .as[(String, Long, Int)]
+        val out = graft.streaming.StatefulOps.tokenQuota(src, 2000L)
+          .toDF("doc_id", "source", "n_tokens", "start_off", "kept")
+        val qn = s"graft_stream_${counter.incrementAndGet()}"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation", sub("ckpt").getAbsolutePath)
+          .start()
+        try {
+          (0 to 2).foreach { k =>
+            new java.io.File(stage, k.toString).listFiles()
+              .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                java.nio.file.Files.copy(f.toPath,
+                  new java.io.File(in, s"b$k-${f.getName}").toPath)
+              }
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(qn).orderBy("doc_id").localCheckpoint()
+      } finally {
+        rmTree(base)
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    },
+    Some("""SELECT doc_id, source, n_tokens, start_off,
+              start_off < 2000 AS kept
+            FROM (
+              SELECT doc_id, source, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+              FROM (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+                    FROM documents))
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1242,5 +1335,5 @@ object StreamingQueries extends QueryGroup {
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
-    streamEmbedDecontam)
+    streamEmbedDecontam, streamSourceQuota)
 }

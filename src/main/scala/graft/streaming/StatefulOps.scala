@@ -179,4 +179,48 @@ object StatefulOps {
         TimeMode.EventTime(), OutputMode.Append())(
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong, Encoders.scalaDouble))
+
+  /** Per-key token-budget ADMISSION — the quota face of keyed state
+    * (running aggregation is s09, sessionization s07/s14, count windows
+    * c06): each key admits documents while its cumulative token count
+    * is under `budget`, and every document emits exactly once with its
+    * EXCLUSIVE start offset and the verdict — the streaming form of
+    * [[graft.operators.Sampling.capSourceTokens]]'s window.
+    *
+    * State per key is ONE long (tokens seen so far) — bounded by
+    * construction, no watermark needed (the quota is over all time).
+    * `flatMapGroupsWithState` rather than `mapGroupsWithState` because
+    * a batch emits one row PER DOCUMENT, not per key. Within a batch
+    * the group's rows sort by doc_id before offsets assign (the
+    * micro-batch iterator order is not contractual); ACROSS batches
+    * offsets follow arrival order, so the result equals the batch
+    * window exactly iff the caller's arrival order is id order per key
+    * (contiguous id-range staging — the s25 setup). The per-group sort
+    * buffers one key's slice of ONE micro-batch (admission control sits
+    * behind a bounded ingest trigger; this is the asyncBoundary
+    * maxFilesPerTrigger shape, not a corpus-sized buffer).
+    *
+    * Input (source, doc_id, n_tokens); output (doc_id, source,
+    * n_tokens, start_off, kept).
+    */
+  def tokenQuota(
+      ds: Dataset[(String, Long, Int)],
+      budget: Long): Dataset[(Long, String, Int, Long, Boolean)] = {
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String, Int, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Int)],
+            state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(_._2).map { case (src, id, nt) =>
+            val row = (id, src, nt, off, off < budget)
+            off += nt
+            row
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
 }

@@ -282,6 +282,19 @@ object ScaleProbe {
         t.embeddings.filter(col("vec_id") < 100), 0.2).count()
     })
 
+    probe("rank_fusion", c =>
+      graft.operators.Sampling
+        .rankFusionGate(replicate(t.documents, "doc_id", c),
+          col("lang") === "en", 0.25).count())
+
+    // fixed anchor set, growing corpus: positives grow with bucket
+    // density, the rank-table sort with corpus size — the axes that
+    // matter when the mined corpus is 100 TB and the anchors are not
+    probe("contrastive_mine", c =>
+      Similarity.contrastiveTriplets(
+        replicate(t.embeddings, "vec_id", c),
+        anchorMax = 100L, posThreshold = 0.35, negsPerPair = 2).count())
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each
@@ -453,6 +466,42 @@ object ScaleProbe {
     })
 
     rmTree(s20Base)
+
+    probe("stream_token_quota", c => {
+      // s25's shape: 3 contiguous id-range batches (maxFilesPerTrigger=1
+      // forces one micro-batch per staged file, so the per-source state
+      // genuinely carries); staging is setup, identical in kind per
+      // scale. State stays ONE long per source at every scale — the
+      // probe measures the per-batch scan+sort cost tracking input size.
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_probe_s25_").toFile
+      try {
+        val in = new java.io.File(base, "in"); in.mkdirs()
+        val docs = replicate(
+          t.documents.select(col("doc_id"), col("source"), col("text")),
+          "doc_id", c)
+        val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+        val cut = maxId / 3 + 1
+        (0 to 2).foreach { k =>
+          docs.filter(col("doc_id") >= k * cut &&
+              col("doc_id") < (k + 1) * cut)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(in, s"b$k").getAbsolutePath)
+        }
+        import spark.implicits._
+        val src = spark.readStream
+          .schema("doc_id LONG, source STRING, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(in.getAbsolutePath + "/*")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .as[(String, Long, Int)]
+        runStreamCount(graft.streaming.StatefulOps.tokenQuota(src, 2000L)
+          .toDF("doc_id", "source", "n_tokens", "start_off", "kept"),
+          "append", None)
+      } finally rmTree(base)
+    })
 
     probe("punctuated_windows", c => {
       // replicate on user_id: each copy is a fresh set of keyed streams,

@@ -873,6 +873,61 @@ class NorthStarSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getAs[Long]("n_copies") == 2L)
   }
 
+  test("rank fusion: ranks are permutations, kept set is the Borda top quarter") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val out = operators.Sampling
+      .rankFusionGate(t.documents, col("lang") === "en", 0.25)
+      .collect()
+    val n = out.length
+    Seq(1, 2, 3).foreach { i =>
+      assert(out.map(_.getLong(i)).sorted.toSeq == (1L to n).toSeq,
+        s"rank column $i is not a permutation of 1..$n")
+    }
+    assert(out.map(_.getLong(5)).sorted.toSeq == (1L to n).toSeq,
+      "fused rank is not a permutation")
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1) + r.getLong(2) + r.getLong(3),
+        s"borda of doc ${r.getLong(0)} is not the rank sum")
+    }
+    val k = math.ceil(0.25 * n).toInt
+    assert(out.count(_.getBoolean(6)) == k)
+    // kept == the k smallest Borda sums under (borda, doc_id) order
+    val keptSet = out.filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    val expect = out.sortBy(r => (r.getLong(4), r.getLong(0))).take(k)
+      .map(_.getLong(0)).toSet
+    assert(keptSet == expect)
+    // the ensemble is not any single signal: the fused order disagrees
+    // with each per-signal order somewhere on this corpus
+    Seq(1, 2, 3).foreach { i =>
+      assert(out.exists(r => r.getLong(i) != r.getLong(5)))
+    }
+  }
+
+  test("contrastive triplets: verified positives, deterministic clean negatives") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity
+      .contrastiveTriplets(emb, anchorMax = 100L, posThreshold = 0.35,
+        negsPerPair = 2)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, p, pc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (j, ng, nc) = (r.getInt(3), r.getLong(4), r.getDouble(5))
+      assert(a < 100L)
+      assert(pc >= 0.35, s"positive $a-$p below threshold")
+      assert(nc < 0.35, s"negative $a-$ng is a false negative")
+      assert(ng != a && ng != p, "negative collides with the pair")
+      assert(j == 0 || j == 1)
+    }
+    out.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, rs) =>
+      assert(rs.length <= 2, "more negatives than slots for one pair")
+    }
+    // the md5 draw carries no RNG state: a re-run reproduces the set
+    val again = Similarity.contrastiveTriplets(emb, 100L, 0.35, 2).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(

@@ -52,7 +52,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "n59_dsir_importance", "n61_temperature_mixture",
       // three one-row scalars (A, N, n_tgt) crossJoined onto the D-row
       // per-domain frame — same broadcast-scalar shape
-      "n72_domain_ablation")
+      "n72_domain_ablation",
+      // one-row corpus-count scalars (the keep-k denominator / the
+      // negative-draw modulus) crossJoined onto per-row data
+      "n75_quality_rank_fusion", "n76_contrastive_triplets")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,

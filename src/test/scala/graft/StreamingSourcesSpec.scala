@@ -369,6 +369,39 @@ class StreamingSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("token quota: cross-batch cumulative admission, in-batch id order") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Long, Int)]
+    val out = graft.streaming.StatefulOps.tokenQuota(input.toDS(), 10L)
+      .toDF("doc_id", "source", "n_tokens", "start_off", "kept")
+    val name = "graft_quota_test"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1 arrives out of id order inside source "a"
+      input.addData(("a", 2L, 4), ("a", 1L, 3), ("b", 10L, 9))
+      q.processAllAvailable()
+      // batch 2: offsets continue from the carried per-key state
+      input.addData(("a", 3L, 5), ("b", 11L, 2))
+      q.processAllAvailable()
+      val rows = spark.table(name).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getBoolean(4)))
+      assert(rows.toList == List(
+        (1L, "a", 3, 0L, true), // sorted before id 2 despite arrival order
+        (2L, "a", 4, 3L, true),
+        (3L, "a", 5, 7L, true), // state carried: starts at 3+4
+        (10L, "b", 9, 0L, true),
+        (11L, "b", 2, 9L, true))) // 9 < 10: admission is EXCLUSIVE-offset
+      // a third batch pushes "b" over budget
+      input.addData(("b", 12L, 1))
+      q.processAllAvailable()
+      val last = spark.table(name).orderBy("doc_id").collect().last
+      assert((last.getLong(0), last.getLong(3), last.getBoolean(4)) ==
+        ((12L, 11L, false)))
+    } finally q.stop()
+  }
+
   test("RocksDB state store: stateful agg across batches, same results") {
     // the production default for large state (HDFS-backed in-memory is
     // the dev default); the engine's stateful queries must run under it
