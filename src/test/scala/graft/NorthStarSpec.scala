@@ -928,6 +928,69 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("chat loss-mask manifest: hand-computed 4-turn example") {
+    // doc_id 1 → T = 4 turns; n = 5 tokens split 1/1/1/2; each turn adds
+    // 4 control tokens; trainable = assistant content + end marker.
+    val out = graft.operators.Objectives
+      .chatLossMask(docsDF(1L -> "a b c d e"))
+      .orderBy("turn_idx").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[String]("role")).toSeq ==
+      Seq("user", "assistant", "user", "assistant"))
+    assert(out.map(_.getAs[Long]("n_content")).toSeq == Seq(1L, 1L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("turn_off")).toSeq == Seq(0L, 5L, 10L, 15L))
+    val a1 = out(1); val a3 = out(3)
+    assert(a1.getAs[Long]("train_start") == 8L &&
+      a1.getAs[Long]("train_end") == 10L)
+    assert(a3.getAs[Long]("train_start") == 18L &&
+      a3.getAs[Long]("train_end") == 21L)
+    assert(out(0).isNullAt(out(0).fieldIndex("train_start")) &&
+      out(2).isNullAt(out(2).fieldIndex("train_end")))
+    // rendered length = text tokens + 4 per turn; last turn ends there
+    assert(a3.getAs[Long]("turn_off") + 4L + a3.getAs[Long]("n_content") == 21L)
+  }
+
+  test("fim plan: sections partition the doc, offsets and coin are stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val out = graft.operators.Objectives.fimPlan(docs).collect()
+    assert(out.length == 50)
+    assert(out.exists(_.getAs[Boolean]("fim")) &&
+      out.exists(!_.getAs[Boolean]("fim")), "coin should land both ways")
+    out.foreach { r =>
+      val (n, p, m, s) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_prefix"),
+        r.getAs[Long]("n_middle"), r.getAs[Long]("n_suffix"))
+      assert(p + m + s == n, s"sections must partition doc ${r.getLong(0)}")
+      if (r.getAs[Boolean]("fim")) {
+        assert(r.getAs[Long]("out_len") == n + 3)
+        // middle is laid out last: mid_off + n_middle == out_len
+        assert(r.getAs[Long]("mid_off") + m == r.getAs[Long]("out_len"))
+      } else {
+        assert(r.getAs[Long]("out_len") == n && m == 0 && s == 0 && p == n)
+        assert(r.isNullAt(r.fieldIndex("mid_off")))
+      }
+    }
+    val again = graft.operators.Objectives.fimPlan(docs).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("span corruption lengths: boundary cases exact") {
+    val out = graft.operators.Objectives
+      .spanCorruptionLengths(docsDF(
+        1L -> "a",                       // n=1: pass-through
+        2L -> "a b",                     // n=2: noise clamps to 1
+        3L -> Seq.fill(10)("t").mkString(" "),  // n=10: noise 2, spans 1
+        4L -> Seq.fill(100)("t").mkString(" "))) // n=100: noise 15, spans 5
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("n_tok"), r.getAs[Long]("n_noise"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("enc_len"),
+        r.getAs[Long]("dec_len")))
+    assert(out(0) == ((1L, 0L, 0L, 1L, 0L)))
+    assert(out(1) == ((2L, 1L, 1L, 2L, 3L)))
+    assert(out(2) == ((10L, 2L, 1L, 9L, 4L)))
+    assert(out(3) == ((100L, 15L, 5L, 90L, 21L)))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
