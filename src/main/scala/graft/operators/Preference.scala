@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Preference-data construction and reward-model training — the
+  * RLHF-side of the pipeline: mine (chosen, rejected) document pairs
+  * from a per-source quality ranking, then fit a Bradley–Terry reward
+  * model on the pairs with batch gradient descent INSIDE the engine.
+  * Reference capability analog: the fold-iteration accumulator
+  * (`/root/reference/src/main/scala/SimpleStreamProcessor/Stream.scala:56-68`)
+  * — bounded driver state threaded through per-round passes over an
+  * immutable frame, exactly the [[QualityModel]]/[[Mixture]] pattern.
+  *
+  * Exactness regime (shared with n68/n70): md5-hashed 64-bucket
+  * features, fast-sigmoid squashing (no libm `exp`), every FP
+  * aggregation through DECIMAL(38,12), driver updates written
+  * operation-for-operation like the oracle's SQL — so the full
+  * training trajectory hash-matches the DuckDB replay.
+  */
+object Preference {
+
+  /** Mine position-matched preference pairs within each source: rank
+    * documents by the composite quality score (stopword − punct −
+    * digit ratios, the [[Sampling.qualityQuantileGate]] arithmetic;
+    * ties broken by doc_id), then pair the i-th best with the i-th
+    * worst — pair_id i couples rank i with rank m+1−i, for
+    * i ≤ ⌊m/2⌋, so the best document rejects the worst and margins
+    * shrink toward the middle (an odd source's median document sits
+    * out). This is the standard synthetic-preference construction
+    * when no human labels exist: score margin becomes the
+    * preference-strength signal.
+    *
+    * Scale shape: one window partitioned BY SOURCE (rank + count over
+    * the same partitioning — one shuffle), then a self-equi-join on
+    * (source, rank) — co-partitioned by the window's own exchange. No
+    * global order, no limit, nothing driver-side.
+    */
+  def minePairs(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        (col("stopword_ratio") - col("punct_ratio") - col("digit_ratio"))
+          .as("score"))
+    val scored = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("score"), asc("doc_id"))
+    val r = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val chosen = r.filter(col("rk") <= expr("m DIV 2"))
+      .select(col("source"), col("rk").cast("int").as("pair_id"),
+        col("doc_id").as("chosen_id"), col("score").as("chosen_score"),
+        (col("m") + 1 - col("rk")).as("jrk"))
+    val rejected = r.select(col("source"), col("rk").as("jrk"),
+      col("doc_id").as("rejected_id"), col("score").as("rejected_score"))
+    chosen.join(rejected, Seq("source", "jrk"))
+      .select(col("source"), col("pair_id"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
+  /** Bradley–Terry reward-model training on [[minePairs]]' output: the
+    * model scores a document s(d) = Σ_tokens w_b(t)/n_d (the n68
+    * hashed-feature margin, bias-free — a BT bias cancels in every
+    * pairwise difference), and each pair contributes its score
+    * difference Δ = s(chosen) − s(rejected). One GD round: per-pair
+    * error σ(Δ) − 1 under the fast sigmoid, per-bucket gradient
+    * Σ_pairs sgn · err / n, update w ← w − lr·(g/P). Emitted
+    * trajectory: after every round, each pair's Δ and win-probability
+    * σ(Δ) — (iter, source, pair_id, chosen_id, rejected_id, margin,
+    * p_chosen), hash-exact against the unrolled-CTE oracle.
+    *
+    * Scale shape: the pair-token frame is persisted once (scan +
+    * pair equi-join); each round is two keyed partial aggregations
+    * over it ((source, pair_id)-keyed margins, b-keyed gradients —
+    * map-side combine bounds the bucket shuffle at ≤64 rows/task);
+    * model state is 64 doubles per round (codebook pattern). Nothing
+    * driver-side grows with the corpus.
+    */
+  def btTrajectory(
+      docs: DataFrame,
+      iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import QualityModel.{sig, xsum, Dim}
+    val pairs = minePairs(docs)
+      .select("source", "pair_id", "chosen_id", "rejected_id")
+    val tk = QualityModel.tokenBuckets(docs)
+    val pt = pairs
+      .select(col("source"), col("pair_id"),
+        col("chosen_id").as("doc_id"), lit(1).as("sgn"))
+      .unionByName(pairs
+        .select(col("source"), col("pair_id"),
+          col("rejected_id").as("doc_id"), lit(-1).as("sgn")))
+    val ptk = pt.join(tk, "doc_id")
+      .select("source", "pair_id", "sgn", "b", "n")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairs.count().toDouble
+
+    def pairTerm(w: IndexedSeq[Double]): Column =
+      col("sgn").cast("double") *
+        element_at(typedLit(w), col("b") + 1) / col("n").cast("double")
+
+    def margins(w: IndexedSeq[Double]): DataFrame = ptk
+      .groupBy(col("source"), col("pair_id"))
+      .agg(xsum(pairTerm(w)).as("margin"))
+
+    var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
+    val rounds = (1 to iters).map { i =>
+      val err = margins(w)
+        .select(col("source"), col("pair_id"),
+          (sig(col("margin")) - lit(1.0)).as("err"))
+      val g = ptk.join(err, Seq("source", "pair_id"))
+        .groupBy("b")
+        .agg(xsum(col("sgn").cast("double") * col("err") /
+          col("n").cast("double")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // driver-side update — 64 doubles, written to match the oracle's
+      // expression shape operation for operation
+      w = Vector.tabulate(Dim)(b => w(b) - lr * (g.getOrElse(b, 0.0) / nPairs))
+      margins(w).select(lit(i).as("iter"), col("source"), col("pair_id"),
+        col("margin"), sig(col("margin")).as("p_chosen"))
+    }
+    // the returned per-round margin plans re-read ptk: the persisted
+    // diamond stays alive for the returned plan, caller owns cleanup
+    // (the trainedQualityScores contract)
+    rounds.reduce(_.unionByName(_)).join(pairs, Seq("source", "pair_id"))
+      .select("iter", "source", "pair_id", "chosen_id", "rejected_id",
+        "margin", "p_chosen")
+  }
+}

@@ -64,18 +64,18 @@ object QualityModel {
   }
 
   /** Fast sigmoid — IEEE-exact squashing (no exp). */
-  private def sig(m: Column): Column =
+  private[operators] def sig(m: Column): Column =
     lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
 
   /** Exact order-free double sum (DECIMAL(38,12) route). */
-  private def xsum(c: Column): Column =
+  private[operators] def xsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 12))).cast("double")
 
   /** One row per TOKEN: (doc_id, n = the doc's token count, b = the
     * token's feature bucket). Works on batch and streaming frames
     * alike — pure scan-stage expression work.
     */
-  private def tokenBuckets(docs: DataFrame): DataFrame = docs
+  private[operators] def tokenBuckets(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"),
       size(tokens(normalized(col("text")))).as("n"),
       explode(tokens(normalized(col("text")))).as("t"))
@@ -83,7 +83,7 @@ object QualityModel {
     .select(col("doc_id"), col("n"), expr(bucketExpr("h")).as("b"))
 
   /** Per-token margin contribution under weights `w`: w_b(t) / n_d. */
-  private def termCol(w: IndexedSeq[Double]): Column =
+  private[operators] def termCol(w: IndexedSeq[Double]): Column =
     element_at(typedLit(w), col("b") + 1) / col("n").cast("double")
 
   /** Train `iters` full-batch gradient steps on `docs` (positive class

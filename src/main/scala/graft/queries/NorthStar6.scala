@@ -96,5 +96,121 @@ object NorthStar6 extends QueryGroup {
                       FROM documents)))
             ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt)
+  /** Shared pair-mining CTEs: per-source quality rank (the n56
+    * composite score) pairing the i-th best with the i-th worst.
+    * Ends with `pairs` defined — shared by the n80 oracle and the n81
+    * training replay.
+    */
+  private[queries] val pairCtes: String =
+    s"""q AS (
+              SELECT doc_id, source, ${NorthStar3.scoreSql} AS score
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id) AS rk,
+                COUNT(*) OVER (PARTITION BY source) AS m
+              FROM q),
+            pairs AS (
+              SELECT c.source, CAST(c.rk AS INT) AS pair_id,
+                c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+                c.score AS chosen_score, j.score AS rejected_score
+              FROM r c JOIN r j
+                ON j.source = c.source AND j.rk = c.m + 1 - c.rk
+              WHERE c.rk <= c.m // 2)"""
+
+  /** Position-matched preference pairs (best vs worst per source). */
+  private val prefPairs = Q(
+    "n80_preference_pairs",
+    "synthetic preference pairs: i-th best vs i-th worst per source by quality score, with margins",
+    (s, dir) => graft.operators.Preference
+      .minePairs(Tables(s, dir).documents)
+      .orderBy("source", "pair_id"),
+    Some(s"""WITH $pairCtes
+            SELECT source, pair_id, chosen_id, rejected_id,
+              chosen_score, rejected_score,
+              chosen_score - rejected_score AS margin
+            FROM pairs ORDER BY source, pair_id"""))
+
+  /** The n68 md5 feature-bucket decode as DuckDB SQL (first two hex
+    * digits of `md5(tok)` → 0..63).
+    */
+  private def bucketSql(tok: String): String = {
+    def hd(i: Int) =
+      s"""(CASE WHEN ascii(substr(md5($tok), $i, 1)) >= 97
+               THEN ascii(substr(md5($tok), $i, 1)) - 87
+               ELSE ascii(substr(md5($tok), $i, 1)) - 48 END)"""
+    s"((${hd(1)} % 4) * 16 + ${hd(2)})"
+  }
+
+  /** One unrolled Bradley–Terry GD round: pair errors under the fast
+    * sigmoid (target 1 — chosen beats rejected), per-bucket gradients
+    * through the exact decimal route, weight update, next margins.
+    */
+  private def btIter(i: Int, first: Boolean): String = {
+    val wPrev = if (first) "0.0" else "w"
+    val wFrom =
+      if (first) s"g$i CROSS JOIN np"
+      else s"w${i - 1} JOIN g$i USING (b) CROSS JOIN np"
+    s"""e$i AS (
+          SELECT source, pair_id,
+            (0.5 + (0.5 * m) / (1.0 + abs(m))) - 1.0 AS err
+          FROM m$i),
+        g$i AS (
+          SELECT b, ${Sql.oSum12("sgn * err / CAST(n AS DOUBLE)")} AS g
+          FROM ptk JOIN e$i USING (source, pair_id) GROUP BY b),
+        w$i AS (SELECT b, $wPrev - 1.0 * (g / np) AS w FROM $wFrom),
+        m${i + 1} AS (
+          SELECT source, pair_id,
+            ${Sql.oSum12("sgn * w / CAST(n AS DOUBLE)")} AS m
+          FROM ptk JOIN w$i USING (b) GROUP BY source, pair_id)"""
+  }
+
+  /** Bradley–Terry reward model trained on the n80 pairs: the full
+    * 3-round trajectory (per-pair margins + win probabilities after
+    * every update) replayed as unrolled CTEs — the n68 exactness
+    * regime (md5 buckets, fast sigmoid, DECIMAL(38,12) sums).
+    */
+  private val btReward = Q(
+    "n81_bt_reward_model",
+    "Bradley–Terry reward model on preference pairs (hashed features, fast-sigmoid GD), trajectory hash-exact",
+    (s, dir) => graft.operators.Preference
+      .btTrajectory(Tables(s, dir).documents, iters = 3)
+      .orderBy("iter", "source", "pair_id"),
+    Some(s"""WITH $pairCtes,
+            pt AS (
+              SELECT source, pair_id, chosen_id AS doc_id, 1 AS sgn
+              FROM pairs
+              UNION ALL
+              SELECT source, pair_id, rejected_id AS doc_id, -1 AS sgn
+              FROM pairs),
+            tk AS (
+              SELECT doc_id,
+                len(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS n,
+                unnest(string_split(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g')), ' ')) AS t
+              FROM documents),
+            ptk AS (
+              SELECT source, pair_id, sgn, ${bucketSql("t")} AS b, n
+              FROM pt JOIN tk USING (doc_id)),
+            np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM pairs),
+            m1 AS (SELECT DISTINCT source, pair_id,
+                     CAST(0.0 AS DOUBLE) AS m
+                   FROM ptk),
+            ${btIter(1, first = true)},
+            ${btIter(2, first = false)},
+            ${btIter(3, first = false)}
+            SELECT iter, source, pair_id, chosen_id, rejected_id, margin,
+              0.5 + (0.5 * margin) / (1.0 + abs(margin)) AS p_chosen
+            FROM (
+              SELECT 1 AS iter, m2.source, m2.pair_id, m AS margin FROM m2
+              UNION ALL
+              SELECT 2, m3.source, m3.pair_id, m FROM m3
+              UNION ALL
+              SELECT 3, m4.source, m4.pair_id, m FROM m4)
+            JOIN pairs USING (source, pair_id)
+            ORDER BY iter, source, pair_id"""))
+
+  val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward)
 }

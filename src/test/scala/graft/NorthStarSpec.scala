@@ -991,6 +991,54 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out(3) == ((100L, 15L, 5L, 90L, 21L)))
   }
 
+  test("preference pairs: rank-matched best-vs-worst per source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.operators.Preference.minePairs(docs).collect()
+    assert(pairs.nonEmpty)
+    // margins never negative: chosen rank is always the better one
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("margin") >= 0.0,
+        s"pair ${r.getAs[Int]("pair_id")} has negative margin")
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+    }
+    // a matching: every doc appears in at most one pair per side
+    val chosen = pairs.map(_.getAs[Long]("chosen_id"))
+    val rejected = pairs.map(_.getAs[Long]("rejected_id"))
+    assert(chosen.distinct.length == chosen.length)
+    assert(rejected.distinct.length == rejected.length)
+    assert(chosen.toSet.intersect(rejected.toSet).isEmpty,
+      "a doc cannot be both chosen and rejected")
+    // per-source pair count = floor(m/2)
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    pairs.groupBy(_.getAs[String]("source")).foreach { case (s, ps) =>
+      assert(ps.length == (bySource(s) / 2).toInt,
+        s"source $s should pair floor(m/2) docs")
+    }
+  }
+
+  test("bt reward model: win probability of chosen side rises over rounds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.Preference.btTrajectory(docs, iters = 3)
+      .collect()
+    val byIter = out.groupBy(_.getAs[Int]("iter"))
+    assert(byIter.keySet == Set(1, 2, 3))
+    val nPairs = byIter(1).length
+    assert(byIter.values.forall(_.length == nPairs))
+    // the model trains toward "chosen beats rejected": mean win
+    // probability strictly improves each round on this corpus
+    val meanP = (1 to 3).map(i =>
+      byIter(i).map(_.getAs[Double]("p_chosen")).sum / nPairs)
+    assert(meanP(0) > 0.5, "one round must already beat the coin flip")
+    assert(meanP(1) > meanP(0) && meanP(2) > meanP(1),
+      s"win probability should rise per round, got $meanP")
+    // fast sigmoid stays in (0,1)
+    out.foreach(r => {
+      val p = r.getAs[Double]("p_chosen")
+      assert(p > 0.0 && p < 1.0)
+    })
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
