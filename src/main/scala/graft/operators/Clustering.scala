@@ -297,6 +297,36 @@ object Clustering {
         not(coalesce(col("is_dup"), lit(false))).as("keep"))
   }
 
+  /** Cluster-capped diversity sampling: keep only the `cap` most
+    * prototypical members (smallest squared centroid distance, ties to
+    * the lower vec_id) of every k-means cluster — the
+    * prototypes-style diversity-aware pruning that complements
+    * [[semDedup]]: semDedup drops near-identical PAIRS but leaves a
+    * dense semantic mode uncapped; a per-cluster cap bounds every
+    * mode's contribution to the kept corpus regardless of its raw
+    * frequency.
+    *
+    * Scale shape: the assignment is scan-stage codebook arithmetic
+    * (zero shuffle, [[kmeansLloyd]]); the cap is one window
+    * partitioned BY CLUSTER. Parallelism = k — which is how this is
+    * deployed at 100 TB: the prototype literature runs k in the tens
+    * of thousands (cluster population ≈ corpus/k stays bounded), so
+    * the per-cluster rank never degenerates into a global sort. The
+    * spec-scale k here is small only because the test corpus is.
+    *
+    * Output: (vec_id, cluster, dist2, ck_rank, kept).
+    */
+  def clusterCapSample(
+      embeddings: DataFrame, k: Int, iters: Int, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(asc("dist2"), asc("vec_id"))
+    kmeansLloyd(embeddings, k, iters)
+      .withColumn("ck_rank", row_number().over(w).cast("int"))
+      .withColumn("kept", col("ck_rank") <= cap)
+  }
+
   /** End-to-end near-dup clustering over a corpus: exact n-gram Jaccard
     * pairs ([[Dedup.jaccardPairs]] — swap in [[Dedup.minHashPairs]] for
     * the approximate scale path, same shape) → connected components →

@@ -101,6 +101,30 @@ object Objectives {
       when(col("fim"), lit(3L) + col("lo") + col("n") - col("hi"))
         .as("mid_off"))
 
+  /** Per-example SFT admission gate over the [[chatLossMask]]
+    * rendering, in closed form WITHOUT the per-turn explode: total
+    * rendered length (text + 4 control tokens per turn), total
+    * trainable tokens (assistant content + end markers, a bounded
+    * higher-order fold over the ≤6 turn indices), and a keep verdict
+    * `3·trainable ≥ total` — at least a third of the rendered example
+    * must carry loss, the standard guard against conversations whose
+    * token mass is all prompt. Pure scan-stage expression work with no
+    * aggregation, so it runs unchanged on a STREAMING frame in append
+    * mode (the s19/s21/s23/s24 stateless-gate family).
+    */
+  def sftGate(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"),
+      (lit(2L) + (col("doc_id") % 3) * 2L).as("t"))
+    .select(
+      col("doc_id"),
+      col("t").cast("int").as("n_turns"),
+      (col("n") + col("t") * 4L).as("n_total"),
+      expr("""aggregate(filter(sequence(0L, t - 1), i -> i % 2 = 1), 0L,
+        (acc, i) -> acc + (i + 1) * n DIV t - i * n DIV t + 1)""")
+        .as("n_trainable"))
+    .withColumn("keep", lit(3L) * col("n_trainable") >= col("n_total"))
+
   /** T5-style span-corruption length accounting: for a corruption rate
     * of `noisePct`% and mean noise-span length `meanSpan`, the number
     * of corrupted tokens is `clamp(round(n·rate), 1, n−1)` and the

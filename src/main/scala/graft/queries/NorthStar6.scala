@@ -212,5 +212,49 @@ object NorthStar6 extends QueryGroup {
             JOIN pairs USING (source, pair_id)
             ORDER BY iter, source, pair_id"""))
 
-  val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward)
+  /** Cluster-capped diversity sampling: keep the 16 most prototypical
+    * members of each k-means cluster (smallest squared centroid
+    * distance) — caps every semantic mode's contribution, the
+    * complement of n31's pairwise semantic dedup.
+    */
+  private val clusterCap = Q(
+    "n82_cluster_cap_sample",
+    "diversity-aware selection: keep the 16 most prototypical vectors per k-means cluster",
+    (s, dir) => graft.operators.Clustering
+      .clusterCapSample(Tables(s, dir).embeddings, k = 4, iters = 2,
+        cap = 16)
+      .orderBy("vec_id"),
+    Some(s"""${NorthStar.kmeansCtes(4, 2)}
+            SELECT vec_id, CAST(cid AS INT) AS cluster, dist AS dist2,
+              CAST(row_number() OVER (PARTITION BY cid
+                ORDER BY dist, vec_id) AS INT) AS ck_rank,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY dist, vec_id) <= 16 AS kept
+            FROM a2 ORDER BY vec_id"""))
+
+  /** The [[graft.operators.Objectives.sftGate]] batch replay — shared
+    * by the n-side spec checks and the s26 streaming gate (the
+    * embedDecontamOracleSql pattern: the streaming run must converge
+    * to this exact frame).
+    */
+  private[queries] val sftGateOracleSql: String =
+    """WITH b AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                2 + (doc_id % 3) * 2 AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, t, n,
+                list_reduce(list_transform(
+                  list_filter(range(t), i -> i % 2 = 1),
+                  i -> (i + 1) * n // t - i * n // t + 1),
+                  (a, b) -> a + b) AS tr
+              FROM b)
+            SELECT doc_id, CAST(t AS INT) AS n_turns,
+              n + 4 * t AS n_total, tr AS n_trainable,
+              3 * tr >= n + 4 * t AS keep
+            FROM g ORDER BY doc_id"""
+
+  val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
+    clusterCap)
 }

@@ -1328,6 +1328,30 @@ object StreamingQueries extends QueryGroup {
                     FROM documents))
             ORDER BY doc_id"""))
 
+  /** Streaming SFT admission — the chat-template loss-mask accounting
+    * ([[graft.operators.Objectives.sftGate]]) applied to a document
+    * stream: every incoming conversation is admitted only if at least
+    * a third of its rendered tokens carry loss. Like s23/s24 a fully
+    * STATELESS gate — the per-example trainable mass is a closed-form
+    * scan expression (a bounded fold over ≤6 turn indices), no
+    * explode, no aggregation, no state store, append mode at scan
+    * speed. The oracle is the batch replay verbatim — the streaming
+    * run must converge to the identical admission frame.
+    */
+  private val streamSftGate = Q(
+    "s26_stream_sft_gate",
+    "streaming SFT admission: trainable-token share of the chat rendering (stateless)",
+    (s, dir) => {
+      val physicalSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream
+        .schema(physicalSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      runToTable(graft.operators.Objectives.sftGate(docs), "append")
+        .orderBy("doc_id")
+    },
+    Some(NorthStar6.sftGateOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1335,5 +1359,5 @@ object StreamingQueries extends QueryGroup {
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
-    streamEmbedDecontam, streamSourceQuota)
+    streamEmbedDecontam, streamSourceQuota, streamSftGate)
 }

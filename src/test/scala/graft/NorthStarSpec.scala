@@ -1039,6 +1039,51 @@ class NorthStarSpec extends AnyFunSuite {
     })
   }
 
+  test("cluster cap keeps exactly the cap most-prototypical per cluster") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.operators.Clustering
+      .clusterCapSample(emb, k = 4, iters = 2, cap = 16).collect()
+    val byCluster = out.groupBy(_.getAs[Int]("cluster"))
+    byCluster.foreach { case (c, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == math.min(16, rows.length),
+        s"cluster $c should keep min(cap, size)")
+      // kept = the cap smallest (dist2, vec_id)
+      val expect = rows.sortBy(r =>
+        (r.getAs[Double]("dist2"), r.getAs[Long]("vec_id"))).take(16)
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(kept.map(_.getAs[Long]("vec_id")).toSet == expect)
+      // ranks are a permutation of 1..size within the cluster
+      assert(rows.map(_.getAs[Int]("ck_rank")).sorted.toSeq ==
+        (1 to rows.length))
+    }
+  }
+
+  test("sft gate totals equal the summed chat loss-mask spans") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val gate = graft.operators.Objectives.sftGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_turns"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_trainable")))).toMap
+    val turns = graft.operators.Objectives.chatLossMask(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(gate.keySet == turns.keySet)
+    turns.foreach { case (id, ts) =>
+      val (nTurns, total, trainable) = gate(id)
+      assert(ts.length == nTurns)
+      // rendered length = last turn's end (its offset + 4 + content)
+      val last = ts.maxBy(_.getAs[Int]("turn_idx"))
+      assert(last.getAs[Long]("turn_off") + 4L +
+        last.getAs[Long]("n_content") == total)
+      // closed-form trainable mass == summed per-turn span lengths
+      val spanSum = ts.filter(_.getAs[String]("role") == "assistant")
+        .map(r => r.getAs[Long]("train_end") - r.getAs[Long]("train_start"))
+        .sum
+      assert(spanSum == trainable, s"doc $id: $spanSum != $trainable")
+    }
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
