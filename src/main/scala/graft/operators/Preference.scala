@@ -83,6 +83,87 @@ object Preference {
       docs: DataFrame,
       iters: Int = 3,
       lr: Double = 1.0): DataFrame = {
+    import QualityModel.sig
+    val (pairs, ptk, ws) = trainCore(docs, iters, lr)
+    val rounds = ws.zipWithIndex.map { case (w, i) =>
+      margins(ptk, w).select(lit(i + 1).as("iter"), col("source"),
+        col("pair_id"), col("margin"), sig(col("margin")).as("p_chosen"))
+    }
+    // the returned per-round margin plans re-read ptk: the persisted
+    // diamond stays alive for the returned plan, caller owns cleanup
+    // (the trainedQualityScores contract)
+    rounds.reduce(_.unionByName(_)).join(pairs, Seq("source", "pair_id"))
+      .select("iter", "source", "pair_id", "chosen_id", "rejected_id",
+        "margin", "p_chosen")
+  }
+
+  /** Train and return only the final reward weights — the offline
+    * artifact a streaming gate broadcasts ([[QualityModel.trainGate]]'s
+    * split-train-from-apply production shape). The training diamond is
+    * released before returning: the weights are driver-materialized,
+    * no returned plan can re-read it.
+    */
+  def btTrain(
+      docs: DataFrame,
+      iters: Int = 3,
+      lr: Double = 1.0): IndexedSeq[Double] = {
+    val (_, ptk, ws) = trainCore(docs, iters, lr)
+    ptk.unpersist(blocking = false)
+    ws.last
+  }
+
+  /** Score any (doc_id, text) frame — batch OR streaming — with
+    * trained reward weights: s(d) = Σ_tokens w_b(t)/n_d, ONE
+    * aggregation (streaming-legal), the training margin's arithmetic
+    * token for token. Output: (doc_id, score).
+    */
+  def scoreWith(docs: DataFrame, w: IndexedSeq[Double]): DataFrame = {
+    import QualityModel.{xsum, Dim}
+    require(w.size == Dim, s"weight vector must have $Dim entries")
+    QualityModel.tokenBuckets(docs)
+      .groupBy(col("doc_id"))
+      .agg(xsum(QualityModel.termCol(w)).as("score"))
+  }
+
+  /** Best-of-n distillation selection: documents group into synthetic
+    * prompt groups (`doc_id DIV groupSize` — n candidate generations
+    * per prompt), every candidate is scored by the trained reward
+    * model, and each group keeps its argmax (ties to the lower
+    * doc_id) — the standard rejection-sampling/distillation move:
+    * train a reward model on preferences, then harvest only each
+    * prompt's best generation. Output one row per candidate:
+    * (group_id, doc_id, score, is_best).
+    *
+    * Scale shape: scoring is one doc-keyed aggregation; the argmax is
+    * one window partitioned by group (groups are corpus/groupSize —
+    * parallelism grows with the corpus, no global order).
+    */
+  def bestOfN(
+      docs: DataFrame,
+      groupSize: Int = 4,
+      iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    val w = btTrain(docs, iters, lr)
+    val scored = scoreWith(docs, w)
+      .withColumn("group_id", expr(s"doc_id DIV $groupSize"))
+    val win = Window.partitionBy(col("group_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+    scored
+      .withColumn("is_best", row_number().over(win) === 1)
+      .select("group_id", "doc_id", "score", "is_best")
+  }
+
+  /** The shared training loop: mined pairs, the persisted pair-token
+    * frame, and the weight vector after EVERY round (codebook-bounded
+    * driver state). `ptk` is returned still persisted — callers that
+    * return plans over it own the lifetime; callers that don't must
+    * unpersist.
+    */
+  private def trainCore(
+      docs: DataFrame,
+      iters: Int,
+      lr: Double): (DataFrame, DataFrame, IndexedSeq[IndexedSeq[Double]]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     import QualityModel.{sig, xsum, Dim}
     val pairs = minePairs(docs)
@@ -98,18 +179,9 @@ object Preference {
       .select("source", "pair_id", "sgn", "b", "n")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count().toDouble
-
-    def pairTerm(w: IndexedSeq[Double]): Column =
-      col("sgn").cast("double") *
-        element_at(typedLit(w), col("b") + 1) / col("n").cast("double")
-
-    def margins(w: IndexedSeq[Double]): DataFrame = ptk
-      .groupBy(col("source"), col("pair_id"))
-      .agg(xsum(pairTerm(w)).as("margin"))
-
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
-    val rounds = (1 to iters).map { i =>
-      val err = margins(w)
+    val ws = (1 to iters).map { _ =>
+      val err = margins(ptk, w)
         .select(col("source"), col("pair_id"),
           (sig(col("margin")) - lit(1.0)).as("err"))
       val g = ptk.join(err, Seq("source", "pair_id"))
@@ -120,14 +192,17 @@ object Preference {
       // driver-side update — 64 doubles, written to match the oracle's
       // expression shape operation for operation
       w = Vector.tabulate(Dim)(b => w(b) - lr * (g.getOrElse(b, 0.0) / nPairs))
-      margins(w).select(lit(i).as("iter"), col("source"), col("pair_id"),
-        col("margin"), sig(col("margin")).as("p_chosen"))
+      w
     }
-    // the returned per-round margin plans re-read ptk: the persisted
-    // diamond stays alive for the returned plan, caller owns cleanup
-    // (the trainedQualityScores contract)
-    rounds.reduce(_.unionByName(_)).join(pairs, Seq("source", "pair_id"))
-      .select("iter", "source", "pair_id", "chosen_id", "rejected_id",
-        "margin", "p_chosen")
+    (pairs, ptk, ws)
+  }
+
+  /** Per-pair margins Σ sgn·w_b/n over the pair-token frame. */
+  private def margins(ptk: DataFrame, w: IndexedSeq[Double]): DataFrame = {
+    import QualityModel.xsum
+    ptk.groupBy(col("source"), col("pair_id"))
+      .agg(xsum(col("sgn").cast("double") *
+        element_at(typedLit(w), col("b") + 1) /
+        col("n").cast("double")).as("margin"))
   }
 }

@@ -171,13 +171,15 @@ object NorthStar6 extends QueryGroup {
     * every update) replayed as unrolled CTEs — the n68 exactness
     * regime (md5 buckets, fast sigmoid, DECIMAL(38,12) sums).
     */
-  private val btReward = Q(
-    "n81_bt_reward_model",
-    "Bradley–Terry reward model on preference pairs (hashed features, fast-sigmoid GD), trajectory hash-exact",
-    (s, dir) => graft.operators.Preference
-      .btTrajectory(Tables(s, dir).documents, iters = 3)
-      .orderBy("iter", "source", "pair_id"),
-    Some(s"""WITH $pairCtes,
+  /** The full Bradley–Terry training replay: pair mining, the
+    * pair-token feature frame (`tb` carries every document's token
+    * buckets — scoring reuses it), and 3 unrolled GD rounds — ends
+    * with margins `m2..m4` and weights `w3` defined. Shared by the
+    * n81 trajectory oracle, the n83 best-of-n oracle, and the s27
+    * streaming-gate oracle.
+    */
+  private[queries] val btCtes: String =
+    s"""WITH $pairCtes,
             pt AS (
               SELECT source, pair_id, chosen_id AS doc_id, 1 AS sgn
               FROM pairs
@@ -191,16 +193,37 @@ object NorthStar6 extends QueryGroup {
                 unnest(string_split(trim(regexp_replace(lower(text),
                   '\\s+', ' ', 'g')), ' ')) AS t
               FROM documents),
+            tb AS (SELECT doc_id, n, ${bucketSql("t")} AS b FROM tk),
             ptk AS (
-              SELECT source, pair_id, sgn, ${bucketSql("t")} AS b, n
-              FROM pt JOIN tk USING (doc_id)),
+              SELECT source, pair_id, sgn, b, n
+              FROM pt JOIN tb USING (doc_id)),
             np AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np FROM pairs),
             m1 AS (SELECT DISTINCT source, pair_id,
                      CAST(0.0 AS DOUBLE) AS m
                    FROM ptk),
             ${btIter(1, first = true)},
             ${btIter(2, first = false)},
-            ${btIter(3, first = false)}
+            ${btIter(3, first = false)}"""
+
+  /** Per-doc reward scores under the final weights `w3` — the
+    * [[graft.operators.Preference.scoreWith]] replay (left join keeps
+    * docs whose buckets carry no weight: their terms are exact
+    * zeros in both engines).
+    */
+  private[queries] val btScoreCte: String =
+    s"""sc AS (
+              SELECT doc_id,
+                ${Sql.oSum12("COALESCE(w, 0.0) / CAST(n AS DOUBLE)")}
+                  AS score
+              FROM tb LEFT JOIN w3 USING (b) GROUP BY doc_id)"""
+
+  private val btReward = Q(
+    "n81_bt_reward_model",
+    "Bradley–Terry reward model on preference pairs (hashed features, fast-sigmoid GD), trajectory hash-exact",
+    (s, dir) => graft.operators.Preference
+      .btTrajectory(Tables(s, dir).documents, iters = 3)
+      .orderBy("iter", "source", "pair_id"),
+    Some(s"""$btCtes
             SELECT iter, source, pair_id, chosen_id, rejected_id, margin,
               0.5 + (0.5 * margin) / (1.0 + abs(margin)) AS p_chosen
             FROM (
@@ -255,6 +278,23 @@ object NorthStar6 extends QueryGroup {
               3 * tr >= n + 4 * t AS keep
             FROM g ORDER BY doc_id"""
 
+  /** Best-of-n distillation selection under the trained reward model:
+    * synthetic prompt groups of 4 candidates, each group keeps its
+    * reward argmax. The oracle replays training AND scoring.
+    */
+  private val bestOfN = Q(
+    "n83_best_of_n",
+    "best-of-n selection: trained-reward argmax per synthetic 4-candidate prompt group",
+    (s, dir) => graft.operators.Preference
+      .bestOfN(Tables(s, dir).documents, groupSize = 4, iters = 3)
+      .orderBy("group_id", "doc_id"),
+    Some(s"""$btCtes,
+            $btScoreCte
+            SELECT doc_id // 4 AS group_id, doc_id, score,
+              row_number() OVER (PARTITION BY doc_id // 4
+                ORDER BY score DESC, doc_id) = 1 AS is_best
+            FROM sc ORDER BY group_id, doc_id"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
-    clusterCap)
+    clusterCap, bestOfN)
 }

@@ -1352,6 +1352,35 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar6.sftGateOracleSql))
 
+  /** Streaming reward-model admission — the RLHF-side member of the
+    * batch-train→stream-apply family (s19 DSIR threshold, s21 trained
+    * classifier, s23 rate table, s24 probe table): the Bradley–Terry
+    * reward weights are trained OFFLINE on the static preference pairs
+    * ([[graft.operators.Preference.btTrain]]), broadcast as 64
+    * literals, and every streamed document is scored by ONE
+    * aggregation (token-level weight terms — streaming-legal) and
+    * admitted when its reward is positive. Update mode, one state row
+    * per doc; the oracle replays train + score end to end.
+    */
+  private val streamRewardGate = Q(
+    "s27_stream_reward_gate",
+    "batch-trained Bradley-Terry reward model gating a streaming corpus",
+    (s, dir) => {
+      val P = graft.operators.Preference
+      val w = P.btTrain(Tables(s, dir).documents, iters = 3)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val gated = P.scoreWith(docs, w)
+        .filter(col("score") > 0.0)
+      runToTable(gated, "update").orderBy("doc_id")
+    },
+    Some(s"""${NorthStar6.btCtes},
+            ${NorthStar6.btScoreCte}
+            SELECT doc_id, score FROM sc
+            WHERE score > 0.0 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1359,5 +1388,5 @@ object StreamingQueries extends QueryGroup {
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
-    streamEmbedDecontam, streamSourceQuota, streamSftGate)
+    streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate)
 }

@@ -1084,6 +1084,39 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("bt reward scoring is consistent with the trajectory margins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val P = graft.operators.Preference
+    val w = P.btTrain(docs, iters = 3)
+    val score = P.scoreWith(docs, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val lastRound = P.btTrajectory(docs, iters = 3)
+      .filter(col("iter") === 3).collect()
+    assert(lastRound.nonEmpty)
+    // the pair margin is the score difference (up to the two decimal
+    // sums being cast to double separately)
+    lastRound.foreach { r =>
+      val diff = score(r.getAs[Long]("chosen_id")) -
+        score(r.getAs[Long]("rejected_id"))
+      assert(math.abs(diff - r.getAs[Double]("margin")) < 1e-9,
+        s"margin vs score diff mismatch for pair ${r.getAs[Int]("pair_id")}")
+    }
+  }
+
+  test("best-of-n keeps exactly one argmax per prompt group") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.Preference.bestOfN(docs, groupSize = 4).collect()
+    val byGroup = out.groupBy(_.getAs[Long]("group_id"))
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.length <= 4)
+      val best = rows.filter(_.getAs[Boolean]("is_best"))
+      assert(best.length == 1, s"group $g must keep exactly one")
+      val expect = rows.minBy(r =>
+        (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      assert(best.head.getAs[Long]("doc_id") == expect.getAs[Long]("doc_id"))
+    }
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
