@@ -228,25 +228,42 @@ object Mixture {
     *
     * Output: (source, n_d, loss_full, loss_without, delta).
     */
-  def domainAblation(docs: DataFrame, isTarget: Column): DataFrame = {
-    val tok = docs.select(col("source"), isTarget.as("is_tgt"),
+  def domainAblation(docs: DataFrame, isTarget: Column): DataFrame =
+    ablationBy(docs, "source", isTarget)
+
+  /** Per-DOCUMENT leave-one-out valuation — [[domainAblation]] at
+    * document granularity: how much does removing this single document
+    * from the pool move the surrogate loss on the target slice? Same
+    * closed form, same all-BIGINT exactness; the per-key tables are
+    * corpus-sized instead of D-sized, but every join stays a
+    * vocab/doc-keyed equi-join with map-side partials (the target
+    * slice is fixed while each pool doc is hypothetically removed —
+    * the n72 convention). The output delta is the per-doc influence
+    * estimate a data-pruning pass ranks on.
+    */
+  def docAblation(docs: DataFrame, isTarget: Column): DataFrame =
+    ablationBy(docs, "doc_id", isTarget)
+
+  private def ablationBy(
+      docs: DataFrame, key: String, isTarget: Column): DataFrame = {
+    val tok = docs.select(col(key), isTarget.as("is_tgt"),
       explode(split(col("text"), " ")).as("t"))
-    // genuinely ONE corpus pass: the per-(source, token) aggregation
+    // genuinely ONE corpus pass: the per-(key, token) aggregation
     // carries the target-occurrence count alongside the total, so the
     // target vocabulary and totals all derive from the persisted
     // vocab-sized frame instead of re-tokenizing the corpus
-    val ct = tok.groupBy("source", "t")
+    val ct = tok.groupBy(key, "t")
       .agg(count(lit(1)).as("c"),
         sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val gt = ct.groupBy("t").agg(sum(col("c")).as("ct_all"))
     val tt = ct.groupBy("t").agg(sum(col("c_tgt")).as("tt"))
       .filter(col("tt") > 0)
-    val nd = ct.groupBy("source").agg(sum(col("c")).as("n_d"))
+    val nd = ct.groupBy(key).agg(sum(col("c")).as("n_d"))
     val na = gt.agg(sum(col("ct_all")).as("n_all"))
     val nt = ct.agg(sum(col("c_tgt")).as("n_tgt"))
     val aa = gt.join(tt, "t").agg(sum(col("tt") * col("ct_all")).as("a"))
-    val bb = ct.join(tt, "t").groupBy("source")
+    val bb = ct.join(tt, "t").groupBy(key)
       .agg(sum(col("tt") * col("c")).as("b"))
     val lossFull = lit(1.0) -
       (col("a").cast("double") / col("n_all").cast("double")) /
@@ -255,10 +272,10 @@ object Mixture {
       ((col("a") - coalesce(col("b"), lit(0L))).cast("double") /
         (col("n_all") - col("n_d")).cast("double")) /
         col("n_tgt").cast("double")
-    nd.join(bb, Seq("source"), "left")
+    nd.join(bb, Seq(key), "left")
       .crossJoin(broadcast(aa)).crossJoin(broadcast(na))
       .crossJoin(broadcast(nt))
-      .select(col("source"), col("n_d"), lossFull.as("loss_full"),
+      .select(col(key), col("n_d"), lossFull.as("loss_full"),
         lossWo.as("loss_without"), (lossWo - lossFull).as("delta"))
   }
 

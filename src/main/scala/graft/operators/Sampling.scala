@@ -414,4 +414,35 @@ object Sampling {
         "kept")
   }
 
+  /** Curriculum schedule under a root-pacing function: order the
+    * corpus easiest-first (the length curriculum — difficulty = token
+    * count, ties to doc_id) and assign every document the first
+    * training phase whose unlocked prefix contains it. Phase p of P
+    * unlocks the easiest ⌊N·√(p/P)⌋ documents (the standard
+    * competence-based pacing curve: fast early growth, then
+    * saturation), so `first_phase` is the min p with
+    * rank ≤ ⌊N·√(p/P)⌋ — a bounded fold over the P phase indices.
+    * √ on a correctly-rounded IEEE implementation is bit-exact in any
+    * engine, so the phase boundaries replay without an FP policy.
+    *
+    * Scale shape: the rank is [[GlobalOrder]]'s distributed
+    * range-partitioned sort (no partition-less window); the phase
+    * assignment is scan-stage expression work against one broadcast
+    * corpus-count scalar. Output: (doc_id, n_tok, rank, first_phase).
+    */
+  def curriculumSchedule(docs: DataFrame, phases: Int = 10): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    val t = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val n = t.agg(count(lit(1)).as("nn"))
+    GlobalOrder.withGlobalIndexCols(t, Seq(asc("n_tok"), asc("doc_id")))
+      .withColumnRenamed("_global_rank", "rank")
+      .crossJoin(broadcast(n))
+      .withColumn("first_phase",
+        expr(s"""element_at(filter(sequence(1, $phases),
+          p -> rank <= floor(nn * sqrt(p / ${phases}.0D))), 1)""")
+          .cast("int"))
+      .select("doc_id", "n_tok", "rank", "first_phase")
+  }
+
 }

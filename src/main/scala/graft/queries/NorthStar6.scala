@@ -295,6 +295,70 @@ object NorthStar6 extends QueryGroup {
                 ORDER BY score DESC, doc_id) = 1 AS is_best
             FROM sc ORDER BY group_id, doc_id"""))
 
+  /** Per-document leave-one-out valuation (n72 at doc granularity). */
+  private val docValue = Q(
+    "n84_doc_influence",
+    "per-document leave-one-out data valuation vs the lang='en' target slice, exact integer form",
+    (s, dir) => graft.operators.Mixture
+      .docAblation(Tables(s, dir).documents, col("lang") === "en")
+      .orderBy("doc_id"),
+    Some("""WITH tok AS (
+              SELECT doc_id, lang = 'en' AS is_tgt,
+                unnest(string_split(text, ' ')) AS t
+              FROM documents),
+            ct AS (
+              SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+            gt AS (
+              SELECT t, CAST(SUM(c) AS BIGINT) AS ct_all
+              FROM ct GROUP BY t),
+            tt AS (
+              SELECT t, COUNT(*) AS tt FROM tok WHERE is_tgt GROUP BY t),
+            nd AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_d
+              FROM ct GROUP BY doc_id),
+            na AS (SELECT CAST(SUM(ct_all) AS BIGINT) AS n_all FROM gt),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tgt
+                   FROM tok WHERE is_tgt),
+            aa AS (SELECT CAST(SUM(tt * ct_all) AS BIGINT) AS a
+                   FROM gt JOIN tt USING (t)),
+            bb AS (SELECT doc_id, CAST(SUM(tt * c) AS BIGINT) AS b
+                   FROM ct JOIN tt USING (t) GROUP BY doc_id)
+            SELECT doc_id, n_d, loss_full, loss_without,
+              loss_without - loss_full AS delta
+            FROM (
+              SELECT doc_id, n_d,
+                1.0 - (CAST(a AS DOUBLE) / CAST(n_all AS DOUBLE))
+                  / CAST(n_tgt AS DOUBLE) AS loss_full,
+                1.0 - (CAST(a - COALESCE(b, 0) AS DOUBLE)
+                    / CAST(n_all - n_d AS DOUBLE))
+                  / CAST(n_tgt AS DOUBLE) AS loss_without
+              FROM nd LEFT JOIN bb USING (doc_id)
+              CROSS JOIN aa CROSS JOIN na CROSS JOIN nt)
+            ORDER BY doc_id"""))
+
+  /** Root-pacing curriculum schedule over the length ordering. */
+  private val curriculum = Q(
+    "n85_curriculum_schedule",
+    "curriculum schedule: easiest-first rank + root-pacing first unlocked phase of 10",
+    (s, dir) => graft.operators.Sampling
+      .curriculumSchedule(Tables(s, dir).documents, phases = 10)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM t),
+            r AS (
+              SELECT doc_id, n_tok,
+                CAST(row_number() OVER (ORDER BY n_tok, doc_id)
+                  AS BIGINT) AS rank
+              FROM t)
+            SELECT doc_id, n_tok, rank,
+              CAST(list_filter(range(1, 11),
+                p -> rank <= floor(nn * sqrt(p / 10.0)))[1] AS INT)
+                AS first_phase
+            FROM r, nc ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
-    clusterCap, bestOfN)
+    clusterCap, bestOfN, docValue, curriculum)
 }

@@ -1117,6 +1117,51 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("doc influence: aligned docs help the target, disjoint docs hurt") {
+    // target = doc 1 ("a a b"); doc 2 duplicates it, doc 3 shares no
+    // vocab. Removing an aligned doc must RAISE the target loss
+    // (delta > 0); removing a disjoint doc must LOWER it.
+    val out = graft.operators.Mixture
+      .docAblation(docsDF(1L -> "a a b", 2L -> "a a b", 3L -> "z z z"),
+        col("doc_id") === 1L)
+      .orderBy("doc_id").collect()
+    val delta = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("delta")).toMap
+    assert(delta(2L) > 0.0, "removing the aligned doc should hurt")
+    assert(delta(3L) < 0.0, "removing the disjoint doc should help")
+    assert(delta(1L) == delta(2L), "identical docs get identical deltas")
+    // hand-computed: A=10, N=9, n_tgt=3, B_2=5, n_2=3
+    val lf = 1.0 - (10.0 / 9.0) / 3.0
+    val lw = 1.0 - (5.0 / 6.0) / 3.0
+    assert(math.abs(delta(2L) - (lw - lf)) < 1e-12)
+  }
+
+  test("curriculum schedule: root pacing unlocks exact prefixes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.Sampling.curriculumSchedule(docs, phases = 10)
+      .collect()
+    val n = out.length
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to n).toSeq, "rank is not a permutation")
+    // easiest-first: rank order is (n_tok, doc_id) order
+    out.sortBy(_.getAs[Long]("rank")).sliding(2).foreach { w =>
+      val ka = (w(0).getAs[Long]("n_tok"), w(0).getAs[Long]("doc_id"))
+      val kb = (w(1).getAs[Long]("n_tok"), w(1).getAs[Long]("doc_id"))
+      assert(Ordering[(Long, Long)].lt(ka, kb),
+        "rank order must follow (n_tok, doc_id)")
+    }
+    // each phase p unlocks exactly the floor(N*sqrt(p/10)) easiest
+    // docs; at p = 10 that is the whole corpus
+    (1 to 10).foreach { p =>
+      val unlocked = out.count(_.getAs[Int]("first_phase") <= p)
+      assert(unlocked == math.floor(n * math.sqrt(p / 10.0)).toLong,
+        s"phase $p prefix size")
+    }
+    assert(out.forall(r => {
+      val fp = r.getAs[Int]("first_phase"); fp >= 1 && fp <= 10
+    }))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(

@@ -51,8 +51,11 @@ class PlanQualitySpec extends AnyFunSuite {
       // onto per-row data — the intended broadcast-scalar shape
       "n59_dsir_importance", "n61_temperature_mixture",
       // three one-row scalars (A, N, n_tgt) crossJoined onto the D-row
-      // per-domain frame — same broadcast-scalar shape
-      "n72_domain_ablation",
+      // per-domain frame — same broadcast-scalar shape (n84 is the
+      // same closed form at doc granularity)
+      "n72_domain_ablation", "n84_doc_influence",
+      // one-row corpus-count scalar driving the pacing boundaries
+      "n85_curriculum_schedule",
       // one-row corpus-count scalars (the keep-k denominator / the
       // negative-draw modulus) crossJoined onto per-row data
       "n75_quality_rank_fusion", "n76_contrastive_triplets")
