@@ -382,4 +382,31 @@ object TextAnalysis {
         col("word_count_ok") && col("mean_len_ok") &&
           col("alpha_ok") && col("stop_ok"))
   }
+
+  /** Vocabulary-coverage curve: what fraction of all token occurrences
+    * do the top-k most frequent terms cover, for each checkpoint k —
+    * the analysis that sizes a tokenizer vocabulary (coverage
+    * saturates long before the long tail ends). Rank is the
+    * [[GlobalOrder]] distributed sort by (freq desc, term asc); the
+    * checkpoints fold into ONE single-row aggregation (conditional
+    * sums), so the plan is explode + vocab hash-agg + range sort +
+    * one reduce — no window, no limit. Fractions are single exact-int
+    * divisions.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val tf = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("freq"))
+    val ranked = GlobalOrder
+      .withGlobalIndexCols(tf, Seq(desc("freq"), asc("t")))
+      .withColumnRenamed("_global_rank", "rank")
+    val covCols = ks.map(k =>
+      sum(when(col("rank") <= k, col("freq")).otherwise(lit(0L)))
+        .as(s"cov_$k"))
+    val base = ranked.agg(covCols.head,
+      (covCols.tail :+ sum(col("freq")).as("total_tokens") :+
+        count(lit(1)).as("vocab_size")): _*)
+    ks.foldLeft(base)((d, k) => d.withColumn(s"frac_$k",
+      col(s"cov_$k").cast("double") / col("total_tokens").cast("double")))
+  }
 }

@@ -359,6 +359,116 @@ object NorthStar6 extends QueryGroup {
                 AS first_phase
             FROM r, nc ORDER BY doc_id"""))
 
+  /** Query-by-document BM25 retrieval (rational ln-free idf core). */
+  private val bm25 = Q(
+    "n86_bm25_retrieval",
+    "BM25 more-like-this: top-5 corpus docs per query doc via the inverted index",
+    (s, dir) => graft.operators.Retrieval
+      .bm25MoreLikeThis(Tables(s, dir).documents, nQueries = 5L, k = 5)
+      .orderBy("q_id", "rank"),
+    Some(s"""WITH tf AS (
+              SELECT doc_id, t, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY doc_id, t),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                   FROM tf GROUP BY doc_id),
+            dfr AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+                   FROM dl),
+            qt AS (SELECT DISTINCT doc_id AS q_id, t FROM tf
+                   WHERE doc_id < 5),
+            sc AS (
+              SELECT q_id, tf.doc_id,
+                ${Sql.oSum12("""((CAST(n_docs AS DOUBLE)
+                    - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+                  * (CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25
+                      + 0.75 * CAST(dl AS DOUBLE) / avgdl))""")} AS score
+              FROM tf JOIN qt USING (t) JOIN dfr USING (t)
+              JOIN dl ON dl.doc_id = tf.doc_id
+              CROSS JOIN st
+              WHERE tf.doc_id <> q_id
+              GROUP BY q_id, tf.doc_id)
+            SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM (SELECT q_id, doc_id, score,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, doc_id) AS rank
+                  FROM sc)
+            WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** Vocabulary-coverage curve at top-k checkpoints. */
+  private val vocabCov = Q(
+    "n87_vocab_coverage",
+    "token-occurrence coverage of the top-16/64/256 frequency vocabulary",
+    (s, dir) => graft.operators.TextAnalysis
+      .vocabCoverage(Tables(s, dir).documents, Seq(16, 64, 256)),
+    Some("""WITH tf AS (
+              SELECT t, COUNT(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY t),
+            r AS (SELECT freq,
+                    row_number() OVER (ORDER BY freq DESC, t) AS rank
+                  FROM tf)
+            SELECT
+              CAST(SUM(CASE WHEN rank <= 16 THEN freq ELSE 0 END)
+                AS BIGINT) AS cov_16,
+              CAST(SUM(CASE WHEN rank <= 64 THEN freq ELSE 0 END)
+                AS BIGINT) AS cov_64,
+              CAST(SUM(CASE WHEN rank <= 256 THEN freq ELSE 0 END)
+                AS BIGINT) AS cov_256,
+              CAST(SUM(freq) AS BIGINT) AS total_tokens,
+              COUNT(*) AS vocab_size,
+              CAST(CAST(SUM(CASE WHEN rank <= 16 THEN freq ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS DOUBLE) AS frac_16,
+              CAST(CAST(SUM(CASE WHEN rank <= 64 THEN freq ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS DOUBLE) AS frac_64,
+              CAST(CAST(SUM(CASE WHEN rank <= 256 THEN freq ELSE 0 END)
+                AS DOUBLE) / CAST(SUM(freq) AS DOUBLE) AS DOUBLE) AS frac_256
+            FROM r"""))
+
+  /** Rank-sum (Mann–Whitney) drift between the two event_id-parity
+    * slices of the events feed, per event_type.
+    */
+  private val drift = Q(
+    "n88_drift_detection",
+    "Mann-Whitney rank-sum drift of event values between corpus slices, per event_type",
+    (s, dir) => graft.operators.Drift
+      .rankSumDrift(Tables(s, dir).events, "event_type", "value",
+        col("event_id") % 2 === 0)
+      .orderBy("event_type"),
+    Some(s"""WITH bv AS (
+              SELECT event_type, value AS v, COUNT(*) AS c,
+                COUNT(*) FILTER (WHERE event_id % 2 = 0) AS c_a
+              FROM events GROUP BY event_type, value),
+            m AS (
+              SELECT event_type, c, c_a,
+                CAST(COALESCE(SUM(c) OVER (PARTITION BY event_type
+                  ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS DOUBLE)
+                  + (CAST(c AS DOUBLE) + 1.0) / 2.0 AS midrank
+              FROM bv),
+            a AS (
+              SELECT event_type, CAST(SUM(c_a) AS BIGINT) AS n_a,
+                CAST(SUM(c) - SUM(c_a) AS BIGINT) AS n_b,
+                ${Sql.oSum("CAST(c_a AS DOUBLE) * midrank")} AS r_a
+              FROM m GROUP BY event_type)
+            SELECT event_type, n_a, n_b, u_a,
+              CAST(n_a * n_b AS DOUBLE) - u_a AS u_b,
+              (u_a - CAST(n_a * n_b AS DOUBLE) / 2.0)
+                / sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE) / 12.0)
+                AS z
+            FROM (SELECT event_type, n_a, n_b,
+                    r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a
+                  FROM a)
+            ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
-    clusterCap, bestOfN, docValue, curriculum)
+    clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift)
 }

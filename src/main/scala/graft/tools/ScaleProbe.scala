@@ -503,6 +503,22 @@ object ScaleProbe {
       } finally rmTree(base)
     })
 
+    probe("bt_reward_train", c =>
+      // pair mining + 3 GD rounds + trajectory: per-round cost is two
+      // keyed partial aggregations over the pair-token frame, so time
+      // should track corpus size (copies add pairs per source)
+      graft.operators.Preference
+        .btTrajectory(replicate(t.documents, "doc_id", c), iters = 3)
+        .count())
+
+    probe("doc_influence", c =>
+      // per-doc leave-one-out closed form: explode + three hash aggs +
+      // vocab-keyed equi-joins pruned to the target vocabulary
+      graft.operators.Mixture
+        .docAblation(replicate(t.documents, "doc_id", c),
+          col("lang") === "en")
+        .count())
+
     probe("punctuated_windows", c => {
       // replicate on user_id: each copy is a fresh set of keyed streams,
       // which is how this operator scales (more independent protocols)

@@ -1162,6 +1162,62 @@ class NorthStarSpec extends AnyFunSuite {
     }))
   }
 
+  test("bm25: shared rare terms outrank common ones, disjoint docs absent") {
+    val docs = docsDF(
+      0L -> "zebra quark the the",      // query
+      1L -> "zebra quark something else", // shares both rare terms
+      2L -> "the the the common words",   // shares only the stopword
+      3L -> "entirely disjoint content here")
+    val out = graft.operators.Retrieval
+      .bm25MoreLikeThis(docs, nQueries = 1L, k = 3).collect()
+    assert(out.forall(_.getAs[Long]("q_id") == 0L))
+    assert(!out.exists(_.getAs[Long]("doc_id") == 0L), "self excluded")
+    assert(!out.exists(_.getAs[Long]("doc_id") == 3L),
+      "no shared term, never a candidate")
+    val byRank = out.sortBy(_.getAs[Int]("rank"))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(byRank.head == 1L, "two rare shared terms must outrank one stopword")
+    assert(byRank.contains(2L))
+    // scores strictly ordered with rank
+    val scores = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("vocab coverage: hand-computed checkpoints") {
+    // freqs: a=3, b=2, c=1 → top-1 covers 3/6, top-2 covers 5/6
+    val out = graft.operators.TextAnalysis
+      .vocabCoverage(docsDF(1L -> "a a a b b c"), Seq(1, 2)).head()
+    assert(out.getAs[Long]("cov_1") == 3L)
+    assert(out.getAs[Long]("cov_2") == 5L)
+    assert(out.getAs[Long]("total_tokens") == 6L)
+    assert(out.getAs[Long]("vocab_size") == 3L)
+    assert(out.getAs[Double]("frac_1") == 0.5)
+    assert(out.getAs[Double]("frac_2") == 5.0 / 6.0)
+  }
+
+  test("rank-sum drift: shifted slice flags, identical slices score zero") {
+    import spark.implicits._
+    // key "shift": A = {1..10}, B = {101..110} → A's U is 0, z < 0
+    // key "same": A and B are the identical set → U = n²/2, z = 0
+    val rows =
+      (1 to 10).map(i => ("shift", i.toDouble, i * 2L)) ++        // A (even)
+      (1 to 10).map(i => ("shift", 100.0 + i, i * 2L + 1L)) ++     // B (odd)
+      (1 to 10).map(i => ("same", i.toDouble, i * 2L)) ++
+      (1 to 10).map(i => ("same", i.toDouble, i * 2L + 1L))
+    val df = rows.toDF("k", "v", "id")
+    val out = graft.operators.Drift
+      .rankSumDrift(df, "k", "v", col("id") % 2 === 0)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val shift = out("shift")
+    assert(shift.getAs[Long]("n_a") == 10L && shift.getAs[Long]("n_b") == 10L)
+    assert(shift.getAs[Double]("u_a") == 0.0, "A entirely below B")
+    assert(shift.getAs[Double]("u_b") == 100.0)
+    assert(shift.getAs[Double]("z") < -3.0, "shift must flag")
+    val same = out("same")
+    assert(same.getAs[Double]("u_a") == 50.0)
+    assert(same.getAs[Double]("z") == 0.0, "identical slices: exact zero")
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(

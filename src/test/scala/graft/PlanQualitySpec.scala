@@ -56,6 +56,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "n72_domain_ablation", "n84_doc_influence",
       // one-row corpus-count scalar driving the pacing boundaries
       "n85_curriculum_schedule",
+      // one-row (n_docs, avgdl) stats scalar crossJoined onto the
+      // candidate posting join
+      "n86_bm25_retrieval",
       // one-row corpus-count scalars (the keep-k denominator / the
       // negative-draw modulus) crossJoined onto per-row data
       "n75_quality_rank_fusion", "n76_contrastive_triplets")
