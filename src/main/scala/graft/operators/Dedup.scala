@@ -118,6 +118,56 @@ object Dedup {
     verifyJaccard(candidates, tok, threshold)
   }
 
+  /** Directed CONTAINMENT pairs: |S_A ∩ S_B| / |S_A| ≥ threshold —
+    * the asymmetric overlap that catches a document EMBEDDED inside a
+    * larger one (quotes, concatenated crawls, article + comments),
+    * which symmetric Jaccard ([[jaccardPairs]]) misses when the sizes
+    * differ: a doc fully contained in one 10× its size has Jaccard
+    * ≤ 0.1 but containment 1.0.
+    *
+    * The AllPairs prefix bound doesn't hold for containment (it is
+    * not symmetric), so candidate generation anchors on RARE shingles
+    * instead: pairs must share a shingle with document frequency
+    * ≤ `dfCap` (the standard boilerplate-suppression trick — common
+    * chrome shingles never generate candidates; a contained doc
+    * shares ALL its shingles with its container, so any rare shingle
+    * anchors the pair; docs made purely of boilerplate are n55's
+    * business). Verification computes exact containment over the full
+    * shingle sets, candidates only. The oracle replays the cap and
+    * the verify, so the emitted pair set is hash-exact.
+    *
+    * Scale shape: df is one shingle-keyed aggregation; the candidate
+    * join fans out Σ_rare df² ≤ dfCap · Σ df — bounded per shingle;
+    * the verify joins candidates back to the persisted shingle table.
+    * Output: (id_a, id_b, inter, n_a, containment), both directions.
+    */
+  def containmentPairs(
+      docs: DataFrame, n: Int, threshold: Double,
+      dfCap: Int = 64): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val tok = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = inverted(tok)
+    val freq = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+    val rare = inv
+      .join(freq.filter(col("df") <= dfCap), "sh_hash")
+      .select("doc_id", "sh_hash")
+    val candidates = rare.as("a").join(rare.as("b"), "sh_hash")
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val a = tok.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = tok.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        size(col("sh_a")).as("n_a"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Two-stage edit-distance near-dup: cheap set-similarity candidates,
     * expensive character-level verify. Stage 1 is [[jaccardPairs]] at a
     * loose `prefilter` threshold (exact, via the AllPairs prefix filter —

@@ -167,10 +167,7 @@ object TextAnalysis {
     require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
     val terms = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
-    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-      .orderBy(desc("cnt"), asc("term")).limit(vocabSize)
-      .select(col("term"), lit(true).as("in_vocab"))
-    terms.join(broadcast(vocab), Seq("term"), "left")
+    terms.join(broadcast(fitVocab(docs, vocabSize)), Seq("term"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
@@ -409,4 +406,28 @@ object TextAnalysis {
     ks.foldLeft(base)((d, k) => d.withColumn(s"frac_$k",
       col(s"cov_$k").cast("double") / col("total_tokens").cast("double")))
   }
+
+  /** Fit the top-`vocabSize` frequency vocabulary: (term, in_vocab) —
+    * the fixed-k trained artifact [[fitVocabOovRate]] and the s28
+    * streaming OOV monitor both consume (vocabSize is a constant, so
+    * the global limit is the whitelisted bounded top-k shape).
+    */
+  def fitVocab(docs: DataFrame, vocabSize: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("term")).limit(vocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+
+  /** Per-source OOV share under a fitted vocabulary — runs unchanged
+    * on a STREAMING corpus (broadcast vocab join + ONE aggregation,
+    * update mode): the ingest monitor that flags a feed drifting away
+    * from the tokenizer's vocabulary.
+    */
+  def oovBySource(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_terms"))
 }

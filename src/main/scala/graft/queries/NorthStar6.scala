@@ -469,6 +469,62 @@ object NorthStar6 extends QueryGroup {
                   FROM a)
             ORDER BY event_type"""))
 
+  /** Directed containment pairs — the asymmetric dedup member. */
+  private val containment = Q(
+    "n89_containment_dedup",
+    "directed shingle-containment pairs (rare-shingle candidates, exact verify, threshold 0.9)",
+    (s, dir) => graft.operators.Dedup
+      .containmentPairs(Tables(s, dir).documents, n = 3, threshold = 0.9)
+      .orderBy("id_a", "id_b"),
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+                END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+            rare AS (SELECT doc_id, s FROM ex JOIN freq USING (s)
+                     WHERE df <= 64),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rare a JOIN rare b
+                ON a.s = b.s AND a.doc_id <> b.doc_id),
+            pin AS (
+              SELECT id_a, id_b, COUNT(*) AS inter
+              FROM cand
+              JOIN ex ea ON ea.doc_id = id_a
+              JOIN ex eb ON eb.doc_id = id_b AND eb.s = ea.s
+              GROUP BY id_a, id_b),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok)
+            SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+              CAST(n_sh AS INT) AS n_a,
+              CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+            FROM pin JOIN sz ON id_a = sz.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.9
+            ORDER BY id_a, id_b"""))
+
+  /** k-anonymity classes over the (event_type, props.k) quasi-id. */
+  private val kAnon = Q(
+    "n90_k_anonymity",
+    "k-anonymity audit: quasi-identifier classes smaller than k=5 flagged for suppression",
+    (s, dir) => graft.operators.Privacy
+      .kAnonymityClasses(
+        Tables(s, dir).events.withColumn("qi_k",
+          get_json_object(col("props"), "$.k").cast("long")),
+        Seq(col("event_type"), col("qi_k")), k = 5L)
+      .orderBy("event_type", "qi_k"),
+    Some("""SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS qi_k,
+              COUNT(*) AS class_size,
+              COUNT(*) >= 5 AS anonymous,
+              CASE WHEN COUNT(*) < 5 THEN COUNT(*) ELSE 0 END
+                AS suppressed_rows
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
-    clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift)
+    clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift,
+    containment, kAnon)
 }

@@ -1381,6 +1381,44 @@ object StreamingQueries extends QueryGroup {
             SELECT doc_id, score FROM sc
             WHERE score > 0.0 ORDER BY doc_id"""))
 
+  /** Streaming OOV-rate monitor — the tokenizer-drift alarm on
+    * continuous ingest: the vocabulary is fitted OFFLINE on the static
+    * corpus ([[graft.operators.TextAnalysis.fitVocab]] — the fixed-k
+    * trained artifact), broadcast, and each source's cumulative
+    * in/out-of-vocabulary token counts aggregate as the corpus streams
+    * in (ONE aggregation, update mode, one state row per source). A
+    * feed whose OOV share climbs is drifting away from what the
+    * tokenizer was trained on — caught at ingest, not at training.
+    * The oracle is the batch per-source replay the stream must
+    * converge to.
+    */
+  private val streamOovMonitor = Q(
+    "s28_stream_oov_monitor",
+    "streaming per-source OOV-rate monitor under a batch-fitted vocabulary",
+    (s, dir) => {
+      val TA = graft.operators.TextAnalysis
+      val vocab = TA.fitVocab(Tables(s, dir).documents, 64)
+        .localCheckpoint()
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      runToTable(TA.oovBySource(docs, vocab), "update").orderBy("source")
+    },
+    Some("""WITH t AS (
+              SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            v AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS cnt FROM t GROUP BY term) c
+              ORDER BY cnt DESC, term LIMIT 64)
+            SELECT source, count(*) AS n_terms,
+              count(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+              CAST(count(*) FILTER (WHERE v.term IS NULL) AS DOUBLE)
+                / count(*) AS oov_rate
+            FROM t LEFT JOIN v USING (term)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1388,5 +1426,6 @@ object StreamingQueries extends QueryGroup {
     streamVectorSearch, streamCuration, streamCheckpointRecovery,
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
-    streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate)
+    streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
+    streamOovMonitor)
 }

@@ -1218,6 +1218,63 @@ class NorthStarSpec extends AnyFunSuite {
     assert(same.getAs[Double]("z") == 0.0, "identical slices: exact zero")
   }
 
+  test("containment pairs: embedded doc flags one direction only") {
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val small = "delta epsilon zeta eta theta iota" // contiguous slice of big
+    val out = graft.operators.Dedup
+      .containmentPairs(docsDF(1L -> big, 2L -> small,
+        3L -> "completely unrelated words here today"), n = 3,
+        threshold = 0.9)
+      .collect()
+    // small ⊂ big: every 3-shingle of doc 2 appears in doc 1
+    val fwd = out.find(r =>
+      r.getAs[Long]("id_a") == 2L && r.getAs[Long]("id_b") == 1L)
+    assert(fwd.isDefined, "contained doc must flag toward its container")
+    assert(fwd.get.getAs[Double]("containment") == 1.0)
+    // the container is NOT contained in the fragment
+    assert(!out.exists(r =>
+      r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L))
+    // unrelated doc never pairs
+    assert(!out.exists(r => r.getAs[Long]("id_a") == 3L ||
+      r.getAs[Long]("id_b") == 3L))
+    // Jaccard misses this pair at the same threshold: sizes differ 3×
+    val jac = graft.operators.Dedup
+      .jaccardPairs(docsDF(1L -> big, 2L -> small), 3, 0.9).collect()
+    assert(jac.isEmpty, "symmetric Jaccard cannot see the embedding")
+  }
+
+  test("k-anonymity classes: small classes flagged with exact suppression") {
+    import spark.implicits._
+    val df = (Seq.fill(7)(("a", 1L)) ++ Seq.fill(3)(("a", 2L)) ++
+      Seq.fill(5)(("b", 1L))).toDF("t", "q")
+    val out = graft.operators.Privacy
+      .kAnonymityClasses(df, Seq(col("t"), col("q")), k = 5L)
+      .collect()
+      .map(r => (r.getAs[String]("t"), r.getAs[Long]("q")) ->
+        ((r.getAs[Long]("class_size"), r.getAs[Boolean]("anonymous"),
+          r.getAs[Long]("suppressed_rows")))).toMap
+    assert(out(("a", 1L)) == ((7L, true, 0L)))
+    assert(out(("a", 2L)) == ((3L, false, 3L)))
+    assert(out(("b", 1L)) == ((5L, true, 0L)))
+  }
+
+  test("oov monitor equals the per-doc fit summed by source") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val TA = graft.operators.TextAnalysis
+    val bySource = TA.oovBySource(docs, TA.fitVocab(docs, 64)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_oov")))).toMap
+    val perDoc = TA.fitVocabOovRate(docs, 64)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_terms")).as("nt"), sum(col("n_oov")).as("no"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("nt"), r.getAs[Long]("no")))).toMap
+    assert(bySource == perDoc)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
