@@ -203,6 +203,34 @@ object Mixture {
       .select(col("source"), expr("num div den").as("per_mille"))
   }
 
+  /** Token-budget forecast under trained mixture weights: for a target
+    * training budget of `targetTokens`, how many tokens does each
+    * domain owe (⌊α_d·10⁶⌋·T div 10⁶ — the s23 micro-unit floor) and
+    * how many EPOCHS of its available data is that
+    * (per-mille: 1000·requested div available)? Domains past ~4000‰
+    * are the over-epoching alarm the data-constrained-scaling
+    * literature warns about — a mixture can be optimal in proportion
+    * and still unservable against actual source sizes. All-BIGINT
+    * after the one weight floor; the trajectory-identical weights come
+    * from [[doremiTrain]], so the oracle replays train + forecast end
+    * to end. Output: (source, avail_tokens, req_tokens, epochs_pm).
+    */
+  def tokenBudgetForecast(docs: DataFrame, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be > 0, got $targetTokens")
+    val (_, weights) = doremiTrain(docs)
+    docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source").agg(count(lit(1)).as("avail_tokens"))
+      .withColumn("s_s",
+        floor(element_at(typedLit(weights), col("source")) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("req_tokens",
+        expr(s"(s_s * ${targetTokens}L) div 1000000"))
+      .withColumn("epochs_pm",
+        expr("(1000 * req_tokens) div avail_tokens"))
+      .select("source", "avail_tokens", "req_tokens", "epochs_pm")
+  }
+
   /** Leave-one-domain-out data valuation: how much does REMOVING each
     * domain hurt the pooled model's fit of a target slice? The
     * influence-function idea at domain granularity, made closed-form by

@@ -69,6 +69,41 @@ object Packing {
         sum(least(col("e"), (col("chunk_id") + 1) * budget) -
             greatest(col("s"), col("chunk_id") * budget)).as("n_tokens"))
 
+  /** Varlen attention-segment table — the flash-attention `cu_seqlens`
+    * view of [[contextManifest]]: one row per (context, document
+    * slice) with the slice's start offset INSIDE the context and its
+    * length. Packed training must not attend across document
+    * boundaries, so the kernel consumes exactly this table (segment
+    * starts are the cumulative sequence lengths — segments tile each
+    * context contiguously, `seg_start` of segment i+1 == `seg_start +
+    * seg_len` of segment i; the spec pins the tiling). `seg_idx` is
+    * the within-context order.
+    *
+    * Scale shape: the distributed prefix sum of [[packSequences]],
+    * a bounded per-doc explode, and one window partitioned BY CONTEXT
+    * (≤ budget docs per context by construction — never a global
+    * sort). Only (doc_id, offset) pairs move.
+    */
+  def attentionSegments(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chunk_id"))
+      .orderBy(asc("seg_start"), asc("doc_id"))
+    packSequences(docs, budget)
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("start_off").as("s"),
+        (col("start_off") + col("n_tokens")).as("e"))
+      .select(col("doc_id"), col("s"), col("e"),
+        explode(expr(s"sequence(s div $budget, (e - 1) div $budget)"))
+          .as("chunk_id"))
+      .select(col("chunk_id"), col("doc_id"),
+        (greatest(col("s"), col("chunk_id") * budget) -
+          col("chunk_id") * budget).as("seg_start"),
+        (least(col("e"), (col("chunk_id") + 1) * budget) -
+          greatest(col("s"), col("chunk_id") * budget)).as("seg_len"))
+      .withColumn("seg_idx", (row_number().over(w) - 1).cast("int"))
+      .select("chunk_id", "seg_idx", "doc_id", "seg_start", "seg_len")
+  }
+
   /** Epoch-decorrelated packing plan — [[contextManifest]] composed
     * with a deterministic per-epoch hash shuffle, which is what a
     * multi-epoch dataloader actually consumes: training on the SAME

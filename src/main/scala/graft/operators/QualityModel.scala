@@ -234,6 +234,44 @@ object QualityModel {
         (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
   }
 
+  /** Calibration (reliability) table of the trained classifier by
+    * score RANK decile: bin the corpus into `bins` equal-population
+    * buckets of the score ordering (bin 0 = highest scores) and report
+    * per bin the population, the positive share, and the exact-decimal
+    * mean score. Rank-based binning is the form that stays informative
+    * whatever the score scale — the fast-sigmoid margins concentrate
+    * in a narrow band, where equal-WIDTH bins would collapse to one
+    * row; what matters for a gate is whether the positive rate falls
+    * monotonically with rank. Output: (bin, n_docs, n_pos, avg_score,
+    * pos_rate).
+    *
+    * Scale shape: training as [[trainedQualityScores]]; the rank is
+    * [[GlobalOrder]]'s distributed range-partitioned sort (never a
+    * partition-less window), the corpus count a broadcast one-row
+    * scalar, the table ONE bins-sized hash aggregation.
+    */
+  def calibrationBins(
+      docs: DataFrame,
+      positiveSources: Seq[String],
+      iters: Int = 3,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val scored = trainedQualityScores(docs, positiveSources, iters)
+    val n = scored.agg(count(lit(1)).as("n_all"))
+    GlobalOrder
+      .withGlobalIndexCols(scored, Seq(desc("score"), asc("doc_id")))
+      .withColumnRenamed("_global_rank", "rk")
+      .crossJoin(broadcast(n))
+      .withColumn("bin", expr(s"((rk - 1) * $bins) DIV n_all").cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label").cast("long")).as("n_pos"),
+        (xsum(col("score")) / count(lit(1)).cast("double"))
+          .as("avg_score"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n_docs").cast("double"))
+  }
+
   private def labels(docs: DataFrame, positiveSources: Seq[String]) =
     docs.select(col("doc_id"),
       when(col("source").isin(positiveSources: _*), lit(1.0))

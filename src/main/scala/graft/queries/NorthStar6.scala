@@ -524,7 +524,88 @@ object NorthStar6 extends QueryGroup {
                 AS suppressed_rows
             FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Varlen attention-segment (cu_seqlens) table over the 512-token
+    * packing — the kernel-facing view of the n67 manifest.
+    */
+  private val attnSegs = Q(
+    "n91_attention_segments",
+    "varlen attention segment table: per-context document slices with in-context offsets",
+    (s, dir) => graft.operators.Packing
+      .attentionSegments(Tables(s, dir).documents, budget = 512L)
+      .orderBy("chunk_id", "seg_idx"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tok
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS s
+              FROM t),
+            sp AS (SELECT doc_id, s, s + n_tok AS e
+                   FROM o WHERE n_tok > 0),
+            ch AS (
+              SELECT doc_id, s, e,
+                unnest(range(s // 512, (e - 1) // 512 + 1)) AS chunk_id
+              FROM sp)
+            SELECT chunk_id,
+              CAST(row_number() OVER (PARTITION BY chunk_id
+                ORDER BY GREATEST(s, chunk_id * 512) - chunk_id * 512,
+                  doc_id) - 1 AS INT) AS seg_idx,
+              doc_id,
+              GREATEST(s, chunk_id * 512) - chunk_id * 512 AS seg_start,
+              LEAST(e, (chunk_id + 1) * 512)
+                - GREATEST(s, chunk_id * 512) AS seg_len
+            FROM ch ORDER BY chunk_id, seg_idx"""))
+
+  /** Reliability table of the n68 trained classifier, by score-rank
+    * decile (equal-population bins — fast-sigmoid scores concentrate
+    * in a narrow band where equal-width bins collapse).
+    */
+  private val calibration = Q(
+    "n92_calibration_bins",
+    "rank-decile calibration of the trained quality classifier: population, mean score, positive rate",
+    (s, dir) => graft.operators.QualityModel
+      .calibrationBins(Tables(s, dir).documents,
+        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+        iters = 3, bins = 10)
+      .orderBy("bin"),
+    Some(s"""${NorthStar4.qcCtes},
+            sc AS (
+              SELECT doc_id, y,
+                0.5 + (0.5 * m) / (1.0 + abs(m)) AS score
+              FROM m4),
+            na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM sc),
+            rk AS (
+              SELECT y, score,
+                CAST(((row_number() OVER (ORDER BY score DESC, doc_id)
+                  - 1) * 10) // n_all AS INT) AS bin
+              FROM sc, na)
+            SELECT bin, COUNT(*) AS n_docs,
+              CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+              ${Sql.oSum12("score")} / COUNT(*) AS avg_score,
+              CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+            FROM rk GROUP BY bin ORDER BY bin"""))
+
+  /** Epochs-to-budget forecast under the n70 trained mixture. */
+  private val budgetForecast = Q(
+    "n93_token_budget_forecast",
+    "token-budget forecast: per-domain requested tokens and epoch count under the trained mixture",
+    (s, dir) => graft.operators.Mixture
+      .tokenBudgetForecast(Tables(s, dir).documents, targetTokens = 100000L)
+      .orderBy("source"),
+    Some(s"""${NorthStar5.doremiCtes}
+            SELECT source, n AS avail_tokens,
+              (s_s * 100000) // 1000000 AS req_tokens,
+              (1000 * ((s_s * 100000) // 1000000)) // n AS epochs_pm
+            FROM (SELECT source, n,
+                    CAST(FLOOR(a * 1000000.0) AS BIGINT) AS s_s
+                  FROM a3 JOIN nd USING (source))
+            ORDER BY source"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
     clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift,
-    containment, kAnon)
+    containment, kAnon, attnSegs, calibration, budgetForecast)
 }

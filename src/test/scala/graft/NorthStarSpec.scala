@@ -1275,6 +1275,73 @@ class NorthStarSpec extends AnyFunSuite {
     assert(bySource == perDoc)
   }
 
+  test("attention segments tile each context and match the manifest") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val segs = graft.operators.Packing.attentionSegments(docs, 512L)
+      .collect().groupBy(_.getAs[Long]("chunk_id"))
+    val manifest = graft.operators.Packing.contextManifest(docs, 512L)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(segs.keySet == manifest.keySet)
+    val lastChunk = segs.keys.max
+    segs.foreach { case (cid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("seg_idx"))
+      assert(sorted.head.getAs[Long]("seg_start") == 0L,
+        s"chunk $cid must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("seg_start") + a.getAs[Long]("seg_len") ==
+            b.getAs[Long]("seg_start"), s"chunk $cid segments must tile")
+        case _ =>
+      }
+      val end = sorted.last.getAs[Long]("seg_start") +
+        sorted.last.getAs[Long]("seg_len")
+      if (cid != lastChunk) assert(end == 512L, s"chunk $cid must fill")
+      // cross-check the aggregate manifest
+      val (nDocs, nTok) = manifest(cid)
+      assert(rows.length.toLong == nDocs)
+      assert(rows.map(_.getAs[Long]("seg_len")).sum == nTok)
+      assert(rows.forall(_.getAs[Long]("seg_len") > 0))
+    }
+  }
+
+  test("calibration deciles: equal population, informative top-vs-bottom") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.QualityModel
+      .calibrationBins(docs, Seq("src0", "src1", "src2", "src3", "src4"))
+      .orderBy("bin").collect()
+    assert(out.length == 10)
+    val n = out.map(_.getAs[Long]("n_docs")).sum
+    val sizes = out.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1, "deciles must be equal population")
+    // mean score is non-increasing down the deciles (rank-ordered bins)
+    val avg = out.map(_.getAs[Double]("avg_score"))
+    assert(avg.sliding(2).forall(w => w(0) >= w(1)))
+    // the trained model separates: top decile more positive than bottom
+    assert(out.head.getAs[Double]("pos_rate") >
+      out.last.getAs[Double]("pos_rate"))
+    assert(n == docs.count())
+  }
+
+  test("token budget forecast: requests respect the floor and epochs math") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.Mixture
+      .tokenBudgetForecast(docs, targetTokens = 100000L).collect()
+    assert(out.length ==
+      docs.select("source").distinct().count().toInt)
+    val totalReq = out.map(_.getAs[Long]("req_tokens")).sum
+    assert(totalReq <= 100000L, "micro-unit floors never over-allocate")
+    assert(totalReq > 95000L, "weights sum to ~1, floors lose little")
+    out.foreach { r =>
+      val (avail, req, pm) = (r.getAs[Long]("avail_tokens"),
+        r.getAs[Long]("req_tokens"), r.getAs[Long]("epochs_pm"))
+      assert(pm == 1000L * req / avail, "epochs arithmetic must be exact")
+      assert(avail > 0)
+    }
+    // a 100k-token budget over a ~20k-token corpus must over-epoch
+    assert(out.exists(_.getAs[Long]("epochs_pm") > 1000L))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(

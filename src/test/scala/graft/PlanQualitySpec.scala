@@ -59,6 +59,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // one-row (n_docs, avgdl) stats scalar crossJoined onto the
       // candidate posting join
       "n86_bm25_retrieval",
+      // one-row corpus-count scalar sizing the rank deciles
+      "n92_calibration_bins",
       // one-row corpus-count scalars (the keep-k denominator / the
       // negative-draw modulus) crossJoined onto per-row data
       "n75_quality_rank_fusion", "n76_contrastive_triplets")
