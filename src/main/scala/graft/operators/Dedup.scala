@@ -168,6 +168,38 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Agreement audit between the symmetric and asymmetric dedup
+    * members: the undirected pair sets of [[jaccardPairs]] (threshold
+    * `jt`) and [[containmentPairs]] (threshold `ct`, both directions
+    * collapsed) compared by full-outer join — how many near-dup pairs
+    * each method finds alone and how many both find. Method-agreement
+    * numbers are what decide which dedup tier a corpus actually needs
+    * before paying for both at 100 TB. Output: one row
+    * (n_jaccard, n_containment, n_both, n_only_jaccard,
+    * n_only_containment).
+    */
+  def methodAgreement(
+      docs: DataFrame, n: Int, jt: Double, ct: Double): DataFrame = {
+    val jac = jaccardPairs(docs, n, jt)
+      .select(col("id_a"), col("id_b"), lit(true).as("in_jac"))
+    val cont = containmentPairs(docs, n, ct)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+      .withColumn("in_cont", lit(true))
+    jac.join(cont, Seq("id_a", "id_b"), "full")
+      .select(coalesce(col("in_jac"), lit(false)).as("j"),
+        coalesce(col("in_cont"), lit(false)).as("c"))
+      .agg(
+        sum(when(col("j"), 1L).otherwise(0L)).as("n_jaccard"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("n_containment"),
+        sum(when(col("j") && col("c"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("j") && !col("c"), 1L).otherwise(0L))
+          .as("n_only_jaccard"),
+        sum(when(!col("j") && col("c"), 1L).otherwise(0L))
+          .as("n_only_containment"))
+  }
+
   /** Two-stage edit-distance near-dup: cheap set-similarity candidates,
     * expensive character-level verify. Stage 1 is [[jaccardPairs]] at a
     * loose `prefilter` threshold (exact, via the AllPairs prefix filter —

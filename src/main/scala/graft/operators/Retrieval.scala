@@ -91,4 +91,39 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "doc_id", "score")
   }
+
+  /** Two-stage retrieve-then-rerank: cheap BM25 candidate generation
+    * (top `candidateK` per query) followed by a LEARNED reranker —
+    * the [[Preference]] Bradley–Terry reward model trained on the
+    * corpus's own preference pairs — keeping the top `k` by reward.
+    * This is the production retrieval shape: the lexical stage bounds
+    * the candidate set by posting lists, the trained stage orders it
+    * by quality, and neither ever scores the full corpus per query.
+    *
+    * Scale shape: [[bm25MoreLikeThis]]'s shapes, plus one doc-keyed
+    * reward aggregation over the corpus (computed ONCE, joined to
+    * candidates — not per query) and a query-partitioned rerank
+    * window. Output: (q_id, rerank, doc_id, bm25_rank, bm25_score,
+    * reward).
+    */
+  def hybridRerank(
+      docs: DataFrame,
+      nQueries: Long,
+      candidateK: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && candidateK >= k,
+      s"need candidateK >= k >= 1, got candidateK=$candidateK k=$k")
+    val cands = bm25MoreLikeThis(docs, nQueries, candidateK)
+    val rewards = Preference
+      .scoreWith(docs, Preference.btTrain(docs))
+      .withColumnRenamed("score", "reward")
+    val win = Window.partitionBy(col("q_id"))
+      .orderBy(desc("reward"), asc("rank"))
+    cands.join(rewards, "doc_id")
+      .withColumn("rerank", row_number().over(win).cast("int"))
+      .filter(col("rerank") <= k)
+      .select(col("q_id"), col("rerank"), col("doc_id"),
+        col("rank").as("bm25_rank"), col("score").as("bm25_score"),
+        col("reward"))
+  }
 }

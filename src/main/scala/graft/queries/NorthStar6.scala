@@ -210,12 +210,14 @@ object NorthStar6 extends QueryGroup {
     * docs whose buckets carry no weight: their terms are exact
     * zeros in both engines).
     */
-  private[queries] val btScoreCte: String =
-    s"""sc AS (
+  private[queries] def btScoreAs(alias: String): String =
+    s"""$alias AS (
               SELECT doc_id,
                 ${Sql.oSum12("COALESCE(w, 0.0) / CAST(n AS DOUBLE)")}
                   AS score
               FROM tb LEFT JOIN w3 USING (b) GROUP BY doc_id)"""
+
+  private[queries] val btScoreCte: String = btScoreAs("sc")
 
   private val btReward = Q(
     "n81_bt_reward_model",
@@ -359,6 +361,12 @@ object NorthStar6 extends QueryGroup {
                 AS first_phase
             FROM r, nc ORDER BY doc_id"""))
 
+  /** The BM25 scoring chain as CTEs (5 query docs, k1=1.2, b=0.75) —
+    * ends with `sc(q_id, doc_id, score)` defined. Shared by the n86
+    * oracle and the n94 hybrid-rerank oracle.
+    */
+  private[queries] lazy val bm25Ctes: String = s"WITH $bm25Body"
+
   /** Query-by-document BM25 retrieval (rational ln-free idf core). */
   private val bm25 = Q(
     "n86_bm25_retrieval",
@@ -366,7 +374,15 @@ object NorthStar6 extends QueryGroup {
     (s, dir) => graft.operators.Retrieval
       .bm25MoreLikeThis(Tables(s, dir).documents, nQueries = 5L, k = 5)
       .orderBy("q_id", "rank"),
-    Some(s"""WITH tf AS (
+    Some(s"""WITH $bm25Body
+            SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score
+            FROM (SELECT q_id, doc_id, score,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY score DESC, doc_id) AS rank
+                  FROM sc)
+            WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  private lazy val bm25Body: String = s"""tf AS (
               SELECT doc_id, t, COUNT(*) AS tf
               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                     FROM documents)
@@ -393,13 +409,7 @@ object NorthStar6 extends QueryGroup {
               JOIN dl ON dl.doc_id = tf.doc_id
               CROSS JOIN st
               WHERE tf.doc_id <> q_id
-              GROUP BY q_id, tf.doc_id)
-            SELECT q_id, CAST(rank AS INT) AS rank, doc_id, score
-            FROM (SELECT q_id, doc_id, score,
-                    row_number() OVER (PARTITION BY q_id
-                      ORDER BY score DESC, doc_id) AS rank
-                  FROM sc)
-            WHERE rank <= 5 ORDER BY q_id, rank"""))
+              GROUP BY q_id, tf.doc_id)"""
 
   /** Vocabulary-coverage curve at top-k checkpoints. */
   private val vocabCov = Q(
@@ -605,7 +615,106 @@ object NorthStar6 extends QueryGroup {
                   FROM a3 JOIN nd USING (source))
             ORDER BY source"""))
 
+  /** Two-stage retrieve-then-rerank: BM25 top-20 candidates reranked
+    * by the trained Bradley–Terry reward, top-5 kept. The oracle
+    * composes the full BT training chain with the BM25 chain (the
+    * reward CTE renamed to dodge the `sc` collision).
+    */
+  private val hybrid = Q(
+    "n94_hybrid_rerank",
+    "retrieve-then-rerank: BM25 top-20 candidates reranked by the trained reward model",
+    (s, dir) => graft.operators.Retrieval
+      .hybridRerank(Tables(s, dir).documents, nQueries = 5L,
+        candidateK = 20, k = 5)
+      .orderBy("q_id", "rerank"),
+    Some(s"""$btCtes,
+            ${btScoreAs("rw")},
+            ${bm25Body},
+            cand AS (
+              SELECT q_id, doc_id, score AS bm25_score,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY score DESC, doc_id) AS bm25_rank
+              FROM sc)
+            SELECT q_id, CAST(rr AS INT) AS rerank, doc_id,
+              CAST(bm25_rank AS INT) AS bm25_rank, bm25_score, reward
+            FROM (
+              SELECT q_id, c.doc_id, bm25_rank, bm25_score,
+                rw.score AS reward,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY rw.score DESC, bm25_rank) AS rr
+              FROM cand c JOIN rw ON rw.doc_id = c.doc_id
+              WHERE bm25_rank <= 20)
+            WHERE rr <= 5
+            ORDER BY q_id, rerank"""))
+
+  /** Dedup method-agreement audit (one shared shingle table feeds
+    * both replays).
+    */
+  private val agreement = Q(
+    "n95_dedup_agreement",
+    "dedup method agreement: undirected Jaccard-0.8 vs containment-0.9 pair sets",
+    (s, dir) => graft.operators.Dedup
+      .methodAgreement(Tables(s, dir).documents, n = 3, jt = 0.8,
+        ct = 0.9),
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+                END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok),
+            ji AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            jp AS (
+              SELECT id_a, id_b FROM ji
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - inter) >= 0.8),
+            freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+            rare AS (SELECT doc_id, s FROM ex JOIN freq USING (s)
+                     WHERE df <= 64),
+            ccand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rare a JOIN rare b
+                ON a.s = b.s AND a.doc_id <> b.doc_id),
+            cpin AS (
+              SELECT id_a, id_b, COUNT(*) AS inter
+              FROM ccand
+              JOIN ex ea ON ea.doc_id = id_a
+              JOIN ex eb ON eb.doc_id = id_b AND eb.s = ea.s
+              GROUP BY id_a, id_b),
+            cdir AS (
+              SELECT id_a, id_b FROM cpin JOIN sz ON id_a = sz.doc_id
+              WHERE CAST(inter AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.9),
+            cp AS (
+              SELECT DISTINCT LEAST(id_a, id_b) AS id_a,
+                GREATEST(id_a, id_b) AS id_b
+              FROM cdir),
+            f AS (
+              SELECT COALESCE(jp.id_a IS NOT NULL, FALSE) AS j,
+                COALESCE(cp.id_a IS NOT NULL, FALSE) AS c
+              FROM jp FULL OUTER JOIN cp USING (id_a, id_b))
+            SELECT
+              CAST(SUM(CASE WHEN j THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_jaccard,
+              CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_containment,
+              CAST(SUM(CASE WHEN j AND c THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_both,
+              CAST(SUM(CASE WHEN j AND NOT c THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_only_jaccard,
+              CAST(SUM(CASE WHEN NOT j AND c THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_only_containment
+            FROM f"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
     clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift,
-    containment, kAnon, attnSegs, calibration, budgetForecast)
+    containment, kAnon, attnSegs, calibration, budgetForecast, hybrid,
+    agreement)
 }

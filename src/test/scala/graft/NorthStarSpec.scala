@@ -1342,6 +1342,48 @@ class NorthStarSpec extends AnyFunSuite {
     assert(out.exists(_.getAs[Long]("epochs_pm") > 1000L))
   }
 
+  test("hybrid rerank: candidates come from bm25, order comes from reward") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val R = graft.operators.Retrieval
+    val out = R.hybridRerank(docs, nQueries = 3L, candidateK = 20, k = 5)
+      .collect()
+    val cands = R.bm25MoreLikeThis(docs, nQueries = 3L, k = 20).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      // every reranked doc was a bm25 candidate
+      rows.foreach(r =>
+        assert(cands(q).contains(r.getAs[Long]("doc_id"))))
+      // rerank order strictly follows reward (ties by bm25 rank)
+      val sorted = rows.sortBy(_.getAs[Int]("rerank"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ra, rb) = (a.getAs[Double]("reward"), b.getAs[Double]("reward"))
+          assert(ra > rb || (ra == rb &&
+            a.getAs[Int]("bm25_rank") < b.getAs[Int]("bm25_rank")))
+        case _ =>
+      }
+    }
+  }
+
+  test("dedup agreement: containment-only pair counted apart from both-pair") {
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val out = graft.operators.Dedup.methodAgreement(docsDF(
+      1L -> big,
+      2L -> "delta epsilon zeta eta theta iota",   // contained, not similar
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "one two three four five six seven eight nine ten"), // dup of 3
+      n = 3, jt = 0.8, ct = 0.9).head()
+    assert(out.getAs[Long]("n_only_containment") == 1L,
+      "the embedded fragment is containment-only")
+    assert(out.getAs[Long]("n_both") == 1L, "the near-dup pair is in both")
+    assert(out.getAs[Long]("n_only_jaccard") == 0L)
+    assert(out.getAs[Long]("n_jaccard") == 1L &&
+      out.getAs[Long]("n_containment") == 2L)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(

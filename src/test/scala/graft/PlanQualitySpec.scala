@@ -61,6 +61,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "n86_bm25_retrieval",
       // one-row corpus-count scalar sizing the rank deciles
       "n92_calibration_bins",
+      // the bm25 stats scalar again, under the rerank composition
+      "n94_hybrid_rerank",
       // one-row corpus-count scalars (the keep-k denominator / the
       // negative-draw modulus) crossJoined onto per-row data
       "n75_quality_rank_fusion", "n76_contrastive_triplets")
