@@ -519,6 +519,22 @@ object ScaleProbe {
           col("lang") === "en")
         .count())
 
+    probe("bm25_retrieval", c =>
+      // fixed 5-query set against a growing corpus: posting lists grow
+      // with the replicas, so time should track corpus size while the
+      // per-query candidate work stays posting-bounded
+      graft.operators.Retrieval
+        .bm25MoreLikeThis(replicate(t.documents, "doc_id", c),
+          nQueries = 5L, k = 5)
+        .count())
+
+    probe("containment_dedup", c =>
+      // each replica forms its own contained/container structure; the
+      // df cap bounds per-shingle fanout as copies multiply df
+      graft.operators.Dedup
+        .containmentPairs(replicate(t.documents, "doc_id", c), 3, 0.9)
+        .count())
+
     probe("punctuated_windows", c => {
       // replicate on user_id: each copy is a fresh set of keyed streams,
       // which is how this operator scales (more independent protocols)
