@@ -68,4 +68,83 @@ object Drift {
       .select(col(key), col("n_a"), col("n_b"), col("u_a"), col("u_b"),
         col("z"))
   }
+
+  /** Per-(key, bucket) chi-square drift contributions of `df` against
+    * a FROZEN baseline count table — the streaming-legal drift
+    * monitor: the baseline is an offline artifact (broadcast), each
+    * incoming row joins its expected count BEFORE the one aggregation,
+    * and the χ² contribution (observed − expected)²/expected is a
+    * stateless post-aggregation projection. On a streaming frame this
+    * runs in update mode with one state row per (key, bucket); a
+    * bucket the baseline never saw emits a NULL contribution — the
+    * new-bucket alarm. Output: (key, bucket, observed, expected,
+    * contrib).
+    */
+  def chiSquareDrift(
+      df: DataFrame,
+      baseline: DataFrame,
+      key: String,
+      valueCol: String): DataFrame = {
+    df.select(col(key),
+      floor(col(valueCol)).cast("long").as("bucket"))
+      .join(broadcast(baseline), Seq(key, "bucket"), "left")
+      .groupBy(col(key), col("bucket"), col("expected"))
+      .agg(count(lit(1)).as("observed"))
+      .select(col(key), col("bucket"), col("observed"), col("expected"),
+        ((col("observed") - col("expected")).cast("double") *
+          (col("observed") - col("expected")).cast("double") /
+          col("expected").cast("double")).as("contrib"))
+  }
+
+  /** The frozen baseline count table [[chiSquareDrift]] consumes:
+    * per-(key, unit-bucket) counts of the reference slice.
+    */
+  def baselineCounts(
+      df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.select(col(key),
+      floor(col(valueCol)).cast("long").as("bucket"))
+      .groupBy(col(key), col("bucket"))
+      .agg(count(lit(1)).as("expected"))
+
+  /** Rank-based winsorization bounds per key: the clip values a
+    * training pipeline applies to a heavy-tailed numeric feed. The
+    * bounds are ORDER STATISTICS — the value at rank ⌈loPct·n/100⌉
+    * (clamped ≥ 1) and at rank ⌈hiPct·n/100⌉ — not interpolated
+    * percentiles, so they are exact and tie-stable in any engine.
+    * Output: (key, n, lo_bound, hi_bound, n_below, n_above) with the
+    * counts a clipping pass would modify.
+    *
+    * Scale shape: one key-partitioned window (rank + count over the
+    * same partitioning), one per-key aggregation for the bounds, one
+    * co-keyed join back for the clip counts — key-parallel
+    * throughout.
+    */
+  def winsorizeBounds(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      loPct: Int = 1,
+      hiPct: Int = 99): DataFrame = {
+    require(loPct >= 0 && hiPct <= 100 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 100, got $loPct/$hiPct")
+    val w = Window.partitionBy(col(key)).orderBy(asc("v"))
+    val ranked = df.select(col(key), col(valueCol).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key))))
+    val bounds = ranked
+      .withColumn("lo_k",
+        greatest(lit(1L), expr(s"(n * $loPct + 99) DIV 100")))
+      .withColumn("hi_k", expr(s"(n * $hiPct + 99) DIV 100"))
+      .groupBy(col(key), col("n"))
+      .agg(min(when(col("rn") === col("lo_k"), col("v"))).as("lo_bound"),
+        min(when(col("rn") === col("hi_k"), col("v"))).as("hi_bound"))
+    df.select(col(key), col(valueCol).as("v"))
+      .join(bounds, key)
+      .groupBy(col(key), col("n"), col("lo_bound"), col("hi_bound"))
+      .agg(sum(when(col("v") < col("lo_bound"), 1L).otherwise(0L))
+        .as("n_below"),
+        sum(when(col("v") > col("hi_bound"), 1L).otherwise(0L))
+          .as("n_above"))
+      .select(key, "n", "lo_bound", "hi_bound", "n_below", "n_above")
+  }
 }

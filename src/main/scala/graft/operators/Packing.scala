@@ -104,6 +104,35 @@ object Packing {
       .select("chunk_id", "seg_idx", "doc_id", "seg_start", "seg_len")
   }
 
+  /** Token-balanced output sharding plan: assign every document to one
+    * of `nShards` writer shards so the PER-SHARD TOKEN totals come out
+    * even — the write-side balance that decides whether a 100 TB
+    * materialization produces uniform files or a straggler shard. The
+    * assignment is the serpentine (boustrophedon) round-robin over the
+    * tokens-descending global order — the classic LPT approximation in
+    * closed form: rank r goes to shard `(r−1) % S` on even passes and
+    * its mirror on odd passes, so each pass hands every shard one doc
+    * and alternating direction cancels the within-pass size skew.
+    *
+    * Scale shape: one [[GlobalOrder]] distributed sort; the shard id
+    * is scan-stage integer arithmetic on the rank. Output: (doc_id,
+    * n_tok, rank, shard).
+    */
+  def balancedShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    GlobalOrder.withGlobalIndexCols(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      Seq(desc("n_tok"), asc("doc_id")))
+      .withColumnRenamed("_global_rank", "rank")
+      .withColumn("shard",
+        expr(s"""CASE WHEN ((rank - 1) DIV $nShards) % 2 = 0
+                 THEN (rank - 1) % $nShards
+                 ELSE ${nShards - 1} - (rank - 1) % $nShards END""")
+          .cast("int"))
+      .select("doc_id", "n_tok", "rank", "shard")
+  }
+
   /** Epoch-decorrelated packing plan — [[contextManifest]] composed
     * with a deterministic per-epoch hash shuffle, which is what a
     * multi-epoch dataloader actually consumes: training on the SAME

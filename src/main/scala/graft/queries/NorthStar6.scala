@@ -713,8 +713,59 @@ object NorthStar6 extends QueryGroup {
                 AS n_only_containment
             FROM f"""))
 
+  /** Rank-based winsorization bounds per event_type. */
+  private val winsorize = Q(
+    "n96_winsorize_bounds",
+    "rank-exact P1/P99 winsorization bounds per event_type with clip counts",
+    (s, dir) => graft.operators.Drift
+      .winsorizeBounds(Tables(s, dir).events, "event_type", "value")
+      .orderBy("event_type"),
+    Some("""WITH r AS (
+              SELECT event_type, value AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            b AS (
+              SELECT event_type, n,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 1 + 99) // 100)
+                    THEN v END) AS lo_bound,
+                MIN(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN v END) AS hi_bound
+              FROM r GROUP BY event_type, n)
+            SELECT e.event_type, n, lo_bound, hi_bound,
+              CAST(SUM(CASE WHEN value < lo_bound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+              CAST(SUM(CASE WHEN value > hi_bound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+            FROM events e JOIN b USING (event_type)
+            GROUP BY e.event_type, n, lo_bound, hi_bound
+            ORDER BY event_type"""))
+
+  /** Token-balanced serpentine output sharding plan (16 shards). */
+  private val shards = Q(
+    "n97_balanced_shards",
+    "token-balanced writer sharding: serpentine round-robin over the length-descending global order",
+    (s, dir) => graft.operators.Packing
+      .balancedShards(Tables(s, dir).documents, nShards = 16)
+      .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tok,
+                CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id)
+                  AS BIGINT) AS rank
+              FROM t)
+            SELECT doc_id, n_tok, rank,
+              CAST(CASE WHEN ((rank - 1) // 16) % 2 = 0
+                   THEN (rank - 1) % 16
+                   ELSE 15 - (rank - 1) % 16 END AS INT) AS shard
+            FROM r ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
     clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift,
     containment, kAnon, attnSegs, calibration, budgetForecast, hybrid,
-    agreement)
+    agreement, winsorize, shards)
 }

@@ -1419,6 +1419,46 @@ object StreamingQueries extends QueryGroup {
             FROM t LEFT JOIN v USING (term)
             GROUP BY source ORDER BY source"""))
 
+  /** Streaming distribution-drift monitor — the χ² companion of the
+    * batch rank-sum audit (n88), built streaming-legal: the baseline
+    * per-(type, bucket) counts are a FROZEN offline artifact
+    * (broadcast), every incoming event joins its expected count
+    * BEFORE the single aggregation (stream-static join + one agg,
+    * update mode, one state row per bucket), and the per-bucket χ²
+    * contribution is a stateless projection. A bucket the baseline
+    * never saw emits NULL — the new-bucket alarm. The oracle is the
+    * batch replay over the same even/odd event split.
+    */
+  private val streamDriftMonitor = Q(
+    "s29_stream_drift_monitor",
+    "streaming chi-square drift monitor vs a frozen baseline histogram",
+    (s, dir) => {
+      val D = graft.operators.Drift
+      val base = D.baselineCounts(
+        Tables(s, dir).events.filter(col("event_id") % 2 === 0),
+        "event_type", "value").localCheckpoint()
+      val ev = eventsStream(s, dir).filter(col("event_id") % 2 === 1)
+      runToTable(D.chiSquareDrift(ev, base, "event_type", "value"),
+        "update").orderBy("event_type", "bucket")
+    },
+    Some("""WITH b AS (
+              SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
+                COUNT(*) AS expected
+              FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2)
+            SELECT event_type, bucket, observed, expected,
+              CAST(observed - expected AS DOUBLE)
+                * CAST(observed - expected AS DOUBLE)
+                / CAST(expected AS DOUBLE) AS contrib
+            FROM (
+              SELECT e.event_type,
+                CAST(FLOOR(value) AS BIGINT) AS bucket,
+                COUNT(*) AS observed, b.expected AS expected
+              FROM events e LEFT JOIN b ON b.event_type = e.event_type
+                AND b.bucket = CAST(FLOOR(value) AS BIGINT)
+              WHERE event_id % 2 = 1
+              GROUP BY 1, 2, 4)
+            ORDER BY event_type, bucket"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1427,5 +1467,5 @@ object StreamingQueries extends QueryGroup {
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
-    streamOovMonitor)
+    streamOovMonitor, streamDriftMonitor)
 }

@@ -1384,6 +1384,53 @@ class NorthStarSpec extends AnyFunSuite {
       out.getAs[Long]("n_containment") == 2L)
   }
 
+  test("winsorize bounds: exact order statistics on a 1..100 fixture") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("k", i.toDouble)).toDF("t", "v")
+    val out = graft.operators.Drift
+      .winsorizeBounds(df, "t", "v", loPct = 1, hiPct = 99).head()
+    assert(out.getAs[Long]("n") == 100L)
+    assert(out.getAs[Double]("lo_bound") == 1.0)   // rank ceil(1)  = 1
+    assert(out.getAs[Double]("hi_bound") == 99.0)  // rank ceil(99) = 99
+    assert(out.getAs[Long]("n_below") == 0L)
+    assert(out.getAs[Long]("n_above") == 1L)       // only 100 > 99
+  }
+
+  test("balanced shards: serpentine assignment evens out token totals") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.Packing.balancedShards(docs, 16).collect()
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to out.length).toSeq)
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_tok")).sum }
+    assert(byShard.keySet == (0 until 16).toSet)
+    // serpentine keeps shard totals tight: within a few percent of even
+    val (mx, mn) = (byShard.values.max.toDouble, byShard.values.min.toDouble)
+    assert(mx / mn < 1.05, s"shard skew too high: $byShard")
+    // the serpentine rule itself: ranks 1..16 ascend, 17..32 descend
+    val rankToShard = out.map(r =>
+      r.getAs[Long]("rank") -> r.getAs[Int]("shard")).toMap
+    (1 to 16).foreach(r => assert(rankToShard(r.toLong) == r - 1))
+    (17 to 32).foreach(r => assert(rankToShard(r.toLong) == 32 - r))
+  }
+
+  test("chi-square drift: a slice scored against its own baseline is zero") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val D = graft.operators.Drift
+    val base = D.baselineCounts(ev, "event_type", "value")
+    val out = D.chiSquareDrift(ev, base, "event_type", "value").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("observed") == r.getAs[Long]("expected"))
+      assert(r.getAs[Double]("contrib") == 0.0)
+    }
+    // and against a DISJOINT baseline every bucket is a new-bucket alarm
+    val none = D.chiSquareDrift(ev,
+      base.withColumn("bucket", col("bucket") + 1000000L),
+      "event_type", "value").collect()
+    assert(none.forall(_.isNullAt(none.head.fieldIndex("expected"))))
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
