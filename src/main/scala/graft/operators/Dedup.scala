@@ -93,6 +93,14 @@ object Dedup {
     // pipeline would persist or write out exactly this intermediate.
     val tok = shingled(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardPairsOn(tok, threshold)
+  }
+
+  /** [[jaccardPairs]] over a PREPARED (and ideally persisted) shingle
+    * table — lets compositions like [[methodAgreement]] share one
+    * shingle scan across several pair generators.
+    */
+  private def jaccardPairsOn(tok: DataFrame, threshold: Double): DataFrame = {
     // carry each doc's shingle count through the explode instead of
     // re-deriving it with a second (count-over-partition) window later
     val inv = tok.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -148,6 +156,14 @@ object Dedup {
       s"threshold must be in (0,1], got $threshold")
     val tok = shingled(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    containmentPairsOn(tok, threshold, dfCap)
+  }
+
+  /** [[containmentPairs]] over a prepared shingle table (see
+    * [[jaccardPairsOn]]).
+    */
+  private def containmentPairsOn(
+      tok: DataFrame, threshold: Double, dfCap: Int): DataFrame = {
     val inv = inverted(tok)
     val freq = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
     val rare = inv
@@ -180,9 +196,14 @@ object Dedup {
     */
   def methodAgreement(
       docs: DataFrame, n: Int, jt: Double, ct: Double): DataFrame = {
-    val jac = jaccardPairs(docs, n, jt)
+    // ONE shingle scan feeds both replays (the n95 oracle does the
+    // same with its shared tok table) — building each generator its
+    // own persisted copy would run the heaviest pass twice
+    val tok = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jac = jaccardPairsOn(tok, jt)
       .select(col("id_a"), col("id_b"), lit(true).as("in_jac"))
-    val cont = containmentPairs(docs, n, ct)
+    val cont = containmentPairsOn(tok, ct, 64)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.queries.Sql
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,6 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Order-insensitive exact sum of a double column (the decimal-cast
+    * route, kept local — the operator layer never imports the query
+    * layer).
+    */
+  private def dsum(c: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.types.DecimalType
+    sum(c.cast(DecimalType(28, 6))).cast("double")
+  }
+
   /** Rank-sum drift of `valueCol` between slice A (`inA`) and its
     * complement, per `key` group. Output: (key, n_a, n_b, u_a, u_b, z)
     * where u_a is slice A's Mann–Whitney U and z its normal
@@ -55,16 +63,26 @@ object Drift {
     val agg = mid.groupBy(col(key))
       .agg(sum(col("c_a")).as("n_a"),
         (sum(col("c")) - sum(col("c_a"))).as("n_b"),
-        Sql.dsum(col("c_a").cast("double") * col("midrank")).as("r_a"))
+        dsum(col("c_a").cast("double") * col("midrank")).as("r_a"))
+    // every n_a/n_b product goes DOUBLE factor by factor: the LONG
+    // products wrap silently past ~3e9 rows per key (n_a·n_b) or
+    // ~1.7e6 (the z denominator's triple product) — exactly the
+    // at-scale slices this audit is for; double multiplies are
+    // IEEE-deterministic in both engines
+    val nab = col("n_a").cast("double") * col("n_b").cast("double")
     agg
       .withColumn("u_a",
-        col("r_a") - (col("n_a") * (col("n_a") + 1L)).cast("double") / lit(2.0))
-      .withColumn("u_b",
-        (col("n_a") * col("n_b")).cast("double") - col("u_a"))
+        col("r_a") - col("n_a").cast("double") *
+          (col("n_a") + 1L).cast("double") / lit(2.0))
+      .withColumn("u_b", nab - col("u_a"))
       .withColumn("z",
-        (col("u_a") - (col("n_a") * col("n_b")).cast("double") / lit(2.0)) /
-          sqrt((col("n_a") * col("n_b") *
-            (col("n_a") + col("n_b") + 1L)).cast("double") / lit(12.0)))
+        // a key entirely inside one slice has sigma 0: NULL, not a
+        // silent NaN — the consumer treats it as its own alarm
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(
+            (col("u_a") - nab / lit(2.0)) /
+              sqrt(nab * (col("n_a") + col("n_b") + 1L).cast("double") /
+                lit(12.0))))
       .select(col(key), col("n_a"), col("n_b"), col("u_a"), col("u_b"),
         col("z"))
   }

@@ -224,8 +224,14 @@ object Mixture {
       .withColumn("s_s",
         floor(element_at(typedLit(weights), col("source")) * lit(1000000.0))
           .cast("long"))
+      // split multiply: s_s·T div 10⁶ == s_s·(T div 10⁶) + s_s·(T mod
+      // 10⁶) div 10⁶ exactly (non-negative operands), and neither term
+      // can overflow BIGINT for any s_s ≤ 10⁶ and T ≤ Long.Max — the
+      // naive product wraps silently past T ≈ 9.2e12, i.e. exactly the
+      // multi-trillion-token budgets this forecast exists for
       .withColumn("req_tokens",
-        expr(s"(s_s * ${targetTokens}L) div 1000000"))
+        expr(s"s_s * (${targetTokens}L div 1000000) + " +
+          s"(s_s * (${targetTokens}L % 1000000)) div 1000000"))
       .withColumn("epochs_pm",
         expr("(1000 * req_tokens) div avail_tokens"))
       .select("source", "avail_tokens", "req_tokens", "epochs_pm")

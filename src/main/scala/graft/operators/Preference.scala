@@ -179,6 +179,11 @@ object Preference {
       .select("source", "pair_id", "sgn", "b", "n")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPairs = pairs.count().toDouble
+    // an unpairable corpus (every source a single doc) must fail loudly:
+    // dividing the update by 0 pairs would silently poison all 64
+    // weights with NaN and every downstream gate would drop everything
+    require(nPairs > 0,
+      "no preference pairs could be mined (every source has < 2 docs)")
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     val ws = (1 to iters).map { _ =>
       val err = margins(ptk, w)

@@ -114,8 +114,14 @@ object Retrieval {
     require(k >= 1 && candidateK >= k,
       s"need candidateK >= k >= 1, got candidateK=$candidateK k=$k")
     val cands = bm25MoreLikeThis(docs, nQueries, candidateK)
+    // score ONLY the surviving candidates: the reward aggregation is a
+    // full tokenize+hash pass per doc it touches, and the join below
+    // discards every non-candidate row anyway — the semi-join bounds
+    // the reranker's cost by nQueries·candidateK, not the corpus
+    val candDocs = docs.join(
+      cands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
     val rewards = Preference
-      .scoreWith(docs, Preference.btTrain(docs))
+      .scoreWith(candDocs, Preference.btTrain(docs))
       .withColumnRenamed("score", "reward")
     val win = Window.partitionBy(col("q_id"))
       .orderBy(desc("reward"), asc("rank"))

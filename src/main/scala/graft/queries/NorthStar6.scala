@@ -470,12 +470,15 @@ object NorthStar6 extends QueryGroup {
                 ${Sql.oSum("CAST(c_a AS DOUBLE) * midrank")} AS r_a
               FROM m GROUP BY event_type)
             SELECT event_type, n_a, n_b, u_a,
-              CAST(n_a * n_b AS DOUBLE) - u_a AS u_b,
-              (u_a - CAST(n_a * n_b AS DOUBLE) / 2.0)
-                / sqrt(CAST(n_a * n_b * (n_a + n_b + 1) AS DOUBLE) / 12.0)
-                AS z
+              CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) - u_a AS u_b,
+              CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+                   ELSE (u_a - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / 2.0)
+                     / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       * CAST(n_a + n_b + 1 AS DOUBLE) / 12.0) END AS z
             FROM (SELECT event_type, n_a, n_b,
-                    r_a - CAST(n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a
+                    r_a - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE)
+                      / 2.0 AS u_a
                   FROM a)
             ORDER BY event_type"""))
 
