@@ -124,6 +124,28 @@ object Drift {
       .groupBy(col(key), col("bucket"))
       .agg(count(lit(1)).as("expected"))
 
+  /** Clip monitor against FROZEN winsorization bounds — the
+    * streaming-legal apply side of [[winsorizeBounds]]: the bounds are
+    * an offline artifact (broadcast), every incoming row joins its
+    * key's bounds BEFORE the one aggregation, and the output is the
+    * per-key seen/below/above counts a clipping pass would act on.
+    * Update mode, one state row per key. Output: (key, lo_bound,
+    * hi_bound, n_seen, n_below, n_above).
+    */
+  def clipMonitor(
+      df: DataFrame,
+      bounds: DataFrame,
+      key: String,
+      valueCol: String): DataFrame =
+    df.select(col(key), col(valueCol).as("v"))
+      .join(broadcast(bounds), key)
+      .groupBy(col(key), col("lo_bound"), col("hi_bound"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when(col("v") < col("lo_bound"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("v") > col("hi_bound"), 1L).otherwise(0L))
+          .as("n_above"))
+
   /** Rank-based winsorization bounds per key: the clip values a
     * training pipeline applies to a heavy-tailed numeric feed. The
     * bounds are ORDER STATISTICS — the value at rank ⌈loPct·n/100⌉

@@ -430,4 +430,64 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         count(when(col("in_vocab").isNull, lit(1))).as("n_oov"))
       .withColumn("oov_rate", col("n_oov").cast("double") / col("n_terms"))
+
+  /** Agreement between two quality GATES — the heuristic composite
+    * ([[qualityScore]]'s keep flag) and the Gopher word-shape rules
+    * ([[gopherQualityRules]]'s composite) — as Cohen's kappa: raw
+    * agreement corrected for the agreement two independent gates with
+    * these keep rates would show by chance. Two filters that look 90%
+    * consistent can be barely better than coin flips once both keep
+    * most documents; kappa is the number that says whether running the
+    * second gate adds signal. Degenerate margins (pe = 1: both gates
+    * constant) yield NULL, not a 0/0 NaN. Output: one row
+    * (n, n11, n10, n01, n00, po, pe, kappa).
+    *
+    * Scale shape: two scan-stage predicate projections joined on
+    * doc_id, ONE global aggregation of four conditional counts;
+    * the kappa arithmetic is driver-free column math on the 1-row
+    * result.
+    */
+  def gateAgreement(docs: DataFrame): DataFrame = {
+    val a = qualityScore(docs).select(col("doc_id"),
+      col("quality_ok").as("ga"))
+    val b = gopherQualityRules(docs).select(col("doc_id"),
+      col("gopher_ok").as("gb"))
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+      .withColumn("pa",
+        (col("n11") + col("n10")).cast("double") / col("n").cast("double"))
+      .withColumn("pb",
+        (col("n11") + col("n01")).cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        col("pa") * col("pb") +
+          (lit(1.0) - col("pa")) * (lit(1.0) - col("pb")))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(null))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select("n", "n11", "n10", "n01", "n00", "po", "pe", "kappa")
+  }
+
+  /** Language-ID confusion matrix: [[languageId]]'s predictions
+    * against the labeled language, with per-label recall rates — the
+    * eval that says where the n09 heuristic misroutes documents (and
+    * therefore which languages a lang-gated mixture over- or
+    * under-samples). Output: (labeled_lang, pred_lang, n, n_labeled,
+    * rate). One hash aggregation + one label-partitioned window.
+    */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    languageId(docs)
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_labeled",
+        sum(col("n")).over(Window.partitionBy(col("labeled_lang"))))
+      .withColumn("rate",
+        col("n").cast("double") / col("n_labeled").cast("double"))
+  }
 }

@@ -767,8 +767,106 @@ object NorthStar6 extends QueryGroup {
                    ELSE 15 - (rank - 1) % 16 END AS INT) AS shard
             FROM r ORDER BY doc_id"""))
 
+  /** Cohen's kappa between the two rule-based quality gates. */
+  private val gateKappa = Q(
+    "n98_gate_kappa",
+    "Cohen's kappa agreement between the heuristic quality gate and the Gopher rules",
+    (s, dir) => graft.operators.TextAnalysis
+      .gateAgreement(Tables(s, dir).documents),
+    Some("""WITH t AS (
+              SELECT doc_id, text, string_split(text, ' ') AS ts,
+                length(replace(text, ' ', '')) AS sum_len
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                (len(ts) >= 5
+                 AND (length(text) - length(regexp_replace(text,
+                     '[^a-zA-Z0-9 ]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) < 0.2
+                 AND (length(text) - length(regexp_replace(text,
+                     '[0-9]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE) < 0.3) AS ga,
+                ((len(ts) >= 10 AND len(ts) <= 100000)
+                 AND (CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
+                        >= 3.0
+                      AND CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
+                        <= 10.0)
+                 AND (len(list_filter(ts,
+                       x -> regexp_matches(x, '[a-zA-Z]'))) * 5
+                      >= len(ts) * 4)
+                 AND ((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(ts, 'a') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END
+                       + CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+                      >= 2)) AS gb
+              FROM t),
+            c AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+                CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+                CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+                CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+              FROM p)
+            SELECT n, n11, n10, n01, n00, po, pe,
+              CASE WHEN pe = 1.0 THEN NULL
+                   ELSE (po - pe) / (1.0 - pe) END AS kappa
+            FROM (
+              SELECT *,
+                CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+                (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                  AS pe
+              FROM c)"""))
+
+  /** Language-ID confusion matrix vs the labeled language. */
+  private val langConf = {
+    val markers = graft.operators.TextAnalysis.LangMarkers
+    val scoreCols = markers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      s"""CAST(len(list_filter(string_split(text, ' '),
+          t -> list_contains([$list], t))) AS INT) AS score_$l"""
+    }.mkString(",\n")
+    val langs = markers.map(_._1)
+    val bestExpr = langs.map(l => s"score_$l")
+      .mkString("greatest(", ", ", ")")
+    val caseExpr = langs.map(l =>
+      s"WHEN score_$l = $bestExpr AND $bestExpr > 0 THEN '$l'")
+      .mkString("\n")
+    Q(
+      "n99_langid_confusion",
+      "language-ID confusion matrix: predictions vs labels with per-label rates",
+      (s, dir) => graft.operators.TextAnalysis
+        .langConfusion(Tables(s, dir).documents)
+        .orderBy("labeled_lang", "pred_lang"),
+      Some(s"""WITH sc AS (
+                SELECT lang AS labeled_lang, $scoreCols
+                FROM documents),
+              pr AS (
+                SELECT labeled_lang,
+                  CASE $caseExpr ELSE 'und' END AS pred_lang
+                FROM sc),
+              cm AS (
+                SELECT labeled_lang, pred_lang,
+                  CAST(COUNT(*) AS BIGINT) AS n
+                FROM pr GROUP BY 1, 2),
+              tot AS (
+                SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+                FROM cm GROUP BY 1)
+              SELECT labeled_lang, pred_lang, n, n_labeled,
+                CAST(n AS DOUBLE) / CAST(n_labeled AS DOUBLE) AS rate
+              FROM cm JOIN tot USING (labeled_lang)
+              ORDER BY labeled_lang, pred_lang"""))
+  }
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
     clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift,
     containment, kAnon, attnSegs, calibration, budgetForecast, hybrid,
-    agreement, winsorize, shards)
+    agreement, winsorize, shards, gateKappa, langConf)
 }

@@ -1459,6 +1459,48 @@ object StreamingQueries extends QueryGroup {
               GROUP BY 1, 2, 4)
             ORDER BY event_type, bucket"""))
 
+  /** Streaming clip monitor — the apply side of the n96 winsorization
+    * bounds, the third member of the frozen-artifact monitor family
+    * (s28 vocabulary, s29 baseline histogram, s30 clip bounds): the
+    * bounds are fitted offline on the batch corpus, broadcast, and the
+    * stream accumulates per-key seen/below/above counts in update mode
+    * (one state row per key). The oracle is the batch replay the
+    * stream must converge to.
+    */
+  private val streamClipMonitor = Q(
+    "s30_stream_clip_monitor",
+    "streaming winsorization-clip monitor under batch-fitted bounds",
+    (s, dir) => {
+      val D = graft.operators.Drift
+      val bounds = D.winsorizeBounds(Tables(s, dir).events,
+        "event_type", "value")
+        .select("event_type", "lo_bound", "hi_bound").localCheckpoint()
+      val ev = eventsStream(s, dir)
+      runToTable(D.clipMonitor(ev, bounds, "event_type", "value"),
+        "update").orderBy("event_type")
+    },
+    Some("""WITH r AS (
+              SELECT event_type, value AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            b AS (
+              SELECT event_type,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 1 + 99) // 100)
+                    THEN v END) AS lo_bound,
+                MIN(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN v END) AS hi_bound
+              FROM r GROUP BY event_type, n)
+            SELECT e.event_type, lo_bound, hi_bound,
+              COUNT(*) AS n_seen,
+              CAST(SUM(CASE WHEN value < lo_bound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+              CAST(SUM(CASE WHEN value > hi_bound THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above
+            FROM events e JOIN b USING (event_type)
+            GROUP BY 1, 2, 3 ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1467,5 +1509,5 @@ object StreamingQueries extends QueryGroup {
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
-    streamOovMonitor, streamDriftMonitor)
+    streamOovMonitor, streamDriftMonitor, streamClipMonitor)
 }

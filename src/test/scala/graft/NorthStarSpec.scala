@@ -1431,6 +1431,58 @@ class NorthStarSpec extends AnyFunSuite {
     assert(none.forall(_.isNullAt(none.head.fieldIndex("expected"))))
   }
 
+  test("gate kappa: one doc per agreement cell gives exactly zero") {
+    // ga=quality_ok, gb=gopher_ok — one doc in each of the four cells:
+    // both-keep, ga-only (<10 words), gb-only (digit ratio sinks ga),
+    // both-drop. Perfectly balanced margins → po = pe = 0.5, kappa = 0.
+    val out = graft.operators.TextAnalysis.gateAgreement(docsDF(
+      1L -> "the quick brown fox and dog run over hill with some grace",
+      2L -> "the cat and dog ran",
+      3L -> "the a and of to ab123 cd456 ef789 gh123 ij456",
+      4L -> "12345")).head()
+    assert(out.getAs[Long]("n") == 4L)
+    assert((out.getAs[Long]("n11"), out.getAs[Long]("n10"),
+      out.getAs[Long]("n01"), out.getAs[Long]("n00")) == ((1L, 1L, 1L, 1L)))
+    assert(out.getAs[Double]("po") == 0.5)
+    assert(out.getAs[Double]("pe") == 0.5)
+    assert(out.getAs[Double]("kappa") == 0.0)
+  }
+
+  test("lang confusion: per-label rows sum and a planted doc routes home") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.TextAnalysis.langConfusion(docs).collect()
+    out.groupBy(_.getAs[String]("labeled_lang")).foreach { case (_, rows) =>
+      val total = rows.head.getAs[Long]("n_labeled")
+      assert(rows.map(_.getAs[Long]("n")).sum == total)
+      assert(math.abs(rows.map(_.getAs[Double]("rate")).sum - 1.0) < 1e-9)
+    }
+    // a doc made of English stopwords must predict 'en'
+    val planted = graft.operators.TextAnalysis
+      .languageId(docsDF(1L -> "the and of to a the and of")
+        .withColumn("lang", lit("en")))
+      .head()
+    assert(planted.getAs[String]("pred_lang") == "en")
+  }
+
+  test("clip monitor on the batch equals the winsorize bound counts") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val D = graft.operators.Drift
+    val bounds = D.winsorizeBounds(ev, "event_type", "value")
+    val mon = D.clipMonitor(ev,
+      bounds.select("event_type", "lo_bound", "hi_bound"),
+      "event_type", "value").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_seen"), r.getAs[Long]("n_below"),
+          r.getAs[Long]("n_above")))).toMap
+    bounds.collect().foreach { r =>
+      val k = r.getAs[String]("event_type")
+      val (seen, below, above) = mon(k)
+      assert(seen == r.getAs[Long]("n"))
+      assert(below == r.getAs[Long]("n_below"))
+      assert(above == r.getAs[Long]("n_above"))
+    }
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
