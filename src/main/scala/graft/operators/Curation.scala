@@ -108,4 +108,53 @@ object Curation {
       .join(survivors.select("doc_id", "source"), "doc_id")
       .select("doc_id", "source", "component", "score")
   }
+
+  /** Corpus release healthcheck — the one-row report a snapshot ships
+    * with, composing the per-doc signals the individual operators
+    * verify: size (docs/tokens/mean), exact-duplicate rate
+    * (fingerprint-distinct), both quality gates' keep rates, the PII
+    * incidence, and language coverage. Every rate is an exact integer
+    * count over one division, so the whole row sits under the hash
+    * oracle.
+    *
+    * Scale shape: ONE corpus scan computing all per-doc signals
+    * (fingerprint, token count, gate predicates, PII regexes — all
+    * scan-stage) plus a single multi-distinct aggregation (Spark
+    * plans it with an expand, the q38 shape). Nothing driver-side.
+    */
+  def releaseHealthcheck(docs: DataFrame): DataFrame = {
+    val piiHit = TextAnalysis.PiiPatterns
+      .map { case (_, pat, _) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))) > 0
+      }
+      .reduce(_ || _)
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      fingerprint(col("text")).as("fp"),
+      piiHit.as("pii_hit"))
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_ok"))
+    val g = TextAnalysis.gopherQualityRules(docs)
+      .select(col("doc_id"), col("gopher_ok"))
+    base.join(q, "doc_id").join(g, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("gopher_ok"), 1L).otherwise(0L)).as("n_gopher_ok"),
+        sum(when(col("pii_hit"), 1L).otherwise(0L)).as("n_pii_docs"))
+      .select(col("n_docs"), col("n_tokens"), col("n_distinct"),
+        col("n_langs"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"),
+        (col("n_quality_ok").cast("double") / col("n_docs").cast("double"))
+          .as("quality_keep_rate"),
+        (col("n_gopher_ok").cast("double") / col("n_docs").cast("double"))
+          .as("gopher_keep_rate"),
+        (col("n_pii_docs").cast("double") / col("n_docs").cast("double"))
+          .as("pii_doc_rate"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"))
+  }
 }

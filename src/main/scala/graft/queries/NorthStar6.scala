@@ -767,26 +767,19 @@ object NorthStar6 extends QueryGroup {
                    ELSE 15 - (rank - 1) % 16 END AS INT) AS shard
             FROM r ORDER BY doc_id"""))
 
-  /** Cohen's kappa between the two rule-based quality gates. */
-  private val gateKappa = Q(
-    "n98_gate_kappa",
-    "Cohen's kappa agreement between the heuristic quality gate and the Gopher rules",
-    (s, dir) => graft.operators.TextAnalysis
-      .gateAgreement(Tables(s, dir).documents),
-    Some("""WITH t AS (
-              SELECT doc_id, text, string_split(text, ' ') AS ts,
-                length(replace(text, ' ', '')) AS sum_len
-              FROM documents),
-            p AS (
-              SELECT doc_id,
-                (len(ts) >= 5
+  /** The two gate predicates as SQL over a frame exposing (text, ts,
+    * sum_len) — shared by the n98 kappa oracle and the n100
+    * healthcheck oracle.
+    */
+  private val gaSql: String = """(len(ts) >= 5
                  AND (length(text) - length(regexp_replace(text,
                      '[^a-zA-Z0-9 ]', '', 'g')))
                    / CAST(length(text) AS DOUBLE) < 0.2
                  AND (length(text) - length(regexp_replace(text,
                      '[0-9]', '', 'g')))
-                   / CAST(length(text) AS DOUBLE) < 0.3) AS ga,
-                ((len(ts) >= 10 AND len(ts) <= 100000)
+                   / CAST(length(text) AS DOUBLE) < 0.3)"""
+
+  private val gbSql: String = """((len(ts) >= 10 AND len(ts) <= 100000)
                  AND (CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
                         >= 3.0
                       AND CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
@@ -799,7 +792,22 @@ object NorthStar6 extends QueryGroup {
                        + CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END
                        + CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END
                        + CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
-                      >= 2)) AS gb
+                      >= 2))"""
+
+  /** Cohen's kappa between the two rule-based quality gates. */
+  private val gateKappa = Q(
+    "n98_gate_kappa",
+    "Cohen's kappa agreement between the heuristic quality gate and the Gopher rules",
+    (s, dir) => graft.operators.TextAnalysis
+      .gateAgreement(Tables(s, dir).documents),
+    Some(s"""WITH t AS (
+              SELECT doc_id, text, string_split(text, ' ') AS ts,
+                length(replace(text, ' ', '')) AS sum_len
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                $gaSql AS ga,
+                $gbSql AS gb
               FROM t),
             c AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -865,8 +873,48 @@ object NorthStar6 extends QueryGroup {
               ORDER BY labeled_lang, pred_lang"""))
   }
 
+  /** The one-row corpus release healthcheck. */
+  private val healthcheck = Q(
+    "n100_corpus_healthcheck",
+    "release healthcheck: size, dup rate, gate keep rates, PII incidence, language coverage",
+    (s, dir) => graft.operators.Curation
+      .releaseHealthcheck(Tables(s, dir).documents),
+    Some(s"""WITH b AS (
+              SELECT doc_id, lang, text, string_split(text, ' ') AS ts,
+                length(replace(text, ' ', '')) AS sum_len,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                substr(md5(trim(regexp_replace(lower(text),
+                  '\\s+', ' ', 'g'))), 1, 16) AS fp,
+                (len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) > 0
+                 OR len(regexp_extract_all(text,
+                   '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) > 0
+                 OR len(regexp_extract_all(text, '[0-9]{8,}')) > 0)
+                  AS pii_hit
+              FROM documents),
+            p AS (
+              SELECT n_tok, fp, lang, pii_hit,
+                $gaSql AS qok,
+                $gbSql AS gok
+              FROM b)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+              CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+              1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+              CAST(SUM(CASE WHEN qok THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS quality_keep_rate,
+              CAST(SUM(CASE WHEN gok THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS gopher_keep_rate,
+              CAST(SUM(CASE WHEN pii_hit THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS pii_doc_rate,
+              CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS mean_tokens
+            FROM p"""))
+
   val all: Seq[Q] = Seq(chatMask, fim, spanCorrupt, prefPairs, btReward,
     clusterCap, bestOfN, docValue, curriculum, bm25, vocabCov, drift,
     containment, kAnon, attnSegs, calibration, budgetForecast, hybrid,
-    agreement, winsorize, shards, gateKappa, langConf)
+    agreement, winsorize, shards, gateKappa, langConf, healthcheck)
 }

@@ -1483,6 +1483,27 @@ class NorthStarSpec extends AnyFunSuite {
     }
   }
 
+  test("release healthcheck: dup, pii, language and size accounting exact") {
+    val docs = docsDF(
+      1L -> "the cat and dog ran home today again now ok",
+      2L -> "the cat and dog ran home today again now ok", // exact dup
+      3L -> "contact me at bob@example.com for info please",
+      4L -> "12345")
+      .withColumn("lang",
+        when(col("doc_id") === 4L, lit("de")).otherwise(lit("en")))
+    val out = graft.operators.Curation.releaseHealthcheck(docs).head()
+    assert(out.getAs[Long]("n_docs") == 4L)
+    assert(out.getAs[Long]("n_tokens") == 10L + 10L + 7L + 1L)
+    assert(out.getAs[Long]("n_distinct") == 3L)
+    assert(out.getAs[Long]("n_langs") == 2L)
+    assert(out.getAs[Double]("dup_rate") == 0.25)
+    assert(out.getAs[Double]("pii_doc_rate") == 0.25, "the email doc")
+    assert(out.getAs[Double]("mean_tokens") == 28.0 / 4.0)
+    val (qr, gr) = (out.getAs[Double]("quality_keep_rate"),
+      out.getAs[Double]("gopher_keep_rate"))
+    assert(qr >= 0.0 && qr <= 1.0 && gr >= 0.0 && gr <= 1.0)
+  }
+
   test("minhash signature is deterministic and has the configured width") {
     val sig = corpus
       .select(TextFunctions.minHashSignature(
