@@ -128,15 +128,16 @@ object Curation {
         size(regexp_extract_all(col("text"), lit(pat), lit(0))) > 0
       }
       .reduce(_ || _)
+    // genuinely ONE scan: every signal — fingerprint, token count,
+    // both gate predicates, the PII regexes — is a per-row expression
+    // in the same projection (no doc_id joins, no rescans)
     val base = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tok"),
       fingerprint(col("text")).as("fp"),
-      piiHit.as("pii_hit"))
-    val q = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality_ok"))
-    val g = TextAnalysis.gopherQualityRules(docs)
-      .select(col("doc_id"), col("gopher_ok"))
-    base.join(q, "doc_id").join(g, "doc_id")
+      piiHit.as("pii_hit"),
+      TextAnalysis.qualityOkCol.as("quality_ok"),
+      TextAnalysis.gopherOkCol.as("gopher_ok"))
+    base
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         countDistinct(col("fp")).as("n_distinct"),

@@ -196,6 +196,11 @@ object Dedup {
     */
   def methodAgreement(
       docs: DataFrame, n: Int, jt: Double, ct: Double): DataFrame = {
+    // the private *On cores skip the public entry points, so validate
+    // both thresholds here — an out-of-range ct would otherwise keep
+    // every candidate pair and silently poison the one-row report
+    require(jt > 0 && jt <= 1, s"jt must be in (0,1], got $jt")
+    require(ct > 0 && ct <= 1, s"ct must be in (0,1], got $ct")
     // ONE shingle scan feeds both replays (the n95 oracle does the
     // same with its shared tok table) — building each generator its
     // own persisted copy would run the heaviest pass twice

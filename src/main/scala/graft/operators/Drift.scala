@@ -138,7 +138,11 @@ object Drift {
       key: String,
       valueCol: String): DataFrame =
     df.select(col(key), col(valueCol).as("v"))
-      .join(broadcast(bounds), key)
+      // LEFT join: a key the bounds artifact never saw must still emit
+      // its row (NULL bounds = the new-feed alarm, the chiSquareDrift
+      // convention) — an inner join would silently discard exactly the
+      // unbounded feed a clip monitor exists to catch
+      .join(broadcast(bounds), Seq(key), "left")
       .groupBy(col(key), col("lo_bound"), col("hi_bound"))
       .agg(count(lit(1)).as("n_seen"),
         sum(when(col("v") < col("lo_bound"), 1L).otherwise(0L))

@@ -232,8 +232,13 @@ object Mixture {
       .withColumn("req_tokens",
         expr(s"s_s * (${targetTokens}L div 1000000) + " +
           s"(s_s * (${targetTokens}L % 1000000)) div 1000000"))
+      // same split identity for the epoch ratio: 1000·r div a ==
+      // 1000·(r div a) + (1000·(r mod a)) div a — `1000 * req_tokens`
+      // alone wraps past r ≈ 9.2e15, inside the domain the req_tokens
+      // fix above guarantees
       .withColumn("epochs_pm",
-        expr("(1000 * req_tokens) div avail_tokens"))
+        expr("1000 * (req_tokens div avail_tokens) + " +
+          "(1000 * (req_tokens % avail_tokens)) div avail_tokens"))
       .select("source", "avail_tokens", "req_tokens", "epochs_pm")
   }
 

@@ -49,6 +49,37 @@ object TextAnalysis {
     * ratio, and a composite keep/drop flag — the standard pre-training
     * corpus filter shape.
     */
+  /** The [[qualityScore]] keep predicate as a single per-row Column —
+    * identical arithmetic (the gaSql oracle form), usable inside any
+    * one-scan projection ([[gateAgreement]], the n100 healthcheck).
+    */
+  private[operators] def qualityOkCol: Column = {
+    val toks = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val punct = (nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+    val digits = (nChars - length(regexp_replace(col("text"), "[0-9]", "")))
+    (size(toks) >= 5) && ((punct / nChars) < 0.2) &&
+      ((digits / nChars) < 0.3)
+  }
+
+  /** The [[gopherQualityRules]] composite as a single per-row Column
+    * (the gbSql oracle form).
+    */
+  private[operators] def gopherOkCol: Column = {
+    val ts = split(col("text"), " ")
+    val nWords = size(ts)
+    val sumLen = length(translate(col("text"), " ", ""))
+    val meanLen = sumLen.cast("double") / nWords
+    val nAlpha = size(filter(ts, t => t.rlike("[a-zA-Z]")))
+    val stopHits = Seq("the", "a", "and", "of", "to")
+      .map(w => when(array_contains(ts, w), 1).otherwise(0))
+      .reduce(_ + _)
+    (nWords >= 10 && nWords <= 100000) &&
+      (meanLen >= 3.0 && meanLen <= 10.0) &&
+      (nAlpha * 5 >= nWords * 4) &&
+      (stopHits >= 2)
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nChars = length(col("text")).cast("double")
@@ -448,11 +479,10 @@ object TextAnalysis {
     * result.
     */
   def gateAgreement(docs: DataFrame): DataFrame = {
-    val a = qualityScore(docs).select(col("doc_id"),
-      col("quality_ok").as("ga"))
-    val b = gopherQualityRules(docs).select(col("doc_id"),
-      col("gopher_ok").as("gb"))
-    a.join(b, "doc_id")
+    // ONE scan: both predicates are per-row expressions ([[qualityOkCol]]
+    // / [[gopherOkCol]] — identical arithmetic to the frame-producing
+    // operators), so the 4-cell table never joins or rescans the corpus
+    docs.select(qualityOkCol.as("ga"), gopherOkCol.as("gb"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n11"),
         sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n10"),

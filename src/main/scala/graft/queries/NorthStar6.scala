@@ -835,18 +835,11 @@ object NorthStar6 extends QueryGroup {
 
   /** Language-ID confusion matrix vs the labeled language. */
   private val langConf = {
-    val markers = graft.operators.TextAnalysis.LangMarkers
-    val scoreCols = markers.map { case (l, ws) =>
-      val list = ws.map(w => s"'$w'").mkString(", ")
-      s"""CAST(len(list_filter(string_split(text, ' '),
-          t -> list_contains([$list], t))) AS INT) AS score_$l"""
-    }.mkString(",\n")
-    val langs = markers.map(_._1)
-    val bestExpr = langs.map(l => s"score_$l")
-      .mkString("greatest(", ", ", ")")
-    val caseExpr = langs.map(l =>
-      s"WHEN score_$l = $bestExpr AND $bestExpr > 0 THEN '$l'")
-      .mkString("\n")
+    // the score/argmax SQL is the n09 oracle's generator, shared
+    // (NorthStar.langScoreColsSql/langCaseSql) — one heuristic, one
+    // replay definition
+    val scoreCols = NorthStar.langScoreColsSql
+    val caseExpr = NorthStar.langCaseSql
     Q(
       "n99_langid_confusion",
       "language-ID confusion matrix: predictions vs labels with per-label rates",
@@ -873,6 +866,17 @@ object NorthStar6 extends QueryGroup {
               ORDER BY labeled_lang, pred_lang"""))
   }
 
+  /** The n23 PII patterns as one DuckDB hit predicate — generated
+    * from [[graft.operators.TextAnalysis.PiiPatterns]] (the n23 oracle
+    * policy), so a pattern change updates operator and oracle together.
+    */
+  private val piiHitSql: String =
+    graft.operators.TextAnalysis.PiiPatterns
+      .map { case (_, pat, _) =>
+        s"len(regexp_extract_all(text, '$pat')) > 0"
+      }
+      .mkString("(", "\n                 OR ", ")")
+
   /** The one-row corpus release healthcheck. */
   private val healthcheck = Q(
     "n100_corpus_healthcheck",
@@ -885,12 +889,7 @@ object NorthStar6 extends QueryGroup {
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
                 substr(md5(trim(regexp_replace(lower(text),
                   '\\s+', ' ', 'g'))), 1, 16) AS fp,
-                (len(regexp_extract_all(text,
-                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) > 0
-                 OR len(regexp_extract_all(text,
-                   '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) > 0
-                 OR len(regexp_extract_all(text, '[0-9]{8,}')) > 0)
-                  AS pii_hit
+                $piiHitSql AS pii_hit
               FROM documents),
             p AS (
               SELECT n_tok, fp, lang, pii_hit,
