@@ -137,12 +137,24 @@ object Dedup {
     * not symmetric), so candidate generation anchors on RARE shingles
     * instead: pairs must share a shingle with document frequency
     * ≤ `dfCap` (the standard boilerplate-suppression trick — common
-    * chrome shingles never generate candidates; a contained doc
-    * shares ALL its shingles with its container, so any rare shingle
-    * anchors the pair; docs made purely of boilerplate are n55's
-    * business). Verification computes exact containment over the full
-    * shingle sets, candidates only. The oracle replays the cap and
-    * the verify, so the emitted pair set is hash-exact.
+    * chrome shingles never generate candidates; docs made purely of
+    * boilerplate are n55's business).
+    *
+    * RECALL BOUND — the cap is part of the declared semantics, and it
+    * is exact only at `threshold = 1.0`: a fully contained doc shares
+    * ALL its shingles with its container, so ANY rare shingle anchors
+    * the pair, and a doc with zero rare shingles is pure boilerplate
+    * by definition. For thresholds < 1.0 the guarantee weakens — a
+    * 0.9-contained doc whose shared shingles are all frequent (df >
+    * dfCap) while its rare shingles sit in the unshared 10% generates
+    * no candidate and is silently missed. Callers needing exact
+    * recall below 1.0 must raise `dfCap` toward the corpus size
+    * (degrading toward all-pairs) or anchor on each doc's own rarest
+    * shingles prefix-style; this operator deliberately ships the
+    * df-capped trade because boilerplate-chrome fan-out, not tail
+    * recall, is what kills containment dedup at 100 TB. The oracle
+    * replays the SAME cap and the exact verify, so the emitted pair
+    * set is hash-exact against the declared (capped) semantics.
     *
     * Scale shape: df is one shingle-keyed aggregation; the candidate
     * join fans out Σ_rare df² ≤ dfCap · Σ df — bounded per shingle;

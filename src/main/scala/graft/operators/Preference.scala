@@ -175,15 +175,17 @@ object Preference {
       .unionByName(pairs
         .select(col("source"), col("pair_id"),
           col("rejected_id").as("doc_id"), lit(-1).as("sgn")))
+    // an unpairable corpus (every source a single doc) must fail loudly:
+    // dividing the update by 0 pairs would silently poison all 64
+    // weights with NaN and every downstream gate would drop everything.
+    // Counted BEFORE the persist below — the failure path must not throw
+    // with a freshly-cached frame nobody will ever unpersist.
+    val nPairs = pairs.count().toDouble
+    require(nPairs > 0,
+      "no preference pairs could be mined (every source has < 2 docs)")
     val ptk = pt.join(tk, "doc_id")
       .select("source", "pair_id", "sgn", "b", "n")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nPairs = pairs.count().toDouble
-    // an unpairable corpus (every source a single doc) must fail loudly:
-    // dividing the update by 0 pairs would silently poison all 64
-    // weights with NaN and every downstream gate would drop everything
-    require(nPairs > 0,
-      "no preference pairs could be mined (every source has < 2 docs)")
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     val ws = (1 to iters).map { _ =>
       val err = margins(ptk, w)
@@ -200,6 +202,37 @@ object Preference {
       w
     }
     (pairs, ptk, ws)
+  }
+
+  /** The plan shape of ONE Bradley–Terry gradient round over a
+    * pair-token frame — the exact two keyed aggregations + one keyed
+    * join [[trainCore]] executes per iteration against the persisted
+    * `ptk` (margins per (source, pair_id), then the b-keyed gradient),
+    * exposed for plan audits the [[Mixture.roundLossPlan]] way: the
+    * trainer's real rounds run against an already-persisted frame, so
+    * the audit applies the round to a ptk-SHAPED stand-in built from
+    * `docs` by scan-stage arithmetic (no mining windows in the
+    * lineage — those run ONCE before the persist, not per round). A
+    * window, limit, or lost equi-key sneaking into this frame would
+    * serialize every GD round at scale; PlanQualitySpec pins its
+    * absence.
+    */
+  private[graft] def btRoundPlan(docs: DataFrame): DataFrame = {
+    import QualityModel.sig
+    val ptk = docs.select(
+      col("source"),
+      pmod(col("doc_id"), lit(16)).cast("int").as("pair_id"),
+      when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(-1)).as("sgn"),
+      pmod(col("doc_id"), lit(64)).cast("int").as("b"),
+      greatest(col("n_chars"), lit(1L)).cast("int").as("n"))
+    val w: IndexedSeq[Double] = Vector.fill(QualityModel.Dim)(0.0)
+    val err = margins(ptk, w)
+      .select(col("source"), col("pair_id"),
+        (sig(col("margin")) - lit(1.0)).as("err"))
+    ptk.join(err, Seq("source", "pair_id"))
+      .groupBy("b")
+      .agg(QualityModel.xsum(col("sgn").cast("double") * col("err") /
+        col("n").cast("double")).as("g"))
   }
 
   /** Per-pair margins Σ sgn·w_b/n over the pair-token frame. */

@@ -58,8 +58,14 @@ object TextAnalysis {
     val nChars = length(col("text")).cast("double")
     val punct = (nChars - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
     val digits = (nChars - length(regexp_replace(col("text"), "[0-9]", "")))
-    (size(toks) >= 5) && ((punct / nChars) < 0.2) &&
-      ((digits / nChars) < 0.3)
+    // coalesce: an empty text makes both ratios NULL (x/0) and a NULL
+    // text makes everything NULL — either must land deterministically
+    // in the not-kept cell, or the kappa/healthcheck four-cell counts
+    // stop summing to n (the oracle applies the same COALESCE)
+    coalesce(
+      (size(toks) >= 5) && ((punct / nChars) < 0.2) &&
+        ((digits / nChars) < 0.3),
+      lit(false))
   }
 
   /** The [[gopherQualityRules]] composite as a single per-row Column
@@ -74,10 +80,13 @@ object TextAnalysis {
     val stopHits = Seq("the", "a", "and", "of", "to")
       .map(w => when(array_contains(ts, w), 1).otherwise(0))
       .reduce(_ + _)
-    (nWords >= 10 && nWords <= 100000) &&
-      (meanLen >= 3.0 && meanLen <= 10.0) &&
-      (nAlpha * 5 >= nWords * 4) &&
-      (stopHits >= 2)
+    // same NULL-text determinism contract as [[qualityOkCol]]
+    coalesce(
+      (nWords >= 10 && nWords <= 100000) &&
+        (meanLen >= 3.0 && meanLen <= 10.0) &&
+        (nAlpha * 5 >= nWords * 4) &&
+        (stopHits >= 2),
+      lit(false))
   }
 
   def qualityScore(docs: DataFrame): DataFrame = {

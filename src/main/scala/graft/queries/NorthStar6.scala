@@ -771,15 +771,15 @@ object NorthStar6 extends QueryGroup {
     * sum_len) — shared by the n98 kappa oracle and the n100
     * healthcheck oracle.
     */
-  private val gaSql: String = """(len(ts) >= 5
+  private val gaSql: String = """COALESCE((len(ts) >= 5
                  AND (length(text) - length(regexp_replace(text,
                      '[^a-zA-Z0-9 ]', '', 'g')))
                    / CAST(length(text) AS DOUBLE) < 0.2
                  AND (length(text) - length(regexp_replace(text,
                      '[0-9]', '', 'g')))
-                   / CAST(length(text) AS DOUBLE) < 0.3)"""
+                   / CAST(length(text) AS DOUBLE) < 0.3), FALSE)"""
 
-  private val gbSql: String = """((len(ts) >= 10 AND len(ts) <= 100000)
+  private val gbSql: String = """COALESCE(((len(ts) >= 10 AND len(ts) <= 100000)
                  AND (CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
                         >= 3.0
                       AND CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
@@ -792,7 +792,7 @@ object NorthStar6 extends QueryGroup {
                        + CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END
                        + CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END
                        + CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
-                      >= 2))"""
+                      >= 2)), FALSE)"""
 
   /** Cohen's kappa between the two rule-based quality gates. */
   private val gateKappa = Q(

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -40,6 +41,16 @@ object StreamingQueries extends QueryGroup {
         .parquet(dir))
   }
 
+  /** Read the documents table as a file stream — the shared source of
+    * every batch-model → streaming-apply gate (s16/s19/s21/s23/s26/
+    * s27/s28).
+    */
+  private def docsStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   private def runToTable(
       df: org.apache.spark.sql.DataFrame,
       mode: String,
@@ -70,17 +81,425 @@ object StreamingQueries extends QueryGroup {
     spark.table(name)
   }
 
-  private val completeMode = Q(
-    "s01_stream_tumbling_complete",
-    "streaming tumbling windows, complete mode (all windows emitted)",
-    (s, dir) => {
-      val windowed = eventsStream(s, dir)
+  /** Pre-sink streaming frames (and, for the foreachBatch queries,
+    * batch-shaped interior frames built through the SAME shared
+    * operator functions on stand-in inputs), extracted so that each
+    * query's `run` and [[auditFrames]] — the PlanQualitySpec streaming
+    * sweep — plan the identical lineage. A frame here is never
+    * executed by the audit: the spec reads its analyzed/optimized
+    * logical plan only.
+    */
+  private object Frames {
+    def s01(s: SparkSession, dir: String): DataFrame =
+      eventsStream(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(unix_timestamp(col("w.start")).as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
-      runToTable(windowed, "complete").orderBy("w_start", "event_type")
+
+    def s02(s: SparkSession, dir: String): DataFrame =
+      eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n"), col("sum_value"))
+
+    def s03(s: SparkSession, dir: String): DataFrame =
+      eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+
+    def s04(s: SparkSession, dir: String): DataFrame = {
+      val dim = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    }
+
+    /** The s05 aggregation over its MemoryStream source; the audit
+      * builds it over an EMPTY queue (same plan, no driver collect).
+      */
+    def s05Agg(queue: DataFrame): DataFrame =
+      queue.toDF("event_type", "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+    private def typedEvents(s: SparkSession, dir: String,
+        t: String, prefix: String): DataFrame =
+      eventsStream(s, dir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+
+    def s06(s: SparkSession, dir: String): DataFrame = {
+      val views = typedEvents(s, dir, "view", "v")
+        .withWatermark("v_ts", "1 hour")
+      val purchases = typedEvents(s, dir, "purchase", "p")
+        .withWatermark("p_ts", "1 hour")
+      views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("v_id").as("view_id"), col("p_id").as("purchase_id"),
+          col("v_user").as("user_id"))
+    }
+
+    def s07(s: SparkSession, dir: String): DataFrame =
+      eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("sum_value"))
+
+    def s08(s: SparkSession, dir: String): DataFrame = {
+      val views = typedEvents(s, dir, "view", "v")
+        .withWatermark("v_ts", "0 seconds")
+      val purchases = typedEvents(s, dir, "purchase", "p")
+        .withWatermark("p_ts", "0 seconds")
+      views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("v_id").as("view_id"), col("p_id").as("purchase_id"),
+          col("v_user").as("user_id"))
+    }
+
+    def s09(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      graft.streaming.StatefulOps.runningMax(ev)
+        .toDF("user_id", "max_value")
+    }
+
+    def s10(s: SparkSession, dir: String): DataFrame = {
+      val tenMin = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
+        .agg(count(lit(1)).as("n10"), dsum(col("value")).as("s10"))
+      tenMin
+        .groupBy(window(window_time(col("w10")), "1 hour").as("w60"),
+          col("event_type"))
+        .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"),
+          sum(col("s10").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            .cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w60.start")).as("w_start"),
+          col("event_type"), col("n"), col("n_subwindows"), col("sum_value"))
+    }
+
+    def s11(s: SparkSession, dir: String): DataFrame = {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("ts"), col("value"))
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts"), col("value"))
+      views.union(purchases)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n"), col("sum_value"))
+    }
+
+    def s12(s: SparkSession, dir: String): DataFrame =
+      eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("n"), col("sum_value"))
+
+    def s13(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      graft.streaming.StatefulOps.runningStats(ev)
+        .toDF("user_id", "n", "max_value")
+    }
+
+    def s14(s: SparkSession, dir: String): DataFrame = {
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+          col("value")).as[(Long, Long, Double)]
+      graft.streaming.StatefulOps
+        .timerSessions(ev, 30L * 60 * 1000000)
+        .toDF("user_id", "session_start", "n", "sum_value")
+    }
+
+    def s16(s: SparkSession, dir: String): DataFrame = {
+      val docs = docsStream(s, dir)
+      val ok = graft.functions.TextFunctions.qualityOk(
+        graft.functions.TextFunctions.normalized(col("text")), minTokens = 25)
+      docs
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+        .dropDuplicates("source", "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"),
+          count(when(ok, lit(1))).as("n_pass"))
+    }
+
+    /** The s17 per-phase aggregation shape (the staged-input schema is
+      * the same two columns the run stages).
+      */
+    def s17Phase(s: SparkSession, dir: String): DataFrame =
+      s.readStream
+        .schema("event_type STRING, value DOUBLE")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+    def s18(s: SparkSession, dir: String): DataFrame = {
+      def typed(t: String, prefix: String) =
+        typedEvents(s, dir, t, prefix)
+          .withWatermark(s"${prefix}_ts", "1 hour")
+      val vc = typed("view", "v").join(typed("click", "c"),
+        col("v_user") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
+      vc.join(typed("purchase", "p"),
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
+        .select(col("v_id").as("view_id"), col("c_id").as("click_id"),
+          col("p_id").as("purchase_id"), col("v_user").as("user_id"))
+    }
+
+    def s19(s: SparkSession, dir: String): DataFrame = {
+      val Samp = graft.operators.Sampling
+      val static = Tables(s, dir).documents
+      val (imp, thr) = Samp.dsirTrainGate(static, col("lang") === "en", 0.25)
+      Samp.dsirScore(docsStream(s, dir), imp)
+        .filter(col("score_ppm") >= thr)
+    }
+
+    def s21(s: SparkSession, dir: String): DataFrame = {
+      val QM = graft.operators.QualityModel
+      val (w, bias, thr) = QM.trainGate(Tables(s, dir).documents,
+        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+        frac = 0.25, iters = 3)
+      QM.scoreWith(docsStream(s, dir), w, bias)
+        .filter(col("score") >= thr)
+        .select("doc_id", "score")
+    }
+
+    def s23(s: SparkSession, dir: String): DataFrame = {
+      val M = graft.operators.Mixture
+      val static = Tables(s, dir).documents
+      val (_, weights) = M.doremiTrain(static)
+      import s.implicits._
+      val rates = M.realizedRates(static, weights, targetTotal = 400L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("source", "per_mille")
+      M.applyRates(docsStream(s, dir), rates)
+    }
+
+    def s24(s: SparkSession, dir: String): DataFrame = {
+      val evalSet = Tables(s, dir).embeddings.filter(col("vec_id") < 100)
+      val physicalSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val corpus = s.readStream
+        .schema(physicalSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .filter(col("vec_id") >= 100)
+      graft.operators.Decontamination
+        .flagContaminatedEmbedding(corpus, evalSet, threshold = 0.2)
+    }
+
+    /** The s25 quota frame over ANY documents-shaped source — the run
+      * feeds it the staged arrival directory, the audit feeds it the
+      * static table streamed via [[docsStream]] (same plan).
+      */
+    def s25Quota(s: SparkSession, docs: DataFrame): DataFrame = {
+      import s.implicits._
+      val src = docs
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .as[(String, Long, Int)]
+      graft.streaming.StatefulOps.tokenQuota(src, 2000L)
+        .toDF("doc_id", "source", "n_tokens", "start_off", "kept")
+    }
+
+    def s26(s: SparkSession, dir: String): DataFrame = {
+      val physicalSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docs = s.readStream
+        .schema(physicalSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      graft.operators.Objectives.sftGate(docs)
+    }
+
+    def s27(s: SparkSession, dir: String): DataFrame = {
+      val P = graft.operators.Preference
+      val w = P.btTrain(Tables(s, dir).documents, iters = 3)
+      P.scoreWith(docsStream(s, dir), w)
+        .filter(col("score") > 0.0)
+    }
+
+    def s28(s: SparkSession, dir: String): DataFrame = {
+      val TA = graft.operators.TextAnalysis
+      val vocab = TA.fitVocab(Tables(s, dir).documents, 64)
+        .localCheckpoint()
+      TA.oovBySource(docsStream(s, dir), vocab)
+    }
+
+    def s29(s: SparkSession, dir: String): DataFrame = {
+      val D = graft.operators.Drift
+      val base = D.baselineCounts(
+        Tables(s, dir).events.filter(col("event_id") % 2 === 0),
+        "event_type", "value").localCheckpoint()
+      val ev = eventsStream(s, dir).filter(col("event_id") % 2 === 1)
+      D.chiSquareDrift(ev, base, "event_type", "value")
+    }
+
+    def s30(s: SparkSession, dir: String): DataFrame = {
+      val D = graft.operators.Drift
+      val bounds = D.winsorizeBounds(Tables(s, dir).events,
+        "event_type", "value")
+        .select("event_type", "lo_bound", "hi_bound").localCheckpoint()
+      D.clipMonitor(eventsStream(s, dir), bounds, "event_type", "value")
+    }
+
+    /** s15's foreachBatch interior — the per-batch brute top-k the run
+      * executes via [[graft.operators.Similarity.bruteTopK]] on each
+      * micro-batch, here planned on a static batch stand-in — plus the
+      * driver-side partial-merge window frame (partitioned by q_id).
+      */
+    def s15Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding"))
+      val qs = emb.filter(col("id") < 10)
+      val perBatch = graft.operators.Similarity.bruteTopK(qs, emb, 5)
+        .select("q_id", "n_id", "cos_sim")
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      val merge = Seq.empty[(Long, Long, Double)]
+        .toDF("q_id", "n_id", "cos_sim")
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+      Seq(perBatch, merge)
+    }
+
+    /** s20's foreachBatch interior on static stand-ins: the standing-
+      * index probe ([[graft.operators.Dedup.verifiedIndexDups]] — the
+      * exact function the run calls per batch), the within-batch band
+      * self-join, its Jaccard verify, and the left-anti admission.
+      */
+    def s20Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
+      val D = graft.operators.Dedup
+      val docs = Tables(s, dir).documents
+      val shN = D.portableShingles(docs)
+      val bandsN = D.portableMinHashBands(shN)
+      // the standing state stand-ins must be NON-empty frames (an
+      // empty filter(lit(false)) stand-in would let
+      // PropagateEmptyRelation collapse the whole probe to a
+      // LocalRelation and the audit would check nothing), so the
+      // static corpus's own shingles/bands stand in for the index
+      val corpusDups = D.verifiedIndexDups(bandsN, shN, bandsN, shN, 0.5)
+      val candBatch = bandsN.as("a")
+        .join(bandsN.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
+      val batchDups = D.verifyJaccardPortable(candBatch, ssN, 0.5)
+      val rejected = corpusDups.select(col("id_a").as("doc_id"))
+        .union(batchDups.select(col("id_b").as("doc_id")))
+        .distinct()
+      val admitted = docs.join(rejected, Seq("doc_id"), "left_anti")
+      Seq(corpusDups, candBatch, batchDups, admitted)
+    }
+
+    /** s22's foreachBatch interior on static stand-ins: one changeset
+      * application ([[graft.operators.Snapshot.applyChangeset]] — the
+      * run's per-batch call) plus the final classification join.
+      */
+    def s22Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
+      import graft.functions.TextFunctions.fingerprint
+      val docs = Tables(s, dir).documents
+      val baseSnap = docs.select(col("doc_id"), col("text"))
+      val changes = NorthStar4.mergeChangeset(docs)
+      val merged = graft.operators.Snapshot
+        .applyChangeset(baseSnap, changes, idCol = "doc_id")
+        .select(col("doc_id"), col("text"))
+      val classified = merged.as("n")
+        .join(baseSnap.as("b"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          when(col("b.text").isNull, lit("inserted"))
+            .when(col("n.text") === col("b.text"), lit("kept"))
+            .otherwise(lit("updated")).as("provenance"),
+          fingerprint(col("n.text")).as("fp"))
+      Seq(merged, classified)
+    }
+  }
+
+  /** Every s-query's auditable pre-sink plan(s), keyed by query name —
+    * the PlanQualitySpec streaming sweep. Streaming frames are built
+    * with readStream and NEVER started; foreachBatch queries expose
+    * their batch-shaped interiors (built through the same shared
+    * operator functions the run calls per micro-batch) plus, where the
+    * phase query itself aggregates, the phase frame. A registered
+    * s-query missing here fails the spec's completeness assert.
+    */
+  private[graft] def auditFrames(
+      s: SparkSession, dir: String): Seq[(String, Seq[DataFrame])] = Seq(
+    "s01_stream_tumbling_complete" -> Seq(Frames.s01(s, dir)),
+    "s02_stream_tumbling_append" -> Seq(Frames.s02(s, dir)),
+    "s03_stream_dedup" -> Seq(Frames.s03(s, dir)),
+    "s04_stream_static_join" -> Seq(Frames.s04(s, dir)),
+    "s05_stream_from_queue" -> {
+      implicit val sqlContext: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      Seq(Frames.s05Agg(org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Double)].toDF()))
     },
+    "s06_stream_stream_join" -> Seq(Frames.s06(s, dir)),
+    "s07_stream_sessionization" -> Seq(Frames.s07(s, dir)),
+    "s08_stream_stream_outer" -> Seq(Frames.s08(s, dir)),
+    "s09_stream_stateful_max" -> Seq(Frames.s09(s, dir)),
+    "s10_stream_chained_windows" -> Seq(Frames.s10(s, dir)),
+    "s11_stream_union" -> Seq(Frames.s11(s, dir)),
+    "s12_stream_sliding_append" -> Seq(Frames.s12(s, dir)),
+    "s13_stream_transform_with_state" -> Seq(Frames.s13(s, dir)),
+    "s14_stream_timer_sessions" -> Seq(Frames.s14(s, dir)),
+    "s15_stream_vector_search" -> Frames.s15Interior(s, dir),
+    "s16_stream_curation" -> Seq(Frames.s16(s, dir)),
+    "s17_stream_checkpoint_recovery" -> Seq(Frames.s17Phase(s, dir)),
+    "s18_stream_three_way_join" -> Seq(Frames.s18(s, dir)),
+    "s19_stream_importance_gate" -> Seq(Frames.s19(s, dir)),
+    "s20_stream_near_dedup" -> Frames.s20Interior(s, dir),
+    "s21_stream_quality_gate" -> Seq(Frames.s21(s, dir)),
+    "s22_stream_snapshot_merge" -> Frames.s22Interior(s, dir),
+    "s23_stream_mixture_realize" -> Seq(Frames.s23(s, dir)),
+    "s24_stream_embedding_decontam" -> Seq(Frames.s24(s, dir)),
+    "s25_stream_source_quota" -> Seq(Frames.s25Quota(s, docsStream(s, dir))),
+    "s26_stream_sft_gate" -> Seq(Frames.s26(s, dir)),
+    "s27_stream_reward_gate" -> Seq(Frames.s27(s, dir)),
+    "s28_stream_oov_monitor" -> Seq(Frames.s28(s, dir)),
+    "s29_stream_drift_monitor" -> Seq(Frames.s29(s, dir)),
+    "s30_stream_clip_monitor" -> Seq(Frames.s30(s, dir)))
+
+  private val completeMode = Q(
+    "s01_stream_tumbling_complete",
+    "streaming tumbling windows, complete mode (all windows emitted)",
+    (s, dir) =>
+      runToTable(Frames.s01(s, dir), "complete")
+        .orderBy("w_start", "event_type"),
     Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
              event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""))
@@ -88,15 +507,7 @@ object StreamingQueries extends QueryGroup {
   private val appendMode = Q(
     "s02_stream_tumbling_append",
     "streaming tumbling windows, append mode: only watermark-closed windows",
-    (s, dir) => {
-      val windowed = eventsStream(s, dir)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(unix_timestamp(col("w.start")).as("w_start"),
-          col("n"), col("sum_value"))
-      runToTable(windowed, "append").orderBy("w_start")
-    },
+    (s, dir) => runToTable(Frames.s02(s, dir), "append").orderBy("w_start"),
     Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
              COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY 1
@@ -111,13 +522,8 @@ object StreamingQueries extends QueryGroup {
   private val streamDedup = Q(
     "s03_stream_dedup",
     "streaming dropDuplicatesWithinWatermark — distinct key set",
-    (s, dir) => {
-      val deduped = eventsStream(s, dir)
-        .withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select("user_id", "event_type")
-      runToTable(deduped, "append").orderBy("user_id", "event_type")
-    },
+    (s, dir) =>
+      runToTable(Frames.s03(s, dir), "append").orderBy("user_id", "event_type"),
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
@@ -127,16 +533,9 @@ object StreamingQueries extends QueryGroup {
   private val streamStaticJoin = Q(
     "s04_stream_static_join",
     "streaming events enriched against the static customer dimension",
-    (s, dir) => {
-      val dim = Tables(s, dir).customer
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val joined = eventsStream(s, dir)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
-        .groupBy("c_mktsegment", "event_type")
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      runToTable(joined, "complete")
-        .orderBy("c_mktsegment", "event_type")
-    },
+    (s, dir) =>
+      runToTable(Frames.s04(s, dir), "complete")
+        .orderBy("c_mktsegment", "event_type"),
     Some(s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
              ${oSum("value")} AS sum_value
              FROM events JOIN customer ON user_id = c_custkey
@@ -162,10 +561,7 @@ object StreamingQueries extends QueryGroup {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Double)]
       rows.grouped(10000).foreach(b => input.addData(b.toSeq))
-      val agg = input.toDF().toDF("event_type", "value")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      runToTable(agg, "complete").orderBy("event_type")
+      runToTable(Frames.s05Agg(input.toDF()), "complete").orderBy("event_type")
     },
     Some(s"""SELECT event_type, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events GROUP BY event_type ORDER BY event_type"""))
@@ -181,25 +577,8 @@ object StreamingQueries extends QueryGroup {
   private val streamStreamJoin = Q(
     "s06_stream_stream_join",
     "watermarked stream-stream join: purchases within 30 min of a view",
-    (s, dir) => {
-      val views = eventsStream(s, dir)
-        .filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-          col("event_id").as("view_id"))
-        .withWatermark("v_ts", "1 hour")
-      val purchases = eventsStream(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("purchase_id"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = views.join(purchases,
-        col("v_user") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
-        .select(col("view_id"), col("purchase_id"),
-          col("v_user").as("user_id"))
-      runToTable(joined, "append").orderBy("view_id", "purchase_id")
-    },
+    (s, dir) =>
+      runToTable(Frames.s06(s, dir), "append").orderBy("view_id", "purchase_id"),
     Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id,
               v.user_id
             FROM (SELECT * FROM events WHERE event_type = 'view') v
@@ -217,17 +596,9 @@ object StreamingQueries extends QueryGroup {
   private val streamSessions = Q(
     "s07_stream_sessionization",
     "streaming session windows (30-min gap): watermark-closed sessions",
-    (s, dir) => {
-      val sessions = eventsStream(s, dir)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"),
-          col("user_id"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(col("user_id"),
-          unix_timestamp(col("w.start")).as("session_start"),
-          col("n"), col("sum_value"))
-      runToTable(sessions, "append").orderBy("user_id", "session_start")
-    },
+    (s, dir) =>
+      runToTable(Frames.s07(s, dir), "append")
+        .orderBy("user_id", "session_start"),
     Some(s"""WITH flagged AS (
                SELECT user_id, ts, event_id, value,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -258,26 +629,8 @@ object StreamingQueries extends QueryGroup {
   private val streamStreamOuter = Q(
     "s08_stream_stream_outer",
     "left-outer stream-stream join: null rows only for watermark-closed views",
-    (s, dir) => {
-      val views = eventsStream(s, dir)
-        .filter(col("event_type") === "view")
-        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-          col("event_id").as("view_id"))
-        .withWatermark("v_ts", "0 seconds")
-      val purchases = eventsStream(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-          col("event_id").as("purchase_id"))
-        .withWatermark("p_ts", "0 seconds")
-      val joined = views.join(purchases,
-        col("v_user") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
-        "left_outer")
-        .select(col("view_id"), col("purchase_id"),
-          col("v_user").as("user_id"))
-      runToTable(joined, "append").orderBy("view_id", "purchase_id")
-    },
+    (s, dir) =>
+      runToTable(Frames.s08(s, dir), "append").orderBy("view_id", "purchase_id"),
     Some("""WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
             p AS (SELECT * FROM events WHERE event_type = 'purchase'),
             matched AS (
@@ -308,14 +661,7 @@ object StreamingQueries extends QueryGroup {
   private val streamStateful = Q(
     "s09_stream_stateful_max",
     "mapGroupsWithState running per-user max == relational MAX",
-    (s, dir) => {
-      import s.implicits._
-      val ev = eventsStream(s, dir)
-        .select(col("user_id"), col("value")).as[(Long, Double)]
-      val mx = graft.streaming.StatefulOps.runningMax(ev)
-        .toDF("user_id", "max_value")
-      runToTable(mx, "update").orderBy("user_id")
-    },
+    (s, dir) => runToTable(Frames.s09(s, dir), "update").orderBy("user_id"),
     Some("""SELECT user_id, MAX(value) AS max_value
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
@@ -332,26 +678,13 @@ object StreamingQueries extends QueryGroup {
   private val streamChained = Q(
     "s10_stream_chained_windows",
     "chained streaming aggs: 10-min windows re-aggregated into hours",
-    (s, dir) => {
-      val tenMin = eventsStream(s, dir)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "10 minutes").as("w10"), col("event_type"))
-        .agg(count(lit(1)).as("n10"), dsum(col("value")).as("s10"))
-      val hourly = tenMin
-        .groupBy(window(window_time(col("w10")), "1 hour").as("w60"),
-          col("event_type"))
-        // the two-level decimal sum (and its decimal→double→decimal
-        // re-cast, exact only up to double's ~15-digit round-trip) is
-        // mirrored step-for-step by the oracle's `ten` CTE — parity
-        // comes from BOTH engines running the identical two levels, not
-        // from the two-level sum equalling a one-level sum
-        .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"),
-          sum(col("s10").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-            .cast("double").as("sum_value"))
-        .select(unix_timestamp(col("w60.start")).as("w_start"),
-          col("event_type"), col("n"), col("n_subwindows"), col("sum_value"))
-      runToTable(hourly, "append").orderBy("w_start", "event_type")
-    },
+    // the two-level decimal sum in Frames.s10 (and its decimal→double→
+    // decimal re-cast, exact only up to double's ~15-digit round-trip)
+    // is mirrored step-for-step by the oracle's `ten` CTE — parity
+    // comes from BOTH engines running the identical two levels, not
+    // from the two-level sum equalling a one-level sum
+    (s, dir) =>
+      runToTable(Frames.s10(s, dir), "append").orderBy("w_start", "event_type"),
     Some(s"""WITH ten AS (
                SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w10,
                  event_type, COUNT(*) AS n10, ${oSum("value")} AS s10
@@ -373,21 +706,7 @@ object StreamingQueries extends QueryGroup {
   private val streamUnion = Q(
     "s11_stream_union",
     "union of two filtered streams into one hourly windowed aggregate",
-    (s, dir) => {
-      val views = eventsStream(s, dir)
-        .filter(col("event_type") === "view")
-        .select(col("ts"), col("value"))
-      val purchases = eventsStream(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("ts"), col("value"))
-      val unioned = views.union(purchases)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour").as("w"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(unix_timestamp(col("w.start")).as("w_start"),
-          col("n"), col("sum_value"))
-      runToTable(unioned, "append").orderBy("w_start")
-    },
+    (s, dir) => runToTable(Frames.s11(s, dir), "append").orderBy("w_start"),
     Some(s"""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start,
              COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM events WHERE event_type IN ('view', 'purchase')
@@ -405,15 +724,7 @@ object StreamingQueries extends QueryGroup {
   private val streamSliding = Q(
     "s12_stream_sliding_append",
     "streaming 1-hour windows sliding every 30 min, watermark-closed",
-    (s, dir) => {
-      val windowed = eventsStream(s, dir)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-        .select(unix_timestamp(col("w.start")).as("w_start"),
-          col("n"), col("sum_value"))
-      runToTable(windowed, "append").orderBy("w_start")
-    },
+    (s, dir) => runToTable(Frames.s12(s, dir), "append").orderBy("w_start"),
     Some(s"""SELECT w_start, COUNT(*) AS n, ${oSum("value")} AS sum_value
              FROM (SELECT CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT)
                      AS w_start, value
@@ -435,16 +746,11 @@ object StreamingQueries extends QueryGroup {
     "s13_stream_transform_with_state",
     "transformWithState running per-user (count, max) == relational agg",
     (s, dir) => {
-      import s.implicits._
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val ev = eventsStream(s, dir)
-          .select(col("user_id"), col("value")).as[(Long, Double)]
-        val stats = graft.streaming.StatefulOps.runningStats(ev)
-          .toDF("user_id", "n", "max_value")
-        runToTable(stats, "update").orderBy("user_id")
+        runToTable(Frames.s13(s, dir), "update").orderBy("user_id")
       } finally {
         prev match {
           case Some(p) =>
@@ -468,19 +774,12 @@ object StreamingQueries extends QueryGroup {
     "s14_stream_timer_sessions",
     "timer-driven sessionization (transformWithState) == session_window",
     (s, dir) => {
-      import s.implicits._
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val ev = eventsStream(s, dir)
-          .withWatermark("ts", "0 seconds")
-          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
-            col("value")).as[(Long, Long, Double)]
-        val sessions = graft.streaming.StatefulOps
-          .timerSessions(ev, 30L * 60 * 1000000)
-          .toDF("user_id", "session_start", "n", "sum_value")
-        runToTable(sessions, "append").orderBy("user_id", "session_start")
+        runToTable(Frames.s14(s, dir), "append")
+          .orderBy("user_id", "session_start")
       } finally {
         prev match {
           case Some(p) =>
@@ -613,21 +912,7 @@ object StreamingQueries extends QueryGroup {
   private val streamCuration = Q(
     "s16_stream_curation",
     "streaming document curation: quality gate + exact dedup, per source",
-    (s, dir) => {
-      val docs = s.readStream
-        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val ok = graft.functions.TextFunctions.qualityOk(
-        graft.functions.TextFunctions.normalized(col("text")), minTokens = 25)
-      val gated = docs
-        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-        .dropDuplicates("source", "fp")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_distinct"),
-          count(when(ok, lit(1))).as("n_pass"))
-      runToTable(gated, "complete").orderBy("source")
-    },
+    (s, dir) => runToTable(Frames.s16(s, dir), "complete").orderBy("source"),
     Some("""WITH distinct_docs AS (
               SELECT source, text,
                 row_number() OVER (PARTITION BY source,
@@ -719,26 +1004,9 @@ object StreamingQueries extends QueryGroup {
   private val streamThreeWayJoin = Q(
     "s18_stream_three_way_join",
     "chained stream-stream joins: view -> click -> purchase funnel (12h windows)",
-    (s, dir) => {
-      def typed(t: String, prefix: String) = eventsStream(s, dir)
-        .filter(col("event_type") === t)
-        .select(col("user_id").as(s"${prefix}_user"),
-          col("ts").as(s"${prefix}_ts"),
-          col("event_id").as(s"${prefix}_id"))
-        .withWatermark(s"${prefix}_ts", "1 hour")
-      val vc = typed("view", "v").join(typed("click", "c"),
-        col("v_user") === col("c_user") &&
-          col("c_ts") >= col("v_ts") &&
-          col("c_ts") <= col("v_ts") + expr("INTERVAL 12 HOURS"))
-      val vcp = vc.join(typed("purchase", "p"),
-        col("v_user") === col("p_user") &&
-          col("p_ts") >= col("c_ts") &&
-          col("p_ts") <= col("c_ts") + expr("INTERVAL 12 HOURS"))
-        .select(col("v_id").as("view_id"), col("c_id").as("click_id"),
-          col("p_id").as("purchase_id"), col("v_user").as("user_id"))
-      runToTable(vcp, "append")
-        .orderBy("view_id", "click_id", "purchase_id")
-    },
+    (s, dir) =>
+      runToTable(Frames.s18(s, dir), "append")
+        .orderBy("view_id", "click_id", "purchase_id"),
     Some("""SELECT v.event_id AS view_id, c.event_id AS click_id,
               p.event_id AS purchase_id, v.user_id
             FROM (SELECT * FROM events WHERE event_type = 'view') v
@@ -773,18 +1041,7 @@ object StreamingQueries extends QueryGroup {
   private val streamImportanceGate = Q(
     "s19_stream_importance_gate",
     "batch-trained DSIR importance model gating a streaming corpus",
-    (s, dir) => {
-      val Samp = graft.operators.Sampling
-      val static = Tables(s, dir).documents
-      val (imp, thr) = Samp.dsirTrainGate(static, col("lang") === "en", 0.25)
-      val docs = s.readStream
-        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val gated = Samp.dsirScore(docs, imp)
-        .filter(col("score_ppm") >= thr)
-      runToTable(gated, "update").orderBy("doc_id")
-    },
+    (s, dir) => runToTable(Frames.s19(s, dir), "update").orderBy("doc_id"),
     Some(s"""${NorthStar4.dsirCtes},
             r AS (
               SELECT doc_id, score_ppm,
@@ -918,10 +1175,15 @@ object StreamingQueries extends QueryGroup {
             q.processAllAvailable()
           }
         } finally q.stop()
-        val res = s.read.parquet(outDir).orderBy("doc_id").localCheckpoint()
+        s.read.parquet(outDir).orderBy("doc_id").localCheckpoint()
+      } finally {
+        // localCheckpoint has materialized the result, so the staged
+        // input + state trees are safe to drop — and dropping them in
+        // the finally (the s22 fix, applied to its sibling) means a
+        // failed run doesn't leak a temp tree holding corpus copies
         rmTree(base)
-        res
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     },
     Some("""WITH d AS (
               SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch_no,
@@ -1013,24 +1275,10 @@ object StreamingQueries extends QueryGroup {
   private val streamQualityGate = Q(
     "s21_stream_quality_gate",
     "batch-trained quality classifier gating a streaming corpus",
-    (s, dir) => {
-      val QM = graft.operators.QualityModel
-      val static = Tables(s, dir).documents
-      // offline train + top-quarter threshold over one shared feature
-      // scan (min score of the kept top frac; ties ranked by doc_id —
-      // the min over the top-k set is order-free)
-      val (w, bias, thr) = QM.trainGate(static,
-        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
-        frac = 0.25, iters = 3)
-      val docs = s.readStream
-        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val gated = QM.scoreWith(docs, w, bias)
-        .filter(col("score") >= thr)
-        .select("doc_id", "score")
-      runToTable(gated, "update").orderBy("doc_id")
-    },
+    // offline train + top-quarter threshold over one shared feature
+    // scan (min score of the kept top frac; ties ranked by doc_id —
+    // the min over the top-k set is order-free) — see Frames.s21
+    (s, dir) => runToTable(Frames.s21(s, dir), "update").orderBy("doc_id"),
     Some(s"""${NorthStar4.qcCtes},
             sc AS (
               SELECT doc_id,
@@ -1170,23 +1418,10 @@ object StreamingQueries extends QueryGroup {
   private val streamMixtureRealize = Q(
     "s23_stream_mixture_realize",
     "batch-trained DoReMi mixture weights realized on a streaming corpus (stateless)",
-    (s, dir) => {
-      val M = graft.operators.Mixture
-      val static = Tables(s, dir).documents
-      val (_, weights) = M.doremiTrain(static)
-      // the D-row model artifact, driver-materialized (bounded) so the
-      // streaming plan never re-derives it per micro-batch
-      import s.implicits._
-      val rates = M.realizedRates(static, weights, targetTotal = 400L)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-        .toDF("source", "per_mille")
-      val docs = s.readStream
-        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      runToTable(M.applyRates(docs, rates), "append")
-        .orderBy("doc_id", "copy_idx")
-    },
+    // the D-row model artifact is driver-materialized (bounded) in
+    // Frames.s23 so the streaming plan never re-derives it per batch
+    (s, dir) =>
+      runToTable(Frames.s23(s, dir), "append").orderBy("doc_id", "copy_idx"),
     Some(s"""${NorthStar5.doremiCtes},
             cs AS (SELECT source, COUNT(*) AS c_s FROM documents GROUP BY source),
             rt AS (
@@ -1221,18 +1456,8 @@ object StreamingQueries extends QueryGroup {
   private val streamEmbedDecontam = Q(
     "s24_stream_embedding_decontam",
     "streaming embedding decontamination vs a static eval set (stateless)",
-    (s, dir) => {
-      val evalSet = Tables(s, dir).embeddings.filter(col("vec_id") < 100)
-      val physicalSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val corpus = s.readStream
-        .schema(physicalSchema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(dir)
-        .filter(col("vec_id") >= 100)
-      val flagged = graft.operators.Decontamination
-        .flagContaminatedEmbedding(corpus, evalSet, threshold = 0.2)
-      runToTable(flagged, "append").orderBy("vec_id", "eval_id")
-    },
+    (s, dir) =>
+      runToTable(Frames.s24(s, dir), "append").orderBy("vec_id", "eval_id"),
     Some(NorthStar5.embedDecontamOracleSql))
 
   /** Streaming per-source token-budget admission — the QUOTA member of
@@ -1285,15 +1510,10 @@ object StreamingQueries extends QueryGroup {
             .coalesce(1).write.mode("overwrite")
             .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
         }
-        val src = s.readStream
+        val out = Frames.s25Quota(s, s.readStream
           .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
           .option("pathGlobFilter", "*.parquet")
-          .parquet(in.getAbsolutePath)
-          .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).as("n_tokens"))
-          .as[(String, Long, Int)]
-        val out = graft.streaming.StatefulOps.tokenQuota(src, 2000L)
-          .toDF("doc_id", "source", "n_tokens", "start_off", "kept")
+          .parquet(in.getAbsolutePath))
         val qn = s"graft_stream_${counter.incrementAndGet()}"
         val q = out.writeStream.outputMode("append")
           .format("memory").queryName(qn)
@@ -1341,15 +1561,7 @@ object StreamingQueries extends QueryGroup {
   private val streamSftGate = Q(
     "s26_stream_sft_gate",
     "streaming SFT admission: trainable-token share of the chat rendering (stateless)",
-    (s, dir) => {
-      val physicalSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docs = s.readStream
-        .schema(physicalSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      runToTable(graft.operators.Objectives.sftGate(docs), "append")
-        .orderBy("doc_id")
-    },
+    (s, dir) => runToTable(Frames.s26(s, dir), "append").orderBy("doc_id"),
     Some(NorthStar6.sftGateOracleSql))
 
   /** Streaming reward-model admission — the RLHF-side member of the
@@ -1361,21 +1573,22 @@ object StreamingQueries extends QueryGroup {
     * aggregation (token-level weight terms — streaming-legal) and
     * admitted when its reward is positive. Update mode, one state row
     * per doc; the oracle replays train + score end to end.
+    *
+    * Finite-replay caveat (the s19/s21 contract, stated for the
+    * post-aggregation filter specifically): `filter(score > 0)` runs
+    * on each UPDATE-mode emission, so if one document's tokens ever
+    * arrived across micro-batches, a row emitted while the partial
+    * score was positive would stay in the memory sink even if the
+    * final score fell to ≤ 0. Here each document's tokens live in one
+    * source file (grams never span files), so every doc scores in
+    * exactly one micro-batch and the sink holds only final verdicts;
+    * a continuous deployment gates in foreachBatch or dedups the sink
+    * by doc_id taking the last update.
     */
   private val streamRewardGate = Q(
     "s27_stream_reward_gate",
     "batch-trained Bradley-Terry reward model gating a streaming corpus",
-    (s, dir) => {
-      val P = graft.operators.Preference
-      val w = P.btTrain(Tables(s, dir).documents, iters = 3)
-      val docs = s.readStream
-        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      val gated = P.scoreWith(docs, w)
-        .filter(col("score") > 0.0)
-      runToTable(gated, "update").orderBy("doc_id")
-    },
+    (s, dir) => runToTable(Frames.s27(s, dir), "update").orderBy("doc_id"),
     Some(s"""${NorthStar6.btCtes},
             ${NorthStar6.btScoreCte}
             SELECT doc_id, score FROM sc
@@ -1395,16 +1608,7 @@ object StreamingQueries extends QueryGroup {
   private val streamOovMonitor = Q(
     "s28_stream_oov_monitor",
     "streaming per-source OOV-rate monitor under a batch-fitted vocabulary",
-    (s, dir) => {
-      val TA = graft.operators.TextAnalysis
-      val vocab = TA.fitVocab(Tables(s, dir).documents, 64)
-        .localCheckpoint()
-      val docs = s.readStream
-        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-      runToTable(TA.oovBySource(docs, vocab), "update").orderBy("source")
-    },
+    (s, dir) => runToTable(Frames.s28(s, dir), "update").orderBy("source"),
     Some("""WITH t AS (
               SELECT source, unnest(string_split(text, ' ')) AS term
               FROM documents),
@@ -1432,15 +1636,8 @@ object StreamingQueries extends QueryGroup {
   private val streamDriftMonitor = Q(
     "s29_stream_drift_monitor",
     "streaming chi-square drift monitor vs a frozen baseline histogram",
-    (s, dir) => {
-      val D = graft.operators.Drift
-      val base = D.baselineCounts(
-        Tables(s, dir).events.filter(col("event_id") % 2 === 0),
-        "event_type", "value").localCheckpoint()
-      val ev = eventsStream(s, dir).filter(col("event_id") % 2 === 1)
-      runToTable(D.chiSquareDrift(ev, base, "event_type", "value"),
-        "update").orderBy("event_type", "bucket")
-    },
+    (s, dir) =>
+      runToTable(Frames.s29(s, dir), "update").orderBy("event_type", "bucket"),
     Some("""WITH b AS (
               SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bucket,
                 COUNT(*) AS expected
@@ -1470,15 +1667,7 @@ object StreamingQueries extends QueryGroup {
   private val streamClipMonitor = Q(
     "s30_stream_clip_monitor",
     "streaming winsorization-clip monitor under batch-fitted bounds",
-    (s, dir) => {
-      val D = graft.operators.Drift
-      val bounds = D.winsorizeBounds(Tables(s, dir).events,
-        "event_type", "value")
-        .select("event_type", "lo_bound", "hi_bound").localCheckpoint()
-      val ev = eventsStream(s, dir)
-      runToTable(D.clipMonitor(ev, bounds, "event_type", "value"),
-        "update").orderBy("event_type")
-    },
+    (s, dir) => runToTable(Frames.s30(s, dir), "update").orderBy("event_type"),
     Some("""WITH r AS (
               SELECT event_type, value AS v,
                 row_number() OVER (PARTITION BY event_type

@@ -12,6 +12,35 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
+  private val dir01 = "/root/testdata/sf0.01"
+
+  private val limitRe =
+    "(?:TakeOrderedAndProject\\(limit=|GlobalLimit |CollectLimit )(\\d+)".r
+
+  /** Plan a frame WITHOUT executing it, batch or streaming: for a
+    * streaming frame the batch-side UnsupportedOperationChecker is
+    * scoped off (the planner then produces the same plan the
+    * incremental planner would, with StreamingRelation placeholder
+    * leaves), which is what lets the registry's streaming queries get
+    * the identical mechanical audit as the batch ones — built with
+    * readStream, never started.
+    */
+  private def planOf(df: org.apache.spark.sql.DataFrame): (String, Int, Seq[Long]) = {
+    val prev = spark.conf.get("spark.sql.streaming.unsupportedOperationCheck")
+    spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
+    try {
+      val qe = df.queryExecution
+      val partitionlessWindows = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      val plan = qe.executedPlan.toString
+      val limits = limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq
+      (plan, partitionlessWindows, limits)
+    } finally {
+      spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", prev)
+    }
+  }
 
   /** One planning pass over the batch registry, shared by the three
     * whole-registry property tests — some queries run real driver jobs
@@ -26,6 +55,20 @@ class PlanQualitySpec extends AnyFunSuite {
             if w.partitionSpec.isEmpty => w
       }.size
       (q.name, qe.executedPlan.toString, partitionlessWindows)
+    }
+
+  /** The streaming registry's plans (r9 verdict #1): every s-query's
+    * pre-sink frame(s) from [[graft.queries.StreamingQueries.auditFrames]],
+    * planned but never executed — the four most expensive bench
+    * entries get the same mechanical sweep as the batch registry.
+    */
+  private lazy val streamingPlans: Seq[(String, String, Int, Seq[Long])] =
+    graft.queries.StreamingQueries.auditFrames(spark, dir).flatMap {
+      case (name, frames) =>
+        frames.zipWithIndex.map { case (f, i) =>
+          val (plan, plw, limits) = planOf(f)
+          (s"$name#$i", plan, plw, limits)
+        }
     }
 
   test("no unintended cartesian product in any registered query plan") {
@@ -113,6 +156,74 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("every registered streaming query has a plan-audit entry") {
+    val registered = Registry.all.map(_.name).filter(_.matches("s\\d.*")).toSet
+    val audited = graft.queries.StreamingQueries.auditFrames(spark, dir)
+      .map(_._1).toSet
+    assert(audited == registered,
+      s"streaming audit drift: unaudited=${registered -- audited}, " +
+        s"stale=${audited -- registered}")
+  }
+
+  test("no cartesian product in any streaming query plan") {
+    streamingPlans.foreach { case (name, plan, _, _) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(1200)}")
+    }
+  }
+
+  test("streaming BroadcastNestedLoopJoin only where a tiny side makes it intended") {
+    // s15's interior IS n05's brute-force scorer — the deliberately
+    // tiny non-equi query side. Everything else in the streaming
+    // registry joins on derived equi-keys (band keys, grams, buckets,
+    // sources) and must plan hash joins; set equality so both a new
+    // BNLJ and a stale entry fail here, not at 100 TB.
+    val allowed = Set("s15_stream_vector_search#0")
+    val actual = streamingPlans
+      .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
+    assert(actual == allowed,
+      s"streaming BNLJ whitelist drift: unexpected=${actual -- allowed}, " +
+        s"stale=${allowed -- actual}")
+  }
+
+  test("no partition-less window function in any streaming query plan") {
+    streamingPlans.foreach { case (name, _, offenders, _) =>
+      assert(offenders == 0,
+        s"$name plans $offenders partition-less Window(s)")
+    }
+  }
+
+  test("no corpus-proportional global limit in any streaming query plan") {
+    val FixedTopKBound = 128L
+    streamingPlans.foreach { case (name, _, _, limits) =>
+      limits.foreach { n =>
+        assert(n <= FixedTopKBound,
+          s"$name plans a global limit of $n rows (> $FixedTopKBound)")
+      }
+    }
+  }
+
+  test("bt reward round plan: keyed aggs + keyed join only — no window, limit, or cartesian") {
+    // each Bradley–Terry GD round (the engine under n81/n83/s27/n94)
+    // is two keyed aggregations and one keyed join over the persisted
+    // pair-token frame; audited on the interior frame shape like the
+    // doremi round, since the trainer's output is driver-materialized
+    // and invisible to the registry-wide sweep.
+    val frame = graft.operators.Preference
+      .btRoundPlan(Tables(spark, dir).documents)
+    val optimized = frame.queryExecution.optimizedPlan
+    val bad = optimized.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => l
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(bad.isEmpty, s"bt round plan has window/limit nodes:\n$optimized")
+    val physical = frame.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"bt round plan lost its equi-keys:\n$physical")
+  }
+
   test("trainGate threshold plan is distributed — no global limit anywhere") {
     // the round-8 shape was orderBy().limit(k).agg(min) with
     // k = ceil(frac·nDocs): a TakeOrderedAndProject gathering a quarter
@@ -154,6 +265,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!physical.contains("CartesianProduct") &&
       !physical.contains("BroadcastNestedLoopJoin"),
       s"doremi round plan lost its equi-keys:\n$physical")
+  }
+
+  test("global limit constants are scale-invariant between sf0.001 and sf0.01") {
+    // the r9 blind spot: a corpus-proportional k = ceil(0.25·500) = 125
+    // sails under the 128 bound at sf0.001. Scale-invariance is what
+    // "fixed top-k" MEANS — plan every batch query at BOTH SFs and
+    // require each query's multiset of limit constants to be identical;
+    // any k ∝ corpus size moves 10× between the SFs and goes red here
+    // regardless of where it sits relative to the bound.
+    val at001 = batchPlans.map { case (name, plan, _) =>
+      name -> limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq.sorted
+    }.toMap
+    Registry.all.filterNot(_.name.matches("s\\d.*")).foreach { q =>
+      val plan01 = q.run(spark, dir01).queryExecution.executedPlan.toString
+      val limits01 =
+        limitRe.findAllMatchIn(plan01).map(_.group(1).toLong).toSeq.sorted
+      assert(limits01 == at001(q.name),
+        s"${q.name}: limit constants moved with the corpus — " +
+          s"sf0.001=${at001(q.name)} vs sf0.01=$limits01")
+    }
+  }
+
+  test("the cross-SF rule catches a deliberate corpus-proportional limit canary") {
+    // the exact defect shape trainGate shipped in round 8: top
+    // k = ceil(frac·nDocs) of a global order. At sf0.001 the constant
+    // (125) passes the fixed bound; across SFs it moves 10× — the
+    // canary proves the scale-invariance assert above goes red on the
+    // class, not just on the one operator that shipped it.
+    def canaryLimits(d: String): Seq[Long] = {
+      val docs = Tables(spark, d).documents
+      val k = math.ceil(0.25 * docs.count()).toInt
+      val plan = docs.orderBy(col("doc_id")).limit(k)
+        .queryExecution.executedPlan.toString
+      limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq.sorted
+    }
+    assert(canaryLimits(dir) != canaryLimits(dir01),
+      "the canary's limit constant did not move between SFs — " +
+        "the scale-invariance rule would miss the defect class")
   }
 
   test("q28 closed forms == Spark window analytics, including uneven ntile") {
