@@ -12,20 +12,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanQualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
-  private val dir01 = "/root/testdata/sf0.01"
+  // the cross-SF pair must actually scale the corpus the rule guards:
+  // documents/embeddings are 500 rows at BOTH sf0.001 and sf0.01 (the
+  // r10 blind spot) and first grow at sf0.1 (5,000 / 2,000)
+  private val dirBig = "/root/testdata/sf0.1"
 
   private val limitRe =
     "(?:TakeOrderedAndProject\\(limit=|GlobalLimit |CollectLimit )(\\d+)".r
 
-  /** Plan a frame WITHOUT executing it, batch or streaming: for a
-    * streaming frame the batch-side UnsupportedOperationChecker is
-    * scoped off (the planner then produces the same plan the
-    * incremental planner would, with StreamingRelation placeholder
-    * leaves), which is what lets the registry's streaming queries get
-    * the identical mechanical audit as the batch ones — built with
-    * readStream, never started.
+  /** Plan a frame WITHOUT executing it. The streaming audit frames
+    * are built in audit mode — the run's exact lineage over BATCH
+    * leaves of the same files — so `executedPlan` is forceable and
+    * real (the batch planner MatchErrors on a watermarked
+    * StreamingRelation — the r10 failure). Failures are localized per
+    * frame so one bad plan names itself instead of poisoning the
+    * sweep.
     */
-  private def planOf(df: org.apache.spark.sql.DataFrame): (String, Int, Seq[Long]) = {
+  private def planOf(name: String,
+      df: org.apache.spark.sql.DataFrame): (String, Int, Seq[Long]) = {
     val prev = spark.conf.get("spark.sql.streaming.unsupportedOperationCheck")
     spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
     try {
@@ -37,6 +41,9 @@ class PlanQualitySpec extends AnyFunSuite {
       val plan = qe.executedPlan.toString
       val limits = limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq
       (plan, partitionlessWindows, limits)
+    } catch {
+      case e: Throwable =>
+        fail(s"$name: could not plan the audit frame: $e")
     } finally {
       spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", prev)
     }
@@ -62,11 +69,14 @@ class PlanQualitySpec extends AnyFunSuite {
     * planned but never executed — the four most expensive bench
     * entries get the same mechanical sweep as the batch registry.
     */
+  private lazy val auditFrames = graft.queries.StreamingQueries
+    .auditFrames(spark, dir)
+
   private lazy val streamingPlans: Seq[(String, String, Int, Seq[Long])] =
-    graft.queries.StreamingQueries.auditFrames(spark, dir).flatMap {
+    auditFrames.flatMap {
       case (name, frames) =>
         frames.zipWithIndex.map { case (f, i) =>
-          val (plan, plw, limits) = planOf(f)
+          val (plan, plw, limits) = planOf(s"$name#$i", f)
           (s"$name#$i", plan, plw, limits)
         }
     }
@@ -158,8 +168,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("every registered streaming query has a plan-audit entry") {
     val registered = Registry.all.map(_.name).filter(_.matches("s\\d.*")).toSet
-    val audited = graft.queries.StreamingQueries.auditFrames(spark, dir)
-      .map(_._1).toSet
+    val audited = auditFrames.map(_._1).toSet
     assert(audited == registered,
       s"streaming audit drift: unaudited=${registered -- audited}, " +
         s"stale=${audited -- registered}")
@@ -267,32 +276,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"doremi round plan lost its equi-keys:\n$physical")
   }
 
-  test("global limit constants are scale-invariant between sf0.001 and sf0.01") {
+  test("global limit constants are scale-invariant between sf0.001 and sf0.1") {
     // the r9 blind spot: a corpus-proportional k = ceil(0.25·500) = 125
     // sails under the 128 bound at sf0.001. Scale-invariance is what
-    // "fixed top-k" MEANS — plan every batch query at BOTH SFs and
-    // require each query's multiset of limit constants to be identical;
-    // any k ∝ corpus size moves 10× between the SFs and goes red here
-    // regardless of where it sits relative to the bound.
-    val at001 = batchPlans.map { case (name, plan, _) =>
+    // "fixed top-k" MEANS — replan each limit-bearing query at an SF
+    // where every fixture actually grows (sf0.1 — sf0.01 keeps
+    // documents/embeddings at 500 rows, the r10 vacuity) and require
+    // the multiset of limit constants to be identical; any k ∝ corpus
+    // size moves 10–100× and goes red here regardless of where it sits
+    // relative to the bound. Queries whose sf0.001 plan carries NO
+    // limit node are skipped: the defect class is a limit whose
+    // CONSTANT tracks the corpus, and such a node exists at every SF —
+    // replanning the rest would pay iterative-trainer builds at 100×
+    // data to compare empty sequences.
+    val withLimits = batchPlans.map { case (name, plan, _) =>
       name -> limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq.sorted
-    }.toMap
-    Registry.all.filterNot(_.name.matches("s\\d.*")).foreach { q =>
-      val plan01 = q.run(spark, dir01).queryExecution.executedPlan.toString
-      val limits01 =
-        limitRe.findAllMatchIn(plan01).map(_.group(1).toLong).toSeq.sorted
-      assert(limits01 == at001(q.name),
-        s"${q.name}: limit constants moved with the corpus — " +
-          s"sf0.001=${at001(q.name)} vs sf0.01=$limits01")
-    }
+    }.filter(_._2.nonEmpty).toMap
+    Registry.all.filterNot(_.name.matches("s\\d.*"))
+      .filter(q => withLimits.contains(q.name)).foreach { q =>
+        val planBig = q.run(spark, dirBig).queryExecution.executedPlan.toString
+        val limitsBig =
+          limitRe.findAllMatchIn(planBig).map(_.group(1).toLong).toSeq.sorted
+        assert(limitsBig == withLimits(q.name),
+          s"${q.name}: limit constants moved with the corpus — " +
+            s"sf0.001=${withLimits(q.name)} vs sf0.1=$limitsBig")
+      }
   }
 
   test("the cross-SF rule catches a deliberate corpus-proportional limit canary") {
     // the exact defect shape trainGate shipped in round 8: top
     // k = ceil(frac·nDocs) of a global order. At sf0.001 the constant
-    // (125) passes the fixed bound; across SFs it moves 10× — the
-    // canary proves the scale-invariance assert above goes red on the
-    // class, not just on the one operator that shipped it.
+    // (125) passes the fixed bound; at sf0.1 it is 1,250 — the canary
+    // proves the SF pair actually discriminates (documents must grow
+    // between the two dirs) and that the scale-invariance assert above
+    // goes red on the class, not just on the one operator that
+    // shipped it.
     def canaryLimits(d: String): Seq[Long] = {
       val docs = Tables(spark, d).documents
       val k = math.ceil(0.25 * docs.count()).toInt
@@ -300,7 +318,7 @@ class PlanQualitySpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq.sorted
     }
-    assert(canaryLimits(dir) != canaryLimits(dir01),
+    assert(canaryLimits(dir) != canaryLimits(dirBig),
       "the canary's limit constant did not move between SFs — " +
         "the scale-invariance rule would miss the defect class")
   }
