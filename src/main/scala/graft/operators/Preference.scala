@@ -165,7 +165,7 @@ object Preference {
       iters: Int,
       lr: Double): (DataFrame, DataFrame, IndexedSeq[IndexedSeq[Double]]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    import QualityModel.{sig, xsum, Dim}
+    import QualityModel.Dim
     val pairs = minePairs(docs)
       .select("source", "pair_id", "chosen_id", "rejected_id")
     val tk = QualityModel.tokenBuckets(docs)
@@ -188,13 +188,7 @@ object Preference {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     val ws = (1 to iters).map { _ =>
-      val err = margins(ptk, w)
-        .select(col("source"), col("pair_id"),
-          (sig(col("margin")) - lit(1.0)).as("err"))
-      val g = ptk.join(err, Seq("source", "pair_id"))
-        .groupBy("b")
-        .agg(xsum(col("sgn").cast("double") * col("err") /
-          col("n").cast("double")).as("g"))
+      val g = gradientRound(ptk, w)
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       // driver-side update — 64 doubles, written to match the oracle's
       // expression shape operation for operation
@@ -218,20 +212,29 @@ object Preference {
     * absence.
     */
   private[graft] def btRoundPlan(docs: DataFrame): DataFrame = {
-    import QualityModel.sig
     val ptk = docs.select(
       col("source"),
       pmod(col("doc_id"), lit(16)).cast("int").as("pair_id"),
       when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(-1)).as("sgn"),
       pmod(col("doc_id"), lit(64)).cast("int").as("b"),
       greatest(col("n_chars"), lit(1L)).cast("int").as("n"))
-    val w: IndexedSeq[Double] = Vector.fill(QualityModel.Dim)(0.0)
+    gradientRound(ptk, Vector.fill(QualityModel.Dim)(0.0))
+  }
+
+  /** ONE Bradley–Terry gradient round over a pair-token frame — the
+    * frame [[trainCore]] collects per iteration AND the frame
+    * [[btRoundPlan]] audits, so the audited lineage and the executed
+    * lineage cannot drift apart.
+    */
+  private def gradientRound(
+      ptk: DataFrame, w: IndexedSeq[Double]): DataFrame = {
+    import QualityModel.{sig, xsum}
     val err = margins(ptk, w)
       .select(col("source"), col("pair_id"),
         (sig(col("margin")) - lit(1.0)).as("err"))
     ptk.join(err, Seq("source", "pair_id"))
       .groupBy("b")
-      .agg(QualityModel.xsum(col("sgn").cast("double") * col("err") /
+      .agg(xsum(col("sgn").cast("double") * col("err") /
         col("n").cast("double")).as("g"))
   }
 

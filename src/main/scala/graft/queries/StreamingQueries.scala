@@ -453,43 +453,60 @@ object StreamingQueries extends QueryGroup {
       D.clipMonitor(eventsSource(s, dir, stream), bounds, "event_type", "value")
     }
 
-    /** s15's foreachBatch interior — the per-batch brute top-k the run
-      * executes via [[graft.operators.Similarity.bruteTopK]] on each
-      * micro-batch, here planned on a static batch stand-in — plus the
-      * driver-side partial-merge window frame (partitioned by q_id).
+    /** s15's per-batch scoring frame — the EXACT builder the run's
+      * foreachBatch calls on each micro-batch slice; the audit applies
+      * it to a static stand-in corpus. Shared so the audited lineage
+      * and the executed lineage cannot drift apart.
+      */
+    def s15PerBatch(qs: DataFrame, corpus: DataFrame): DataFrame =
+      graft.operators.Similarity.bruteTopK(qs, corpus, 5)
+        .select("q_id", "n_id", "cos_sim")
+
+    /** s15's partial-merge frame (window partitioned by q_id) — the
+      * EXACT builder the run applies to the accumulated Q×k partials.
+      */
+    def s15Merge(partials: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
+      partials
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+    }
+
+    /** s15's foreachBatch interior for the plan audit: [[s15PerBatch]]
+      * on a static stand-in corpus plus [[s15Merge]] on a partials-
+      * shaped literal frame.
       */
     def s15Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
-      import org.apache.spark.sql.expressions.Window
       import s.implicits._
       val emb = Tables(s, dir).embeddings
         .select(col("vec_id").as("id"), col("embedding"))
       val qs = emb.filter(col("id") < 10)
-      val perBatch = graft.operators.Similarity.bruteTopK(qs, emb, 5)
-        .select("q_id", "n_id", "cos_sim")
-      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-      val merge = Seq.empty[(Long, Long, Double)]
-        .toDF("q_id", "n_id", "cos_sim")
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 5)
-      Seq(perBatch, merge)
+      // non-empty partials stand-in (the s20 PropagateEmptyRelation rule)
+      val partials = Seq((0L, 1L, 0.5)).toDF("q_id", "n_id", "cos_sim")
+      Seq(s15PerBatch(qs, emb), s15Merge(partials))
     }
 
-    /** s20's foreachBatch interior on static stand-ins: the standing-
-      * index probe ([[graft.operators.Dedup.verifiedIndexDups]] — the
-      * exact function the run calls per batch), the within-batch band
-      * self-join, its Jaccard verify, and the left-anti admission.
+    /** s20's per-batch admission frames — the EXACT builder the run's
+      * foreachBatch executes per micro-batch (batch-vs-index probe,
+      * within-batch band self-join + Jaccard verify, left-anti
+      * admission), shared with the audit so the two cannot drift.
+      * Returns (corpusDups, candBatch, batchDups, admitted).
       */
-    def s20Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
+    def s20Admission(
+        batch: DataFrame, shN: DataFrame, bandsN: DataFrame,
+        idxBands: DataFrame, idxShingles: DataFrame)
+        : (DataFrame, DataFrame, DataFrame, DataFrame) = {
       val D = graft.operators.Dedup
-      val docs = Tables(s, dir).documents
-      val shN = D.portableShingles(docs)
-      val bandsN = D.portableMinHashBands(shN)
-      // the standing state stand-ins must be NON-empty frames (an
-      // empty filter(lit(false)) stand-in would let
-      // PropagateEmptyRelation collapse the whole probe to a
-      // LocalRelation and the audit would check nothing), so the
-      // static corpus's own shingles/bands stand in for the index
-      val corpusDups = D.verifiedIndexDups(bandsN, shN, bandsN, shN, 0.5)
+      val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
+      // batch-vs-index admission through the SHARED
+      // [[graft.operators.Dedup.verifiedIndexDups]] probe: band
+      // equi-join candidates, standing shingle state semi-filtered
+      // to surfaced docs BEFORE its per-doc aggregation (the read
+      // is candidate-bounded, not index-bounded — the axis the
+      // stream_dedup_index ScaleProbe row measures on this code path)
+      val corpusDups = D.verifiedIndexDups(bandsN, shN, idxBands,
+        idxShingles, 0.5)
       val candBatch = bandsN.as("a")
         .join(bandsN.as("b"),
           col("a.band_id") === col("b.band_id") &&
@@ -497,35 +514,64 @@ object StreamingQueries extends QueryGroup {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
       val batchDups = D.verifyJaccardPortable(candBatch, ssN, 0.5)
-      val rejected = corpusDups.select(col("id_a").as("doc_id"))
-        .union(batchDups.select(col("id_b").as("doc_id")))
+      val rejected = corpusDups
+        .select(col("id_a").as("doc_id"))   // the NEW side of a corpus dup
+        .union(batchDups.select(col("id_b").as("doc_id"))) // higher id of a batch dup
         .distinct()
-      val admitted = docs.join(rejected, Seq("doc_id"), "left_anti")
+      val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+      (corpusDups, candBatch, batchDups, admitted)
+    }
+
+    /** s20's foreachBatch interior for the plan audit: [[s20Admission]]
+      * on static stand-ins. The standing state stand-ins must be
+      * NON-empty frames (an empty filter(lit(false)) stand-in would let
+      * PropagateEmptyRelation collapse the whole probe to a
+      * LocalRelation and the audit would check nothing), so the static
+      * corpus's own shingles/bands stand in for the index.
+      */
+    def s20Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
+      val D = graft.operators.Dedup
+      val docs = Tables(s, dir).documents
+      val shN = D.portableShingles(docs)
+      val bandsN = D.portableMinHashBands(shN)
+      val (corpusDups, candBatch, batchDups, admitted) =
+        s20Admission(docs, shN, bandsN, bandsN, shN)
       Seq(corpusDups, candBatch, batchDups, admitted)
     }
 
-    /** s22's foreachBatch interior on static stand-ins: one changeset
-      * application ([[graft.operators.Snapshot.applyChangeset]] — the
-      * run's per-batch call) plus the final classification join.
+    /** s22's per-batch changeset application — the EXACT builder the
+      * run's foreachBatch executes per micro-batch, shared with the
+      * audit so the two cannot drift.
       */
-    def s22Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
-      import graft.functions.TextFunctions.fingerprint
-      val docs = Tables(s, dir).documents
-      val baseSnap = docs.select(col("doc_id"), col("text"))
-      val changes = NorthStar4.mergeChangeset(docs)
-      val merged = graft.operators.Snapshot
-        .applyChangeset(baseSnap, changes, idCol = "doc_id")
+    def s22Apply(cur: DataFrame, batch: DataFrame): DataFrame =
+      graft.operators.Snapshot
+        .applyChangeset(cur, batch, idCol = "doc_id")
         .select(col("doc_id"), col("text"))
-      val classified = merged.as("n")
+
+    /** s22's final classification join (snapshot vs original base) —
+      * the EXACT builder the run materializes after the stream drains.
+      */
+    def s22Classify(fin: DataFrame, baseSnap: DataFrame): DataFrame = {
+      import graft.functions.TextFunctions.fingerprint
+      fin.as("n")
         .join(baseSnap.as("b"), Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           when(col("b.text").isNull, lit("inserted"))
             .when(col("n.text") === col("b.text"), lit("kept"))
             .otherwise(lit("updated")).as("provenance"),
           fingerprint(col("n.text")).as("fp"))
-      Seq(merged, classified)
+    }
+
+    /** s22's foreachBatch interior for the plan audit: [[s22Apply]] +
+      * [[s22Classify]] on static stand-ins.
+      */
+    def s22Interior(s: SparkSession, dir: String): Seq[DataFrame] = {
+      val docs = Tables(s, dir).documents
+      val baseSnap = docs.select(col("doc_id"), col("text"))
+      val changes = NorthStar4.mergeChangeset(docs)
+      val merged = s22Apply(baseSnap, changes)
+      Seq(merged, s22Classify(merged, baseSnap))
     }
   }
 
@@ -911,7 +957,6 @@ object StreamingQueries extends QueryGroup {
     "s15_stream_vector_search",
     "streaming corpus ingestion scored against broadcast queries, top-5",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val qs = Tables(s, dir).embeddings
         .select(col("vec_id").as("id"), col("embedding"))
         .filter(col("id") < 10)
@@ -926,9 +971,10 @@ object StreamingQueries extends QueryGroup {
       val q = corpus.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           // the per-batch scoring + partial top-k IS bruteTopK on the
-          // batch slice (same tie-break — the merge property needs it)
-          val top = graft.operators.Similarity.bruteTopK(qs, batch, 5)
-            .select("q_id", "n_id", "cos_sim")
+          // batch slice (same tie-break — the merge property needs it);
+          // Frames.s15PerBatch is the SAME builder the plan audit
+          // checks, so audit and execution cannot drift
+          val top = Frames.s15PerBatch(qs, batch)
           // Q×k rows per batch — the only driver-side materialization
           partials ++= top.collect().map(r =>
             (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -938,10 +984,7 @@ object StreamingQueries extends QueryGroup {
         .start()
       q.awaitTermination()
       import s.implicits._
-      val w = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("n_id"))
-      partials.toSeq.toDF("q_id", "n_id", "cos_sim")
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 5)
+      Frames.s15Merge(partials.toSeq.toDF("q_id", "n_id", "cos_sim"))
         .orderBy("q_id", "rank")
     },
     Some("""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
@@ -1207,29 +1250,12 @@ object StreamingQueries extends QueryGroup {
           val shN = D.portableShingles(batch).persist()
           val bandsN = D.portableMinHashBands(shN).persist()
           try {
-            val ssN = shN.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
-            // batch-vs-index admission through the SHARED
-            // [[graft.operators.Dedup.verifiedIndexDups]] probe: band
-            // equi-join candidates, standing shingle state semi-filtered
-            // to surfaced docs BEFORE its per-doc aggregation (the read
-            // is candidate-bounded, not index-bounded — the axis the
-            // stream_dedup_index ScaleProbe row measures on this same
-            // code path)
-            val corpusDups = D.verifiedIndexDups(bandsN, shN,
-              s.read.parquet(idxDir), s.read.parquet(shDir), 0.5)
-            val candBatch = bandsN.as("a")
-              .join(bandsN.as("b"),
-                col("a.band_id") === col("b.band_id") &&
-                  col("a.band_key") === col("b.band_key") &&
-                  col("a.doc_id") < col("b.doc_id"))
-              .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-              .distinct()
-            val rejected = corpusDups
-              .select(col("id_a").as("doc_id"))   // the NEW side of a corpus dup
-              .union(D.verifyJaccardPortable(candBatch, ssN, 0.5)
-                .select(col("id_b").as("doc_id"))) // the higher id of a batch dup
-              .distinct()
-            batch.join(rejected, Seq("doc_id"), "left_anti")
+            // per-batch admission through Frames.s20Admission — the
+            // SAME builder the PlanQualitySpec streaming sweep audits,
+            // so the audited lineage IS the executed lineage
+            val (_, _, _, admitted) = Frames.s20Admission(batch, shN,
+              bandsN, s.read.parquet(idxDir), s.read.parquet(shDir))
+            admitted
               .select(pmod(col("doc_id"), lit(3)).cast("int").as("batch_no"),
                 col("doc_id"))
               .write.mode("append").parquet(outDir)
@@ -1407,8 +1433,6 @@ object StreamingQueries extends QueryGroup {
     "s22_stream_snapshot_merge",
     "streaming CDC merge: per-batch snapshot versions converge to the one-shot merge",
     (s, dir) => {
-      import graft.functions.TextFunctions.fingerprint
-      val Snap = graft.operators.Snapshot
       val base = java.nio.file.Files.createTempDirectory("graft_s22_").toFile
       base.deleteOnExit()
       def sub(n: String) = new java.io.File(base, n)
@@ -1437,8 +1461,9 @@ object StreamingQueries extends QueryGroup {
             _: Long) => {
           if (!batch.isEmpty) {
             val cur = s.read.parquet(snapDir(version))
-            Snap.applyChangeset(cur, batch, idCol = "doc_id")
-              .select(col("doc_id"), col("text"))
+            // Frames.s22Apply is the SAME builder the plan audit
+            // checks, so audit and execution cannot drift
+            Frames.s22Apply(cur, batch)
               .write.parquet(snapDir(version + 1))
             version += 1
           }
@@ -1465,13 +1490,7 @@ object StreamingQueries extends QueryGroup {
         // labels coincide with n69's per-op provenance, which is what
         // lets both queries share one oracle
         val fin = s.read.parquet(snapDir(version))
-        val res = fin.as("n")
-          .join(baseSnap.as("b"), Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            when(col("b.text").isNull, lit("inserted"))
-              .when(col("n.text") === col("b.text"), lit("kept"))
-              .otherwise(lit("updated")).as("provenance"),
-            fingerprint(col("n.text")).as("fp"))
+        val res = Frames.s22Classify(fin, baseSnap)
           .orderBy("doc_id")
           .localCheckpoint()
         res
