@@ -133,6 +133,31 @@ object Packing {
       .select("doc_id", "n_tok", "rank", "shard")
   }
 
+  /** Materialize a [[balancedShards]] plan: write the corpus as one
+    * directory partition per writer shard (`shard=<k>/` — the layout a
+    * 100 TB materialization hands its training dataloader), carrying
+    * the plan's `n_tok` so realized per-shard totals are auditable from
+    * the files alone. Returns the realized per-shard (n_docs,
+    * tok_total) read BACK from the written files — the check that the
+    * plan actually landed, not just computed.
+    *
+    * Scale shape: one equi-join of corpus × plan on doc_id (both sides
+    * shuffle on the key — the plan is corpus-sized, never broadcast),
+    * then `repartition(shard)` so each shard's rows land in one write
+    * task and the file count equals the shard count. A production run
+    * at 100 TB splits each shard across writers with
+    * `repartition(filesPerShard × nShards, col("shard"), salt)` —
+    * the directory layout and the balance guarantee are unchanged.
+    */
+  def writeSharded(docs: DataFrame, plan: DataFrame, outDir: String): DataFrame = {
+    docs.join(plan.select("doc_id", "n_tok", "shard"), "doc_id")
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_total"))
+  }
+
   /** Epoch-decorrelated packing plan — [[contextManifest]] composed
     * with a deterministic per-epoch hash shuffle, which is what a
     * multi-epoch dataloader actually consumes: training on the SAME

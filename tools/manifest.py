@@ -31,9 +31,26 @@ def snapshot():
             path = f"/root/testdata/{sf}/{t}.parquet"
             md = pq.read_metadata(path)
             sch = pq.read_schema(path)
+            # per-column null counts from row-group statistics: pins the
+            # generator's no-NULLs guarantee, so a regeneration that
+            # starts emitting NULLs (which would flip NULL-propagation
+            # dispositions both engines must share — NullRobustnessSpec)
+            # trips here instead of as a driver hash mismatch
+            nulls = {}
+            for j in range(md.num_columns):
+                total = 0
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(j).statistics
+                    if st is None or st.null_count is None:
+                        total = None
+                        break
+                    total += st.null_count
+                name = md.row_group(0).column(j).path_in_schema
+                nulls[name] = total
             out[f"{sf}/{t}"] = {
                 "rows": md.num_rows,
                 "columns": {f.name: str(f.type) for f in sch},
+                "nulls": nulls,
             }
     return out
 
@@ -65,6 +82,11 @@ def main():
             ca, cb = a["columns"].get(c), b["columns"].get(c)
             if ca != cb:
                 drift.append(f"{key}.{c}: type {ca} -> {cb}")
+        na, nb = a.get("nulls", {}), b.get("nulls", {})
+        for c in sorted(set(na) | set(nb)):
+            if na.get(c) != nb.get(c):
+                drift.append(
+                    f"{key}.{c}: nulls {na.get(c)} -> {nb.get(c)}")
     if drift:
         print("TESTDATA DRIFT — the driver regenerated data; re-verify "
               "loaders (Tables.normalizeTs) and re-derive bench budgets:")
