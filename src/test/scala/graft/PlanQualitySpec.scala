@@ -212,6 +212,68 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shuffle-join whitelist: model/dim joins broadcast, corpus-x-corpus joins may merge") {
+    // at 100 TB a model/dim join that silently loses its broadcast
+    // becomes a full shuffle of the corpus against a table of model
+    // state — invisible at test SF, a cluster-melter in production.
+    // Only frames whose BOTH sides are corpus-scale may plan a
+    // shuffle join (SortMergeJoin/ShuffledHashJoin): s20's index probe
+    // and batch-admission joins (batch bands x standing bands, both
+    // grow with data) and s22's snapshot-x-changeset merges (the
+    // changeset stand-in is corpus-sized; a per-batch slice broadcasts
+    // at run time, which only IMPROVES on the audited shape). Set
+    // equality, so both a lost broadcast and a stale whitelist entry
+    // fail here.
+    val allowed = Set(
+      "s20_stream_near_dedup#0", "s20_stream_near_dedup#3",
+      "s22_stream_snapshot_merge#0", "s22_stream_snapshot_merge#1")
+    val actual = streamingPlans.filter { case (_, plan, _, _) =>
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+    }.map(_._1).toSet
+    assert(actual == allowed,
+      s"streaming shuffle-join drift: unexpected=${actual -- allowed}, " +
+        s"stale=${allowed -- actual}")
+  }
+
+  test("literal-embedded model gates plan ZERO join operators") {
+    // s21/s27 score the stream with the trained weights embedded as
+    // plan literals (element_at over a typedLit vector) — the gate is
+    // pure scan-stage work, which is the cheapest possible 100 TB
+    // shape. A join appearing here means the scoring path regressed to
+    // shipping model state through a shuffle.
+    val literalGates =
+      Set("s21_stream_quality_gate#0", "s27_stream_reward_gate#0")
+    streamingPlans.filter(p => literalGates.contains(p._1)).foreach {
+      case (name, plan, _, _) =>
+        assert(!plan.contains("Join"),
+          s"$name: the literal-model gate now plans a join:\n${plan.take(1200)}")
+    }
+    assert(streamingPlans.count(p => literalGates.contains(p._1)) == 2)
+  }
+
+  test("streaming limit constants are scale-invariant between sf0.001 and sf0.1") {
+    // the batch cross-SF rule's streaming counterpart: the audit-mode
+    // frames plan in seconds (stand-in models, no training), so the
+    // whole streaming registry replans at an SF where every fixture
+    // grows; any interior top-k whose constant tracks the corpus
+    // (today the only streaming limit is s28's fixed vocab-64) moves
+    // 10-100x and goes red here.
+    val at001 = streamingPlans.map(p => p._1 -> p._4.sorted).toMap
+    val atBig = graft.queries.StreamingQueries
+      .auditFrames(spark, dirBig).flatMap { case (name, frames) =>
+        frames.zipWithIndex.map { case (f, i) =>
+          val (_, _, limits) = planOf(s"$name#$i", f)
+          s"$name#$i" -> limits.sorted
+        }
+      }.toMap
+    assert(atBig.keySet == at001.keySet)
+    at001.foreach { case (name, limits) =>
+      assert(atBig(name) == limits,
+        s"$name: limit constants moved with the corpus — " +
+          s"sf0.001=$limits vs sf0.1=${atBig(name)}")
+    }
+  }
+
   test("bt reward round plan: keyed aggs + keyed join only — no window, limit, or cartesian") {
     // each Bradley–Terry GD round (the engine under n81/n83/s27/n94)
     // is two keyed aggregations and one keyed join over the persisted
