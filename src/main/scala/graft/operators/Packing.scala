@@ -152,6 +152,10 @@ object Packing {
   def writeSharded(docs: DataFrame, plan: DataFrame, outDir: String): DataFrame = {
     docs.join(plan.select("doc_id", "n_tok", "shard"), "doc_id")
       .repartition(col("shard"))
+      // deterministic within-file row order: file bytes depend only on
+      // content, not shuffle-fetch order (reproducible materializations,
+      // stable compression)
+      .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
     docs.sparkSession.read.parquet(outDir)
       .groupBy("shard")

@@ -22,22 +22,16 @@ object StreamingQueries extends QueryGroup {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Read the events table as a file stream (same schema-adaptive `ts`
-    * handling as Tables.events). The streaming source needs an explicit
-    * schema, so peek at the batch-read schema of the same file — that
-    * is exactly what the vectorized reader will produce (long for
-    * legacy TIMESTAMP(NANOS) under nanosAsLong, TIMESTAMP_NTZ for
-    * timestamp[us]) — then normalize post-read.
-    */
-  private def eventsStream(s: org.apache.spark.sql.SparkSession, dir: String) =
-    eventsSource(s, dir, stream = true)
-
   /** The events table as either a file STREAM (the run paths) or the
     * SAME files as a batch leaf (the plan audit): identical explicit
     * schema, glob, and ts normalization, so both modes plan the
-    * identical lineage above the leaf. The batch leaf exists because
-    * Spark's batch planner cannot force `executedPlan` through a
-    * watermarked `StreamingRelation` (`EventTimeWatermarkStrategy`
+    * identical lineage above the leaf. The streaming source needs an
+    * explicit schema, so peek at the batch-read schema of the same
+    * file — exactly what the vectorized reader will produce (long for
+    * legacy TIMESTAMP(NANOS) under nanosAsLong, TIMESTAMP_NTZ for
+    * timestamp[us]) — then normalize post-read. The batch leaf exists
+    * because Spark's batch planner cannot force `executedPlan` through
+    * a watermarked `StreamingRelation` (`EventTimeWatermarkStrategy`
     * MatchErrors — r10 verdict #1); over a batch leaf the physical
     * plan is real and every join-strategy/limit check means what it
     * says.
@@ -58,15 +52,10 @@ object StreamingQueries extends QueryGroup {
     graft.Tables.normalizeTs(raw)
   }
 
-  /** Read the documents table as a file stream — the shared source of
-    * every batch-model → streaming-apply gate (s16/s19/s21/s23/s26/
-    * s27/s28).
-    */
-  private def docsStream(s: SparkSession, dir: String): DataFrame =
-    docsSource(s, dir, stream = true)
-
-  /** Documents as a stream (run) or the same files as a batch leaf
-    * (plan audit) — see [[eventsSource]] for why both modes exist. */
+  /** Documents as a stream (run; the shared source of every
+    * batch-model → streaming-apply gate, s16/s19/s21/s23/s26/s27/s28)
+    * or the same files as a batch leaf (plan audit) — see
+    * [[eventsSource]] for why both modes exist. */
   private def docsSource(
       s: SparkSession, dir: String, stream: Boolean): DataFrame = {
     val reader = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
@@ -290,21 +279,15 @@ object StreamingQueries extends QueryGroup {
     }
 
     /** The s17 per-phase aggregation shape (the staged-input schema is
-      * the same two columns the run stages).
+      * the same two columns the run stages). Audit-only: the run path
+      * builds its own staged `readStream` over the phase directory, so
+      * this frame only ever plans over a batch leaf.
       */
-    def s17Phase(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
-      val schema = "event_type STRING, value DOUBLE"
-      val src =
-        if (stream)
-          s.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-        else
-          s.read.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(dir)
-      src
+    def s17Phase(s: SparkSession, dir: String): DataFrame =
+      s.read.schema("event_type STRING, value DOUBLE")
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-    }
 
     def s18(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
       def typed(t: String, prefix: String) =
@@ -613,7 +596,7 @@ object StreamingQueries extends QueryGroup {
     "s14_stream_timer_sessions" -> Seq(Frames.s14(s, dir, stream = false)),
     "s15_stream_vector_search" -> Frames.s15Interior(s, dir),
     "s16_stream_curation" -> Seq(Frames.s16(s, dir, stream = false)),
-    "s17_stream_checkpoint_recovery" -> Seq(Frames.s17Phase(s, dir, stream = false)),
+    "s17_stream_checkpoint_recovery" -> Seq(Frames.s17Phase(s, dir)),
     "s18_stream_three_way_join" -> Seq(Frames.s18(s, dir, stream = false)),
     "s19_stream_importance_gate" -> Seq(Frames.s19(s, dir, stream = false)),
     "s20_stream_near_dedup" -> Frames.s20Interior(s, dir),

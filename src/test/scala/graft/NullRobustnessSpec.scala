@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** NULL-text robustness for the oracle families the r9/r10 gate fix did
@@ -31,9 +32,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * per-column null counts), so these dispositions are a guarantee about
   * robustness, not a behavior the driver data exercises today.
   */
-class NullRobustnessSpec extends AnyFunSuite {
+class NullRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   private val srcDir = "/root/testdata/sf0.001"
+
+  // the scratch tree holds a parquet corpus copy — deleteOnExit is a
+  // no-op on non-empty directories, so remove it explicitly
+  override def afterAll(): Unit = {
+    if (scratchBuilt) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      rmTree(new java.io.File(scratchDir))
+    }
+    super.afterAll()
+  }
+  @volatile private var scratchBuilt = false
 
   /** Scratch corpus: sf0.001 documents plus ONE NULL-text row with
     * doc_id −1 (sorts FIRST in every doc_id order, so a zero
@@ -43,7 +58,7 @@ class NullRobustnessSpec extends AnyFunSuite {
     */
   private lazy val scratchDir: String = {
     val base = java.nio.file.Files.createTempDirectory("graft_nullrob_")
-    base.toFile.deleteOnExit()
+    scratchBuilt = true
     val docs = Tables(spark, srcDir).documents
     val extra = spark.sql(
       """SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text,

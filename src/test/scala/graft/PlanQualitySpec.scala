@@ -350,7 +350,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // limit node are skipped: the defect class is a limit whose
     // CONSTANT tracks the corpus, and such a node exists at every SF —
     // replanning the rest would pay iterative-trainer builds at 100×
-    // data to compare empty sequences.
+    // data to compare empty sequences. Residual blindness, accepted:
+    // a limit that only MATERIALIZES at larger SFs (a builder branching
+    // on corpus size, e.g. `if (count > t) df.limit(k)`) would never
+    // enter withLimits and ship unchecked — no registry builder
+    // branches on data today, and introducing one should add the query
+    // to this rule's docs explicitly.
     val withLimits = batchPlans.map { case (name, plan, _) =>
       name -> limitRe.findAllMatchIn(plan).map(_.group(1).toLong).toSeq.sorted
     }.filter(_._2.nonEmpty).toMap

@@ -58,6 +58,19 @@ def snapshot():
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     live = snapshot()
+    # a column without row-group statistics records nulls=None, which
+    # would silently void the no-NULLs guarantee for that column (None
+    # compares equal to None forever after) — refuse to pin it, and
+    # flag it on check even when the committed manifest agrees
+    no_stats = [f"{key}.{c}" for key, snap in sorted(live.items())
+                for c, n in sorted(snap["nulls"].items()) if n is None]
+    if no_stats:
+        print("STATISTICS UNAVAILABLE — null counts cannot be pinned for:")
+        for c in no_stats:
+            print(" ", c)
+        if mode == "write":
+            print("refusing to write a manifest with vacuous null pins")
+            return 1
     if mode == "write":
         with open(MANIFEST, "w") as f:
             json.dump(live, f, indent=1, sort_keys=True)
