@@ -531,4 +531,94 @@ object Similarity {
         col("neg_cos") < posThreshold)
       .select("anchor_id", "pos_id", "pos_cos", "j", "neg_id", "neg_cos")
   }
+
+  /** Index-quality evaluation: per-query recall and reciprocal rank of
+    * an approximate top-k list against the exact brute-force ranking
+    * over the same queries/corpus. Both inputs are `(q_id, n_id, rank)`
+    * frames as produced by [[bruteTopK]] / [[lshTopK]] / [[ivfTopK]] /
+    * [[pqTopK]] — this is the acceptance gate a production ANN index
+    * ships behind (the similarity-search analog of n95's dedup
+    * method-agreement audit).
+    *
+    * recall = |approx ∩ exact| / |exact|; rr = 1 / approx-rank of the
+    * TRUE nearest neighbor (the exact rank-1 row), 0.0 when the index
+    * misses it entirely (MRR is then just avg(rr) over queries).
+    * Counts and ranks only — exact rational arithmetic, no
+    * order-dependent FP, so every column sits under the exact-hash
+    * oracle.
+    *
+    * Scale shape: inputs are top-k lists (Q·k rows); every join here
+    * is an equi-join on (q_id[, n_id]) over those lists — nothing
+    * touches the corpus. The expensive part is building the rankings,
+    * already scale-shaped in their operators; the exact side is the
+    * one corpus pass the evaluation fundamentally needs (ground truth
+    * on a Q-query sample, Q chosen small, never corpus²).
+    */
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019): for
+    * each query vector on side X, the best side-Y match under the
+    * MARGIN score `cos(x,y) / (sumTopK(x)/(2k) + sumTopK(y)/(2k))`,
+    * where `sumTopK(v)` sums v's k best cosines into the opposite
+    * side. Raw cosine mining is dominated by hub vectors (close to
+    * everything); dividing by both sides' local neighborhood density
+    * demotes hubs and is the standard mining score for parallel-corpus
+    * extraction.
+    *
+    * Exactness: each k-cosine sum routes through DECIMAL(38,12)
+    * ([[graft.queries.Sql.oSum12]]'s Spark side) — order-free and
+    * engine-exact — and the margin is then a fixed-shape IEEE
+    * expression over exact inputs, so every column hash-matches the
+    * DuckDB oracle.
+    *
+    * Scale shape: the x-side pass is [[bruteTopK]]'s broadcast-query
+    * corpus scan (Q queries); the y-side penalty pass runs only over
+    * the ≤ Q·k DISTINCT candidates (broadcast again), so total work is
+    * O((Q + Q·k)·|corpus|) — never corpus². At 100 TB both passes drop
+    * in behind [[lshTopK]]/[[ivfTopK]] candidates; the margin algebra
+    * is unchanged.
+    */
+  def bitextMarginPairs(
+      xQueries: DataFrame, xSide: DataFrame, ySide: DataFrame,
+      k: Int): DataFrame = {
+    val exactSum = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double")
+    val denom = lit(2.0 * k)
+    val xtop = bruteTopK(xQueries, ySide, k)
+      .select(col("q_id").as("x_id"), col("n_id").as("y_id"),
+        col("cos_sim"))
+    val xpen = xtop.groupBy("x_id").agg(exactSum(col("cos_sim")).as("sx"))
+    val yq = xtop.select(col("y_id").as("id")).distinct()
+      .join(ySide, "id")
+    val ypen = bruteTopK(yq, xSide, k)
+      .select(col("q_id").as("y_id"), col("cos_sim"))
+      .groupBy("y_id").agg(exactSum(col("cos_sim")).as("sy"))
+    val scored = xtop.join(xpen, "x_id").join(ypen, "y_id")
+      .withColumn("margin",
+        col("cos_sim") / (col("sx") / denom + col("sy") / denom))
+    val w = Window.partitionBy(col("x_id"))
+      .orderBy(desc("margin"), asc("y_id"))
+    scored.withColumn("mr", row_number().over(w))
+      .filter(col("mr") === 1)
+      .select("x_id", "y_id", "cos_sim", "margin")
+  }
+
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val ex = exact.select(col("q_id"), col("n_id"), col("rank").as("ex_rank"))
+    val ap = approx.select(col("q_id"), col("n_id"), col("rank").as("ap_rank"))
+    val nExact = ex.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+    val nHit = ex.join(ap, Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val rr = ex.filter(col("ex_rank") === 1)
+      .join(ap, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"),
+        coalesce(lit(1.0) / col("ap_rank"), lit(0.0)).as("rr"))
+    nExact
+      .join(nHit, Seq("q_id"), "left")
+      .join(rr, Seq("q_id"))
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"),
+        col("rr"))
+  }
 }

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation: index-quality evaluation — the acceptance
+  * gates a production retrieval stack runs before swapping an
+  * approximate index in for brute force. The ANN builders themselves
+  * (n06 LSH, n12 IVF) are oracle-green; what no query measured until
+  * now is how GOOD their rankings are, which is the number that
+  * decides nProbe/numTables at 100 TB.
+  */
+object NorthStar7 extends QueryGroup {
+
+  private val K = 10
+
+  /** Recall@10 + reciprocal rank of the LSH and IVF indexes against
+    * brute-force ground truth, per query vector and method — MRR/mean
+    * recall are one trivial avg() away, but the per-query rows are the
+    * actionable artifact (they name the vectors an index config fails
+    * on). Evaluation joins touch only the Q·k top-k lists; ground
+    * truth is the one corpus pass the metric fundamentally needs,
+    * taken on a small query sample exactly like n05.
+    */
+  private val annRecallEval = {
+    val planes = Similarity.hyperplanes(8, 64, 42L)
+    val planeRows = planes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.map(v => java.lang.Double.toString(v)).mkString(", ")}])"
+    }.mkString(",\n")
+    Q(
+      "n101_ann_recall_eval",
+      "ANN index acceptance: per-query recall@10 + reciprocal rank of LSH and IVF vs brute force",
+      (s, dir) => {
+        val emb = Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding"))
+        val q = emb.filter(col("id") < 10)
+        val exact = Similarity.bruteTopK(q, emb, K)
+        def eval(method: String, approx: DataFrame) =
+          Similarity.annRecall(exact, approx)
+            .withColumn("method", lit(method))
+        eval("lsh", Similarity.lshTopK(q, emb, K))
+          .unionByName(eval("ivf", Similarity.ivfTopK(q, emb, K)))
+          .select("method", "q_id", "n_hit", "recall", "rr")
+          .orderBy("method", "q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                          FROM embeddings WHERE vec_id < 10),
+            ex_ranked AS (
+              SELECT q_id, n_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM (SELECT q_id, e.vec_id AS n_id,
+                      ${Sql.oCos("q_emb", "e.embedding")} AS cos_sim
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id <> q_id)),
+            exact AS (SELECT q_id, n_id, rank FROM ex_ranked
+                      WHERE rank <= $K),
+            planes(plane_id, pv) AS (VALUES $planeRows),
+            buckets AS (
+              SELECT vec_id, SUM(CASE WHEN dot >= 0
+                THEN CAST(1 AS BIGINT) << plane_id ELSE 0 END) AS bucket
+              FROM (SELECT e.vec_id, p.plane_id,
+                      list_reduce(list_transform(list_zip(e.embedding, p.pv),
+                          x -> CAST(x[1] AS DOUBLE) * x[2]),
+                        (acc, x) -> acc + x) AS dot
+                    FROM embeddings e CROSS JOIN planes p)
+              GROUP BY vec_id),
+            lsh_q AS (SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+                        b.bucket
+                      FROM embeddings e JOIN buckets b USING (vec_id)
+                      WHERE e.vec_id < 10),
+            lsh_ranked AS (
+              SELECT q_id, n_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM (SELECT lq.q_id, e.vec_id AS n_id,
+                      ${Sql.oCos("lq.q_emb", "e.embedding")} AS cos_sim
+                    FROM lsh_q lq
+                    JOIN buckets cb ON lq.bucket = cb.bucket
+                    JOIN embeddings e ON e.vec_id = cb.vec_id
+                    WHERE e.vec_id <> lq.q_id)),
+            cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+                      FROM embeddings WHERE vec_id < 16),
+            assign AS (
+              SELECT n_id, cent_id FROM (
+                SELECT n_id, cent_id,
+                  row_number() OVER (PARTITION BY n_id
+                    ORDER BY s DESC, cent_id ASC) AS rn
+                FROM (SELECT e.vec_id AS n_id, c.cent_id,
+                        ${Sql.oCos("e.embedding", "c.c_emb")} AS s
+                      FROM embeddings e CROSS JOIN cents c))
+              WHERE rn = 1),
+            probes AS (
+              SELECT q_id, cent_id FROM (
+                SELECT q_id, cent_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY s DESC, cent_id ASC) AS rn
+                FROM (SELECT e.vec_id AS q_id, c.cent_id,
+                        ${Sql.oCos("e.embedding", "c.c_emb")} AS s
+                      FROM embeddings e CROSS JOIN cents c
+                      WHERE e.vec_id < 10))
+              WHERE rn <= 2),
+            ivf_ranked AS (
+              SELECT q_id, n_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM (SELECT q_id, n_id,
+                      ${Sql.oCos("qe.embedding", "ne.embedding")} AS cos_sim
+                    FROM (SELECT DISTINCT q_id, n_id
+                          FROM probes JOIN assign USING (cent_id)
+                          WHERE n_id <> q_id)
+                    JOIN embeddings qe ON qe.vec_id = q_id
+                    JOIN embeddings ne ON ne.vec_id = n_id)),
+            approx AS (
+              SELECT 'lsh' AS method, q_id, n_id, rank FROM lsh_ranked
+              WHERE rank <= $K
+              UNION ALL
+              SELECT 'ivf' AS method, q_id, n_id, rank FROM ivf_ranked
+              WHERE rank <= $K),
+            scaffold AS (
+              SELECT m.method, q.q_id
+              FROM (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m
+              CROSS JOIN (SELECT DISTINCT q_id FROM exact) q),
+            nx AS (SELECT q_id, COUNT(*) AS n_exact FROM exact
+                   GROUP BY q_id),
+            hit AS (SELECT a.method, a.q_id, COUNT(*) AS n_hit
+                    FROM approx a JOIN exact x
+                      ON a.q_id = x.q_id AND a.n_id = x.n_id
+                    GROUP BY a.method, a.q_id),
+            true_nn AS (SELECT q_id, n_id FROM exact WHERE rank = 1),
+            rrs AS (
+              SELECT s.method, s.q_id,
+                COALESCE(CAST(1 AS DOUBLE) / a.rank,
+                         CAST(0 AS DOUBLE)) AS rr
+              FROM scaffold s
+              JOIN true_nn t ON t.q_id = s.q_id
+              LEFT JOIN approx a ON a.method = s.method
+                AND a.q_id = s.q_id AND a.n_id = t.n_id)
+            SELECT s.method, s.q_id,
+              COALESCE(h.n_hit, 0) AS n_hit,
+              CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                / CAST(n.n_exact AS DOUBLE) AS recall,
+              r.rr
+            FROM scaffold s
+            JOIN nx n ON n.q_id = s.q_id
+            LEFT JOIN hit h ON h.method = s.method AND h.q_id = s.q_id
+            JOIN rrs r ON r.method = s.method AND r.q_id = s.q_id
+            ORDER BY s.method, s.q_id"""))
+  }
+
+  /** Margin-based bitext mining over a parity split of the embedding
+    * table (even vec_ids = side X, odd = side Y — disjoint ids, so
+    * bruteTopK's self-pair guard never bites): the best Y match per
+    * X query under the hub-demoting margin score. k = 4 neighborhood.
+    */
+  private val bitextMargin = Q(
+    "n102_bitext_margin",
+    "margin-based bitext mining: hub-penalized best cross-side match per query (Artetxe-Schwenk margin)",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding"))
+      val xSide = emb.filter(col("id") % 2 === 0)
+      val ySide = emb.filter(col("id") % 2 === 1)
+      Similarity.bitextMarginPairs(
+        xSide.filter(col("id") < 20), xSide, ySide, 4)
+        .orderBy("x_id")
+    },
+    Some(s"""WITH a AS (SELECT vec_id AS x_id, embedding AS x_emb
+                        FROM embeddings WHERE vec_id % 2 = 0),
+            b AS (SELECT vec_id AS y_id, embedding AS y_emb
+                  FROM embeddings WHERE vec_id % 2 = 1),
+            aq AS (SELECT * FROM a WHERE x_id < 20),
+            xc AS (
+              SELECT x_id, y_id, cos_sim,
+                row_number() OVER (PARTITION BY x_id
+                  ORDER BY cos_sim DESC, y_id ASC) AS rnk
+              FROM (SELECT x_id, y_id,
+                      ${Sql.oCos("x_emb", "y_emb")} AS cos_sim
+                    FROM aq CROSS JOIN b)),
+            xtop AS (SELECT x_id, y_id, cos_sim FROM xc WHERE rnk <= 4),
+            xpen AS (SELECT x_id, ${Sql.oSum12("cos_sim")} AS sx
+                     FROM xtop GROUP BY x_id),
+            cand AS (SELECT DISTINCT y_id FROM xtop),
+            yc AS (
+              SELECT y_id, x_id, cos_sim,
+                row_number() OVER (PARTITION BY y_id
+                  ORDER BY cos_sim DESC, x_id ASC) AS rnk
+              FROM (SELECT cb.y_id, a.x_id,
+                      ${Sql.oCos("cb.y_emb", "a.x_emb")} AS cos_sim
+                    FROM (SELECT b.y_id, b.y_emb
+                          FROM b JOIN cand USING (y_id)) cb
+                    CROSS JOIN a)),
+            ypen AS (SELECT y_id, ${Sql.oSum12("cos_sim")} AS sy
+                     FROM yc WHERE rnk <= 4 GROUP BY y_id),
+            scored AS (
+              SELECT t.x_id, t.y_id, t.cos_sim,
+                t.cos_sim / (xp.sx / CAST(8 AS DOUBLE)
+                           + yp.sy / CAST(8 AS DOUBLE)) AS margin
+              FROM xtop t
+              JOIN xpen xp ON xp.x_id = t.x_id
+              JOIN ypen yp ON yp.y_id = t.y_id)
+            SELECT x_id, y_id, cos_sim, margin FROM (
+              SELECT x_id, y_id, cos_sim, margin,
+                row_number() OVER (PARTITION BY x_id
+                  ORDER BY margin DESC, y_id ASC) AS mr
+              FROM scored)
+            WHERE mr = 1 ORDER BY x_id"""))
+
+  val all: Seq[Q] = Seq(annRecallEval, bitextMargin)
+}

@@ -1516,4 +1516,58 @@ class NorthStarSpec extends AnyFunSuite {
       .as[Seq[Long]].collect()
     assert(sig.toSeq == sig2.toSeq)
   }
+  test("annRecall pins recall and reciprocal rank incl. the total-miss path") {
+    // exact top-3 for two queries; approx hits 2/3 for q=0 (true NN at
+    // approx rank 2) and NOTHING for q=1 (empty bucket) — the coalesce
+    // paths the real corpus never exercises
+    val exact = List((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2), (1L, 22L, 3))
+      .toDF("q_id", "n_id", "rank")
+    val approx = List((0L, 11L, 1), (0L, 10L, 2), (0L, 99L, 3))
+      .toDF("q_id", "n_id", "rank")
+    val got = Similarity.annRecall(exact, approx)
+      .select("q_id", "n_hit", "recall", "rr")
+      .as[(Long, Long, Double, Double)].collect().toList.sortBy(_._1)
+    assert(got == List(
+      (0L, 2L, 2.0 / 3.0, 1.0 / 2.0), // true NN 10 found at rank 2
+      (1L, 0L, 0.0, 0.0)))            // index missed q=1 entirely
+  }
+  test("bitextMarginPairs matches a local naive margin computation") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rng.nextGaussian().toFloat))).toList
+    val df = vecs.toDF("id", "embedding")
+    val xSide = df.filter(col("id") % 2 === 0)
+    val ySide = df.filter(col("id") % 2 === 1)
+    val got = Similarity
+      .bitextMarginPairs(xSide.filter(col("id") < 10), xSide, ySide, 4)
+      .select("x_id", "y_id", "margin")
+      .as[(Long, Long, Double)].collect().toList.sortBy(_._1)
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val xs = vecs.filter(_._1 % 2 == 0)
+    val ys = vecs.filter(_._1 % 2 == 1)
+    def topK(v: Array[Float], side: List[(Long, Array[Float])]) =
+      side.map { case (i, u) => (i, cos(v, u)) }
+        .sortBy { case (i, s) => (-s, i) }.take(4)
+    val want = xs.filter(_._1 < 10).map { case (xi, xv) =>
+      val xtop = topK(xv, ys)
+      val sx = xtop.map(_._2).sum
+      val best = xtop.map { case (yi, c) =>
+        val sy = topK(ys.find(_._1 == yi).get._2, xs).map(_._2).sum
+        (yi, c / (sx / 8.0 + sy / 8.0))
+      }.sortBy { case (yi, m) => (-m, yi) }.head
+      (xi, best._1, best._2)
+    }
+    assert(got.map(t => (t._1, t._2)) == want.map(t => (t._1, t._2)),
+      "mined pair ids diverge from the naive margin argmax")
+    got.zip(want).foreach { case ((_, _, gm), (_, _, wm)) =>
+      assert(math.abs(gm - wm) < 1e-9,
+        s"margin drifted beyond decimal-routing tolerance: $gm vs $wm")
+    }
+  }
 }

@@ -100,6 +100,12 @@ class PlanQualitySpec extends AnyFunSuite {
     val allowed = Set(
       "n05_cosine_topk", "n12_ivf_ann", "n13_cosine_dup_pairs",
       "n20_tfidf_top_terms", "n40_bigram_fluency",
+      // ground-truth + IVF-probe sides of the recall eval — the same
+      // tiny broadcast query/centroid sets as n05/n12
+      "n101_ann_recall_eval",
+      // both margin passes are bruteTopK broadcast-query scans
+      // (Q, then ≤Q·k candidates)
+      "n102_bitext_margin",
       // one-row corpus-total / denominator aggregates crossJoined back
       // onto per-row data — the intended broadcast-scalar shape
       "n59_dsir_importance", "n61_temperature_mixture",
