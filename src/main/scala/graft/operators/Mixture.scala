@@ -335,4 +335,82 @@ object Mixture {
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_n") - 1)))
       .select("doc_id", "source", "per_mille", "copy_idx")
   }
+
+  /** Integer water-filling of a token budget across sources: find the
+    * common cap C such that Σ_d min(supply_d, C) spends the budget,
+    * then allocate `min(supply_d, C)` (+1 on the lowest-rank uncapped
+    * sources for the sub-C remainder) — the allocation that maximizes
+    * the minimum take, i.e. the fairest way to hit a total token
+    * budget when some domains are scarce. Complements
+    * [[Sampling.capSourceTokens]] (fixed per-source cap) and
+    * [[tokenBudgetForecast]] (weights given): here the CAP is the
+    * unknown and the budget is the constraint.
+    *
+    * Closed form, no iteration: sort sources by supply ascending with
+    * prefix sums P_i and m_i = D − i sources after i; the level lies
+    * in the unique segment where `C_i = (B − P_i) DIV m_i` falls in
+    * [supply_i, supply_{i+1}); a budget ≥ total supply degenerates to
+    * alloc = supply (level = NULL, nothing to ration). All-integer
+    * arithmetic throughout — exact-hash oracle, no FP anywhere.
+    *
+    * Scale shape: one token aggregate (D rows), the supply order via
+    * [[GlobalOrder]] (range-partitioned rank + running total — D-row
+    * tiny here, still scale-shaped), and the chosen one-row level
+    * broadcast back over the D-row frame. The corpus is touched once.
+    */
+  def tokenWaterfill(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be > 0, got $budget")
+    val supply = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source").agg(count(lit(1)).as("supply"))
+    // ascending supply order: rank i (1-based), inclusive prefix P_i
+    val ordered = GlobalOrder.withRunningTotal(
+      GlobalOrder.withGlobalIndexCols(supply,
+        Seq(col("supply").asc, col("source").asc)),
+      Seq(col("supply").asc, col("source").asc), col("supply"))
+      .withColumn("p_incl", col("_start_offset") + col("supply"))
+    val d = ordered.agg(
+      max(col("_global_rank")).as("n_sources"),
+      max(col("p_incl")).as("total_supply"))
+    // candidate level per segment boundary i: C_i = (B − P_{i−1}) DIV
+    // m_i with m_i = D − i + 1 sources at-or-after i. Segments BEFORE
+    // the true one always produce C_i ≥ supply_i (spend at supply_i is
+    // already ≤ B there) and are filtered out; segments AFTER it can
+    // alias the level value but never at a smaller rank — so the true
+    // segment is exactly the minimum-rank row passing
+    // `0 ≤ C_i < supply_i`. A budget ≥ total supply leaves the frame
+    // empty (degenerate: nothing to ration).
+    val seg = ordered.crossJoin(broadcast(d))
+      .filter(col("total_supply") > budget)
+      .withColumn("m", col("n_sources") - col("_global_rank") + 1)
+      .withColumn("c_cand",
+        expr(s"(${budget}L - _start_offset) DIV m"))
+      .filter(col("c_cand") >= 0 && col("c_cand") < col("supply"))
+      .orderBy(col("_global_rank"))
+      .limit(1)
+      .select(lit(1).as("_k"), col("c_cand").as("level"),
+        col("_start_offset").as("p_below"), col("m").as("m_at"))
+    val leveled = ordered.crossJoin(broadcast(d))
+      .withColumn("_k", lit(1))
+      .join(broadcast(seg), Seq("_k"), "left")
+      .withColumn("base",
+        when(col("total_supply") <= budget, col("supply"))
+          .otherwise(least(col("supply"), col("level"))))
+      // remainder r = B − (P_below + m·C) < m: +1 token to the first r
+      // uncapped sources in ascending order (each has supply ≥ C + 1,
+      // so the bonus never overdraws a source)
+      .withColumn("rem",
+        when(col("total_supply") <= budget, lit(0L))
+          .otherwise(lit(budget) - col("p_below") -
+            col("m_at") * col("level")))
+      .withColumn("alloc",
+        col("base") + when(col("supply") > col("level") &&
+          col("_global_rank") - (col("n_sources") - col("m_at")) <= col("rem"),
+          1L).otherwise(0L))
+    leveled.select(col("source"), col("supply"),
+      when(col("total_supply") <= budget, lit(null).cast("long"))
+        .otherwise(col("level")).as("level"),
+      col("alloc"),
+      (col("supply") - col("alloc")).as("unspent_supply"))
+  }
 }

@@ -445,4 +445,52 @@ object Sampling {
       .select("doc_id", "n_tok", "rank", "first_phase")
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a fixed eval budget
+    * across (lang, source) strata, realized as a sample manifest: each
+    * stratum gets `floor(k·n_h/N)` slots, and the `k − Σfloor`
+    * leftover slots go to the strata with the largest fractional
+    * remainders (ties broken by stratum name) — the allocation whose
+    * per-stratum error is provably < 1 slot, which is what an eval
+    * suite wants from "proportional". Slots are then filled by the
+    * first `alloc` docs of each stratum in md5(doc_id ':eval') order
+    * (the n73/n76 zero-RNG draw) — exact, reproducible,
+    * engine-independent.
+    *
+    * All-integer arithmetic (`k·n_h DIV N`, `%`, rank compares), so
+    * every column sits under the exact-hash oracle.
+    *
+    * Scale shape: one stratum aggregate (D rows), two one-row scalars
+    * (N, leftover) broadcast back over the D-row frame, the remainder
+    * rank via [[GlobalOrder.withGlobalIndexCols]] (range-partitioned —
+    * never a partition-less window even if D grows), and one window
+    * partitioned BY STRATUM to fill slots. Nothing global touches the
+    * corpus.
+    */
+  def evalSuiteAllocation(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"eval budget must be > 0, got $k")
+    val strata = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val total = strata.agg(sum(col("n_docs")).as("n_total"))
+    val quota = strata.crossJoin(broadcast(total))
+      .withColumn("floor_alloc", expr(s"($k * n_docs) DIV n_total"))
+      .withColumn("rem", expr(s"($k * n_docs) % n_total"))
+    val leftover = quota
+      .agg((lit(k.toLong) - sum(col("floor_alloc"))).as("leftover"))
+    val ranked = GlobalOrder.withGlobalIndexCols(quota,
+      Seq(col("rem").desc, col("lang").asc, col("source").asc))
+    val alloc = ranked.crossJoin(broadcast(leftover))
+      .withColumn("alloc",
+        col("floor_alloc") +
+          when(col("_global_rank") <= col("leftover"), 1L).otherwise(0L))
+      .select("lang", "source", "n_docs", "alloc")
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("_ord"), col("doc_id"))
+    docs.join(alloc, Seq("lang", "source"))
+      .withColumn("_ord",
+        md5(concat(col("doc_id").cast("string"), lit(":eval"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("alloc"))
+      .select("lang", "source", "n_docs", "alloc", "doc_id", "rk")
+  }
+
 }

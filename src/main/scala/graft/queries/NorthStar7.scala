@@ -208,5 +208,90 @@ object NorthStar7 extends QueryGroup {
               FROM scored)
             WHERE mr = 1 ORDER BY x_id"""))
 
-  val all: Seq[Q] = Seq(annRecallEval, bitextMargin)
+  /** Eval-suite construction: Hamilton (largest-remainder)
+    * apportionment of a 200-doc eval budget over (lang, source)
+    * strata, realized as the md5-ordered sample manifest. All-integer
+    * arithmetic — exact-hash oracle.
+    */
+  private val evalAllocation = Q(
+    "n103_eval_allocation",
+    "largest-remainder proportional eval-suite allocation over (lang, source) strata + md5-ordered manifest",
+    (s, dir) => graft.operators.Sampling
+      .evalSuiteAllocation(Tables(s, dir).documents, 200)
+      .orderBy("lang", "source", "rk"),
+    Some("""WITH s AS (SELECT lang, source, COUNT(*) AS n_docs
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM s),
+            q AS (SELECT lang, source, n_docs,
+                    (200 * n_docs) // n_total AS floor_alloc,
+                    (200 * n_docs) % n_total AS rem
+                  FROM s CROSS JOIN t),
+            l AS (SELECT CAST(200 - SUM(floor_alloc) AS BIGINT) AS leftover FROM q),
+            r AS (SELECT *, row_number() OVER
+                    (ORDER BY rem DESC, lang ASC, source ASC) AS gr
+                  FROM q),
+            a AS (SELECT lang, source, n_docs,
+                    floor_alloc + CASE WHEN gr <= leftover
+                      THEN 1 ELSE 0 END AS alloc
+                  FROM r CROSS JOIN l),
+            m AS (SELECT d.lang, d.source, d.doc_id,
+                    row_number() OVER (PARTITION BY d.lang, d.source
+                      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':eval')
+                        ASC, d.doc_id ASC) AS rk
+                  FROM documents d)
+            SELECT a.lang, a.source, a.n_docs, a.alloc, m.doc_id,
+              CAST(m.rk AS INT) AS rk
+            FROM a JOIN m ON m.lang = a.lang AND m.source = a.source
+            WHERE m.rk <= a.alloc
+            ORDER BY a.lang, a.source, rk"""))
+
+  /** Token-budget water-filling across sources: budget 15,000 — below
+    * every SF's total supply (27k/27k/270k), so the rationing path is
+    * always exercised; the degenerate budget ≥ supply path is pinned
+    * by MixtureSpec instead.
+    */
+  private val waterfill = Q(
+    "n104_token_waterfill",
+    "integer water-filling of a 15k token budget across sources: common cap + largest-remainder bonus",
+    (s, dir) => graft.operators.Mixture
+      .tokenWaterfill(Tables(s, dir).documents, 15000L)
+      .orderBy("source"),
+    Some("""WITH sup AS (
+              SELECT source, COUNT(*) AS supply
+              FROM (SELECT source, unnest(string_split(text, ' '))
+                    FROM documents)
+              GROUP BY source),
+            ord AS (SELECT source, supply,
+                      row_number() OVER (ORDER BY supply, source) AS rk,
+                      CAST(COALESCE(SUM(supply) OVER (ORDER BY supply, source
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS p_excl
+                    FROM sup),
+            d AS (SELECT COUNT(*) AS n_sources,
+                    CAST(SUM(supply) AS BIGINT) AS total_supply FROM sup),
+            seg AS (SELECT c_cand AS level, p_excl AS p_below, m AS m_at
+                    FROM (SELECT o.rk, o.supply, o.p_excl,
+                            d.n_sources - o.rk + 1 AS m,
+                            (15000 - o.p_excl) // (d.n_sources - o.rk + 1)
+                              AS c_cand
+                          FROM ord o CROSS JOIN d
+                          WHERE d.total_supply > 15000)
+                    WHERE c_cand >= 0 AND c_cand < supply
+                    ORDER BY rk LIMIT 1)
+            SELECT source, supply,
+              CASE WHEN total_supply <= 15000 THEN NULL
+                   ELSE level END AS level,
+              alloc, supply - alloc AS unspent_supply
+            FROM (SELECT o.source, o.supply, d.total_supply, s.level,
+                    CASE WHEN d.total_supply <= 15000 THEN o.supply
+                         ELSE LEAST(o.supply, s.level) END
+                    + CASE WHEN o.supply > s.level
+                        AND o.rk - (d.n_sources - s.m_at) <=
+                          (15000 - s.p_below - s.m_at * s.level)
+                        THEN 1 ELSE 0 END AS alloc
+                  FROM ord o CROSS JOIN d LEFT JOIN seg s ON TRUE)
+            ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(annRecallEval, bitextMargin, evalAllocation,
+    waterfill)
 }

@@ -295,6 +295,39 @@ object ScaleProbe {
         replicate(t.embeddings, "vec_id", c),
         anchorMax = 100L, posThreshold = 0.35, negsPerPair = 2).count())
 
+    // round-11 rows: fixed query sets over a growing corpus — the
+    // recall eval and margin miner are both broadcast-Q scans whose
+    // work is Q·corpus (linear under replication; the eval joins are
+    // Q·k, invisible); the allocators are one corpus aggregate + D-row
+    // frames, so they should be near-flat past the scan
+    probe("ann_recall_eval", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      val q = emb.filter(col("id") < 10)
+      Similarity.annRecall(
+        Similarity.bruteTopK(q, emb, 10),
+        Similarity.lshTopK(q, emb, 10)).count()
+    })
+
+    probe("bitext_margin", c => {
+      val emb = replicate(t.embeddings, "vec_id", c)
+        .select(col("vec_id").as("id"), col("embedding"))
+      Similarity.bitextMarginPairs(
+        emb.filter(col("id") % 2 === 0 && col("id") < 20),
+        emb.filter(col("id") % 2 === 0),
+        emb.filter(col("id") % 2 === 1), 4).count()
+    })
+
+    probe("eval_allocation", c =>
+      graft.operators.Sampling
+        .evalSuiteAllocation(replicate(t.documents, "doc_id", c), 200)
+        .count())
+
+    probe("token_waterfill", c =>
+      graft.operators.Mixture
+        .tokenWaterfill(replicate(t.documents, "doc_id", c), 15000L)
+        .count())
+
     // Streaming probes: replicated events staged to disk ONCE per scale
     // (the file-stream source needs files; staging is setup, not the
     // measured stream). user_id AND event_id shift per copy, so each

@@ -335,4 +335,23 @@ class DataSelectionSpec extends AnyFunSuite {
     val b = scores(docs.repartition(7, col("doc_id")))
     assert(a == b, "scores must be bit-identical across partitionings")
   }
+  test("evalSuiteAllocation: Hamilton apportionment spends k exactly with <1-slot error") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Sampling.evalSuiteAllocation(docs, 200).collect()
+    assert(rows.length == 200, s"manifest has ${rows.length} rows, want 200")
+    val perStratum = rows.groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k2, rs) => (k2, rs.head.getLong(2), rs.head.getLong(3),
+        rs.length) }.toList
+    val total = perStratum.map(_._2).sum.toDouble
+    perStratum.foreach { case ((lang, source), nDocs, alloc, filled) =>
+      assert(filled.toLong == alloc, s"$lang/$source filled $filled of $alloc")
+      assert(alloc <= nDocs, "allocation cannot exceed the stratum")
+      val quota = 200.0 * nDocs / total
+      assert(math.abs(alloc - quota) < 1.0,
+        s"$lang/$source alloc $alloc vs quota $quota breaks the <1-slot bound")
+    }
+    // determinism: manifest is a pure function of the corpus
+    val again = Sampling.evalSuiteAllocation(docs, 200).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -164,4 +164,46 @@ class MixtureSpec extends AnyFunSuite {
     val b = Mixture.doremiTrajectory(docsDf).collect().toSeq
     assert(a == b)
   }
+  test("tokenWaterfill: level, bonus, and exact budget spend on a known case") {
+    // supplies: srcS=2, srcM=10, srcL=60 (total 72); budget 15:
+    // segment: saturate srcS (2), level C=(15-2) DIV 2=6, spend=2+12=14,
+    // remainder 1 -> first uncapped source ascending (srcM) gets +1
+    val docs = Seq(
+      (1L, "srcS", "t t"),
+      (2L, "srcM", ("t " * 10).trim),
+      (3L, "srcL", ("t " * 60).trim)).toDF("doc_id", "source", "text")
+    val got = Mixture.tokenWaterfill(docs, 15L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList.sortBy(_._1)
+    assert(got == List(
+      ("srcL", 60L, 6L, 6L, 54L),
+      ("srcM", 10L, 6L, 7L, 3L),
+      ("srcS", 2L, 6L, 2L, 0L)))
+    assert(got.map(_._4).sum == 15L, "alloc must spend the budget exactly")
+  }
+
+  test("tokenWaterfill: budget >= total supply degenerates to alloc = supply, null level") {
+    val docs = Seq(
+      (1L, "srcA", "t t t"),
+      (2L, "srcB", "t t")).toDF("doc_id", "source", "text")
+    val got = Mixture.tokenWaterfill(docs, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.isNullAt(2),
+        r.getLong(3), r.getLong(4))).toList.sortBy(_._1)
+    assert(got == List(("srcA", 3L, true, 3L, 0L), ("srcB", 2L, true, 2L, 0L)))
+  }
+
+  test("tokenWaterfill: spend equals budget on the real corpus and level is maximal") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Mixture.tokenWaterfill(docs, 15000L).collect()
+    val spent = rows.map(_.getLong(3)).sum
+    assert(spent == 15000L, s"waterfill spent $spent of 15000")
+    val level = rows.map(_.getLong(2)).head
+    // maximality: raising the cap by 1 for every uncapped source must
+    // overshoot the budget (otherwise C was not the water level)
+    val over = rows.map(r => math.min(r.getLong(1), level + 1)).sum
+    assert(over > 15000L, "level + 1 must overshoot the budget")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)),
+      "no source may allocate beyond its supply")
+  }
 }
