@@ -191,4 +191,53 @@ object Drift {
           .as("n_above"))
       .select(key, "n", "lo_bound", "hi_bound", "n_below", "n_above")
   }
+
+  /** One-sided CUSUM drift detection per key: alarms where the
+    * cumulative upward deviation of `value` from the reference level
+    * exceeds the decision threshold — the classic sequential
+    * change-point statistic (Page 1954), which reacts to a sustained
+    * small shift long before any windowed mean does. The recursion
+    * S_i = max(0, S_{i−1} + (x_i − k)) is not window-expressible, but
+    * its closed form IS: S_i = P_i − min(0, min_{j≤i} P_j) with P the
+    * running sum of (x − k) — one prefix sum and one prefix min over
+    * the same key-partitioned order.
+    *
+    * Exactness: values are scaled to integer micro-units via
+    * `floor(value·10⁶)` (floor, not cast — Spark's double→long cast
+    * truncates while DuckDB's rounds; floor-then-cast is identical in
+    * both), so every prefix statistic is exact BIGINT arithmetic.
+    *
+    * Output per key: event count, alarm count, the FIRST alarm
+    * timestamp (NULL when the statistic never crosses — the quiet-key
+    * case), and the max CUSUM in micro-units.
+    *
+    * Scale shape: one window partition per key (two chained window
+    * functions over the same shuffle), then a key-keyed aggregate —
+    * key-parallel, no global order, state O(1) per row.
+    */
+  def cusumDrift(
+      events: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      reference: Double,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val kMicro = math.floor(reference * 1e6).toLong
+    val hMicro = math.floor(threshold * 1e6).toLong
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("event_id"))
+    val p = events
+      .select(col(key), col(tsCol), col("event_id"),
+        floor(col(valueCol) * lit(1000000.0)).cast("long").as("x"))
+      .withColumn("p", sum(col("x") - lit(kMicro)).over(w))
+    val s = p
+      .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(w)))
+    s.groupBy(key)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("s") > hMicro, 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("s") > hMicro, col(tsCol))).as("first_alarm_ts"),
+        max(col("s")).as("max_cusum_micro"))
+  }
 }

@@ -529,4 +529,79 @@ object TextAnalysis {
       .withColumn("rate",
         col("n").cast("double") / col("n_labeled").cast("double"))
   }
+
+  /** Per-source quality-gate keep-rate with a Wilson 95% score
+    * interval, flagged when the interval excludes the pooled rate —
+    * the sampling-error-aware version of a per-source health report
+    * (a 14/25 source is NOT evidence of decay; a 140/250 source is).
+    * Uses the Gopher gate ([[gopherOkCol]]), whose keep rate actually
+    * varies across the corpus.
+    *
+    * Exactness: counts are integers; every double expression below is
+    * written with ONE fixed shape (same parse tree in the DuckDB
+    * oracle), and sqrt is correctly rounded in both engines, so lo/hi
+    * hash-match bit-for-bit. z = 1.96 (z² = 3.8416) as double
+    * literals.
+    *
+    * Scale shape: one scan + source-keyed count agg; the pooled rate
+    * is a one-row scalar broadcast back over the D-row frame.
+    */
+  def sourceGateHealth(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        when(gopherOkCol, 1L).otherwise(0L).as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+    val pool = per.agg(sum(col("n_docs")).as("n_tot"),
+      sum(col("n_keep")).as("k_tot"))
+    val nD = col("n_docs").cast("double")
+    val p = col("n_keep").cast("double") / nD
+    val zz = lit(3.8416)
+    val denom = lit(1.0) + zz / nD
+    val center = (p + zz / (lit(2.0) * nD)) / denom
+    val half = lit(1.96) *
+      sqrt(p * (lit(1.0) - p) / nD + zz / (lit(4.0) * nD * nD)) / denom
+    per.crossJoin(broadcast(pool))
+      .withColumn("keep_rate", p)
+      .withColumn("pool_rate",
+        col("k_tot").cast("double") / col("n_tot").cast("double"))
+      .withColumn("wilson_lo", center - half)
+      .withColumn("wilson_hi", center + half)
+      .withColumn("flagged",
+        col("wilson_hi") < col("pool_rate") ||
+          col("wilson_lo") > col("pool_rate"))
+      .select("source", "n_docs", "n_keep", "keep_rate", "pool_rate",
+        "wilson_lo", "wilson_hi", "flagged")
+  }
+
+  /** Per-source vocabulary richness: observed vocabulary, Chao1
+    * species estimate, and Good-Turing coverage — "how much vocabulary
+    * has this source NOT shown yet", the growth diagnostic that says
+    * whether scraping more of a source buys new tokens or repeats.
+    * Chao1 (bias-corrected): V + f1·(f1−1)/(2·(f2+1)); coverage:
+    * 1 − f1/N. Both from exact integer term counts; the two final
+    * divisions are fixed-shape doubles.
+    *
+    * Scale shape: explode → (source, term) hash agg with map-side
+    * partials (vocab-bounded output), then a source-keyed fold of the
+    * frequency-of-frequencies — no window, no global order.
+    */
+  def vocabRichness(docs: DataFrame): DataFrame = {
+    val termCounts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    termCounts.groupBy("source")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_obs"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        col("vocab_obs").cast("double") +
+          (col("f1") * (col("f1") - lit(1L))).cast("double") /
+          (lit(2.0) * (col("f2") + lit(1L)).cast("double")))
+      .withColumn("coverage",
+        lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double"))
+  }
 }

@@ -292,6 +292,136 @@ object NorthStar7 extends QueryGroup {
                   FROM ord o CROSS JOIN d LEFT JOIN seg s ON TRUE)
             ORDER BY source"""))
 
+  /** The Gopher-gate predicate over a frame exposing (text, ts,
+    * sum_len) — the n98/n100 gate-B SQL, reused verbatim so there is
+    * ONE replay definition of the gate.
+    */
+  private val gateBSql: String =
+    """COALESCE(((len(ts) >= 10 AND len(ts) <= 100000)
+       AND (CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT) >= 3.0
+            AND CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT) <= 10.0)
+       AND (len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]'))) * 5
+            >= len(ts) * 4)
+       AND ((CASE WHEN list_contains(ts, 'the') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ts, 'a') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ts, 'and') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ts, 'of') THEN 1 ELSE 0 END
+             + CASE WHEN list_contains(ts, 'to') THEN 1 ELSE 0 END)
+            >= 2)), FALSE)"""
+
+  /** Per-source keep-rate with Wilson 95% intervals — the
+    * sampling-error-aware source health report.
+    */
+  private val gateHealth = Q(
+    "n105_gate_health_wilson",
+    "per-source Gopher-gate keep rate with Wilson 95% CI, flagged where the interval excludes the pooled rate",
+    (s, dir) => graft.operators.TextAnalysis
+      .sourceGateHealth(Tables(s, dir).documents)
+      .orderBy("source"),
+    Some(s"""WITH t AS (
+              SELECT source, text, string_split(text, ' ') AS ts,
+                length(replace(text, ' ', '')) AS sum_len
+              FROM documents),
+            per AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN $gateBSql THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_keep
+              FROM t GROUP BY source),
+            pool AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+                       CAST(SUM(n_keep) AS BIGINT) AS k_tot FROM per),
+            base AS (
+              SELECT source, n_docs, n_keep, n_tot, k_tot,
+                CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+                CAST(n_docs AS DOUBLE) AS nd
+              FROM per CROSS JOIN pool),
+            wil AS (
+              SELECT *,
+                (p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd)
+                  AS center,
+                1.96 * sqrt(p * (1.0 - p) / nd
+                    + 3.8416 / (4.0 * nd * nd))
+                  / (1.0 + 3.8416 / nd) AS half
+              FROM base)
+            SELECT source, n_docs, n_keep, p AS keep_rate,
+              CAST(k_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS pool_rate,
+              center - half AS wilson_lo,
+              center + half AS wilson_hi,
+              (center + half
+                 < CAST(k_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+              OR (center - half
+                 > CAST(k_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                AS flagged
+            FROM wil ORDER BY source"""))
+
+  /** Chao1 vocabulary estimation per source. */
+  private val vocabRichness = Q(
+    "n106_vocab_chao1",
+    "per-source observed vocab, Chao1 species estimate, Good-Turing coverage",
+    (s, dir) => graft.operators.TextAnalysis
+      .vocabRichness(Tables(s, dir).documents)
+      .orderBy("source"),
+    Some("""WITH tc AS (
+              SELECT source, t, COUNT(*) AS c
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY source, t),
+            agg AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS vocab_obs,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS f1,
+                CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS f2
+              FROM tc GROUP BY source)
+            SELECT source, n_tokens, vocab_obs, f1, f2,
+              CAST(vocab_obs AS DOUBLE)
+                + CAST(f1 * (f1 - 1) AS DOUBLE)
+                  / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1,
+              1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                AS coverage
+            FROM agg ORDER BY source"""))
+
+  /** Reference 55.0 (above every type's mean rate, so the statistic
+    * hovers near zero), threshold 500.0 — at sf0.001 two types never
+    * alarm (the NULL first-alarm path), at sf0.1 thousands of rows
+    * cross.
+    *
+    * The n107 oracle, shared with s31's streaming replay (one replay
+    * definition of the statistic — the s26/sftGateOracleSql pattern).
+    */
+  private[queries] val cusumOracleSql: String =
+    """WITH e AS (
+              SELECT event_type, ts, event_id,
+                CAST(floor(value * 1000000.0) AS BIGINT) AS x
+              FROM events),
+            p1 AS (
+              SELECT event_type, ts, event_id,
+                CAST(SUM(x - 55000000) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS BIGINT) AS p
+              FROM e),
+            p2 AS (
+              SELECT event_type, ts, p,
+                LEAST(0, CAST(MIN(p) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS BIGINT)) AS m
+              FROM p1)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CASE WHEN p - m > 500000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+              MIN(CASE WHEN p - m > 500000000 THEN ts END)
+                AS first_alarm_ts,
+              CAST(MAX(p - m) AS BIGINT) AS max_cusum_micro
+            FROM p2 GROUP BY event_type ORDER BY event_type"""
+
+  /** CUSUM change detection over the event stream, per event type. */
+  private val cusum = Q(
+    "n107_cusum_drift",
+    "one-sided CUSUM drift alarms per event type (Page statistic via prefix-sum/prefix-min closed form)",
+    (s, dir) => graft.operators.Drift
+      .cusumDrift(Tables(s, dir).events, "event_type", "ts", "value",
+        reference = 55.0, threshold = 500.0)
+      .orderBy("event_type"),
+    Some(cusumOracleSql))
+
   val all: Seq[Q] = Seq(annRecallEval, bitextMargin, evalAllocation,
-    waterfill)
+    waterfill, gateHealth, vocabRichness, cusum)
 }

@@ -385,6 +385,22 @@ object StreamingQueries extends QueryGroup {
         .toDF("doc_id", "source", "n_tokens", "start_off", "kept")
     }
 
+    /** The s31 CUSUM-path frame over ANY events-shaped source (the
+      * s25Quota pattern: the run feeds the staged ts-ordered arrival
+      * stream, the audit a batch leaf). One long of state per key;
+      * reference 55.0 in micro-units — n107's constants.
+      */
+    def s31Path(s: SparkSession, events: DataFrame): DataFrame = {
+      import s.implicits._
+      val src = events
+        .select(col("event_type"), unix_micros(col("ts")).as("tsm"),
+          col("event_id"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("x"))
+        .as[(String, Long, Long, Long)]
+      graft.streaming.StatefulOps.cusumPath(src, 55000000L)
+        .toDF("event_type", "tsm", "event_id", "s")
+    }
+
     def s26(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
       val physicalSchema = s.read.parquet(s"$dir/documents.parquet").schema
       val docs =
@@ -609,7 +625,9 @@ object StreamingQueries extends QueryGroup {
     "s27_stream_reward_gate" -> Seq(Frames.s27(s, dir, stream = false)),
     "s28_stream_oov_monitor" -> Seq(Frames.s28(s, dir, stream = false)),
     "s29_stream_drift_monitor" -> Seq(Frames.s29(s, dir, stream = false)),
-    "s30_stream_clip_monitor" -> Seq(Frames.s30(s, dir, stream = false)))
+    "s30_stream_clip_monitor" -> Seq(Frames.s30(s, dir, stream = false)),
+    "s31_stream_cusum_monitor" ->
+      Seq(Frames.s31Path(s, eventsSource(s, dir, stream = false))))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -1780,6 +1798,89 @@ object StreamingQueries extends QueryGroup {
             FROM events e JOIN b USING (event_type)
             GROUP BY 1, 2, 3 ORDER BY event_type"""))
 
+  /** Streaming CUSUM drift monitor — the ORDER-SENSITIVE member of the
+    * monitor family (s28–s30 are order-insensitive converging
+    * aggregates; Page's statistic depends on arrival order, so this is
+    * the one where "streaming == batch" requires the arrival CONTRACT,
+    * not just convergence): events arrive in three contiguous
+    * ts-range slices (the s25 staging pattern — cross-slice order is
+    * event-time order; within a batch the group handler sorts), the
+    * stateful path carries ONE long per key across batches, and the
+    * emitted per-event statistic is batch-aggregated into exactly
+    * n107's alarm report. The oracle is n107's SQL verbatim — the
+    * closed form the sequential recursion must reproduce.
+    */
+  private val streamCusumMonitor = Q(
+    "s31_stream_cusum_monitor",
+    "streaming CUSUM drift monitor: one-long-per-key Page statistic over ts-ordered arrival == batch closed form",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_s31_").toFile
+      def sub(n: String) = new java.io.File(base, n)
+      val in = sub("in"); in.mkdirs()
+      val stage = sub("stage")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(); ()
+      }
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = Tables(s, dir).events
+          .select(col("event_id"), col("ts"), col("event_type"),
+            col("value"))
+        // contiguous ts-range arrival slices: cross-slice arrival
+        // order IS event-time order (CUSUM's contract)
+        val Array(lo, hi) = ev
+          .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = (hi - lo) / 3 + 1
+        (0 to 2).foreach { k =>
+          ev.filter(unix_micros(col("ts")) >= lo + k * cut &&
+              unix_micros(col("ts")) < lo + (k + 1) * cut)
+            .coalesce(1).write.mode("overwrite")
+            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
+        }
+        val schema = s.read
+          .parquet(new java.io.File(stage, "0").getAbsolutePath).schema
+        val out = Frames.s31Path(s,
+          s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(in.getAbsolutePath))
+        val qn = s"graft_stream_${counter.incrementAndGet()}"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation", sub("ckpt").getAbsolutePath)
+          .start()
+        try {
+          (0 to 2).foreach { k =>
+            new java.io.File(stage, k.toString).listFiles()
+              .filter(_.getName.endsWith(".parquet")).foreach { f =>
+                java.nio.file.Files.copy(f.toPath,
+                  new java.io.File(in, s"b$k-${f.getName}").toPath)
+              }
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // batch-aggregate the emitted path into n107's alarm report
+        s.table(qn)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("s") > 500000000L, 1L).otherwise(0L))
+              .as("n_alarms"),
+            timestamp_micros(
+              min(when(col("s") > 500000000L, col("tsm"))))
+              .as("first_alarm_ts"),
+            max(col("s")).as("max_cusum_micro"))
+          .orderBy("event_type")
+          .localCheckpoint()
+      } finally {
+        rmTree(base)
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    },
+    Some(NorthStar7.cusumOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1788,5 +1889,6 @@ object StreamingQueries extends QueryGroup {
     streamThreeWayJoin, streamImportanceGate, streamNearDedup,
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
-    streamOovMonitor, streamDriftMonitor, streamClipMonitor)
+    streamOovMonitor, streamDriftMonitor, streamClipMonitor,
+    streamCusumMonitor)
 }

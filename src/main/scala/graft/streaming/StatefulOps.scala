@@ -203,6 +203,39 @@ object StatefulOps {
     * Input (source, doc_id, n_tokens); output (doc_id, source,
     * n_tokens, start_off, kept).
     */
+  /** Running one-sided CUSUM (Page) path per key: emits every event's
+    * statistic S_i = max(0, S_{i−1} + x_i − k) in integer micro-units.
+    * ORDER-SENSITIVE, unlike [[runningMax]]/[[tokenQuota]]'s
+    * order-insensitive aggregates: the caller must deliver batches in
+    * event-time order (contiguous ts-range arrival slices — the s25
+    * staging pattern), and within each batch the group sorts by
+    * (ts, event_id) before folding. State is ONE long per key (the
+    * carried statistic) regardless of stream length — the
+    * bounded-state contract that makes this run forever.
+    *
+    * Input (key, tsMicros, event_id, xMicro); output the same row with
+    * the statistic appended.
+    */
+  def cusumPath(
+      ds: Dataset[(String, Long, Long, Long)],
+      kMicro: Long): Dataset[(String, Long, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var s = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(r => (r._2, r._3))
+            .map { case (key, ts, id, x) =>
+              s = math.max(0L, s + x - kMicro)
+              (key, ts, id, s)
+            }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   def tokenQuota(
       ds: Dataset[(String, Long, Int)],
       budget: Long): Dataset[(Long, String, Int, Long, Boolean)] = {

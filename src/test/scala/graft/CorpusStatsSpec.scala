@@ -169,4 +169,52 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((200L, 1L)))
     assert(out.head.getDouble(2) > 0.999999)
   }
+  test("sourceGateHealth: Wilson interval matches the closed form; extremes get flagged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // srcGood: 10 long English docs (gate passes); srcBad: 10 numeric
+    // docs (gate fails); srcMid: 5/5 — with the pool at 50%, the
+    // extreme sources' intervals exclude it and the mid source's spans it
+    val good = "the cat and the dog ran to the big park and sat by a tall tree today"
+    val bad = "1 2 3 4 5 6 7 8 9 10 11 12"
+    val rows = (0 until 10).map(i => (i.toLong, "srcGood", good)) ++
+      (10 until 20).map(i => (i.toLong, "srcBad", bad)) ++
+      (20 until 30).map(i =>
+        (i.toLong, "srcMid", if (i % 2 == 0) good else bad))
+    val got = TextAnalysis.sourceGateHealth(
+      rows.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7)))).toMap
+    def wilson(x: Long, n: Long): (Double, Double) = {
+      val p = x.toDouble / n.toDouble
+      val nd = n.toDouble
+      val zz = 3.8416
+      val denom = 1.0 + zz / nd
+      val center = (p + zz / (2.0 * nd)) / denom
+      val half = 1.96 * math.sqrt(
+        p * (1.0 - p) / nd + zz / (4.0 * nd * nd)) / denom
+      (center - half, center + half)
+    }
+    got.foreach { case (src, (n, x, lo, hi, _)) =>
+      val (wl, wh) = wilson(x, n)
+      assert(lo == wl && hi == wh, s"$src interval drifted: $lo/$hi vs $wl/$wh")
+    }
+    assert(got("srcGood")._3 > 0.5 && got("srcGood")._5,
+      "a 10/10 source must be flagged above a 50% pool")
+    assert(got("srcBad")._4 < 0.5 && got("srcBad")._5,
+      "a 0/10 source must be flagged below a 50% pool")
+    assert(!got("srcMid")._5, "a 5/10 source must not be flagged at a 50% pool")
+  }
+
+  test("vocabRichness: Chao1 and coverage on a hand-computed fixture") {
+    import spark.implicits._
+    // srcA: tokens a a b c -> V=3, f1=2 (b,c), f2=1 (a), N=4
+    // chao1 = 3 + 2*1/(2*2) = 3.5; coverage = 1 - 2/4 = 0.5
+    val docs = Seq((1L, "srcA", "a a b c")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.vocabRichness(docs).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((4L, 3L, 2L, 1L)))
+    assert(r.getDouble(5) == 3.5 && r.getDouble(6) == 0.5)
+  }
 }

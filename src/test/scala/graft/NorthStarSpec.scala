@@ -1570,4 +1570,40 @@ class NorthStarSpec extends AnyFunSuite {
         s"margin drifted beyond decimal-routing tolerance: $gm vs $wm")
     }
   }
+  test("cusumDrift closed form equals the sequential Page recursion") {
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(11)
+    val events = (0 until 300).map { i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 1000L),
+        if (i % 2 == 0) "a" else "b", rng.nextDouble() * 100.0)
+    }
+    val df = events.toDF("event_id", "ts", "event_type", "value")
+    val got = graft.operators.Drift
+      .cusumDrift(df, "event_type", "ts", "value", 55.0, 500.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // sequential replay: S_i = max(0, S_{i-1} + x_i - k)
+    val want = events.groupBy(_._3).map { case (t, es) =>
+      var s = 0L; var alarms = 0L; var maxS = 0L
+      es.sortBy(e => (e._2.getTime, e._1)).foreach { e =>
+        val x = math.floor(e._4 * 1e6).toLong
+        s = math.max(0L, s + x - 55000000L)
+        if (s > 500000000L) alarms += 1
+        maxS = math.max(maxS, s)
+      }
+      t -> ((es.size.toLong, alarms, maxS))
+    }
+    assert(got == want)
+  }
+
+  test("cusumDrift: a quiet key never alarms and reports a NULL first-alarm ts") {
+    import java.sql.Timestamp
+    val df = (0 until 50).map(i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 1000L), "quiet", 1.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = graft.operators.Drift
+      .cusumDrift(df, "event_type", "ts", "value", 55.0, 500.0)
+      .collect().head
+    assert(r.getLong(2) == 0L && r.isNullAt(3) && r.getLong(4) == 0L)
+  }
 }

@@ -107,8 +107,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // (Q, then ≤Q·k candidates)
       "n102_bitext_margin",
       // one-row broadcast scalars (stratum total / leftover; supply
-      // totals / the chosen water level) over D-row frames
+      // totals / the chosen water level; the pooled keep rate) over
+      // D-row frames
       "n103_eval_allocation", "n104_token_waterfill",
+      "n105_gate_health_wilson",
       // one-row corpus-total / denominator aggregates crossJoined back
       // onto per-row data — the intended broadcast-scalar shape
       "n59_dsir_importance", "n61_temperature_mixture",

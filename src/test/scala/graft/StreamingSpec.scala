@@ -192,4 +192,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(SinkProbe.closed.get())
     } finally q.stop()
   }
+  test("s31: staged ts-ordered streaming CUSUM equals the batch closed form") {
+    // the order-sensitive member of the monitor family: the streaming
+    // replay (3 contiguous ts-range arrival slices, one long of state
+    // per key) must reproduce n107's prefix-sum/prefix-min closed form
+    // row for row, including the NULL first-alarm types at this SF
+    val dir = "/root/testdata/sf0.001"
+    val got = queries.Registry
+      .queries("s31_stream_cusum_monitor")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val want = graft.operators.Drift
+      .cusumDrift(Tables(spark, dir).events, "event_type", "ts", "value",
+        reference = 55.0, threshold = 500.0)
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toList
+    assert(got == want)
+    assert(want.exists(_(3) == null),
+      "fixture check: at least one quiet type must exercise the NULL path")
+  }
 }
