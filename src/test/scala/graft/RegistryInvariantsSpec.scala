@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide structural invariants, enforced at suite speed so a
+  * drift fails in `sbt test` instead of minutes later in BenchGuard or
+  * a driver artifact:
+  *
+  *   - every query carries a DuckDB oracle unless it is on the PINNED
+  *     rows-only list (n04's xxhash64 SimHash bits and q30's
+  *     approx_count_distinct have no cross-engine-exact SQL form —
+  *     both documented in COVERAGE.md). Set equality, so a pin that
+  *     GAINS an oracle is flagged as stale exactly like a new query
+  *     that silently ships without one.
+  *   - every registered query has a committed bench ceiling, and every
+  *     ceiling names a registered query (same parser the gate uses).
+  *   - names follow the family_snake convention the driver artifacts
+  *     key on.
+  */
+class RegistryInvariantsSpec extends AnyFunSuite {
+
+  test("every query has an oracle unless pinned rows-only") {
+    val rowsOnly = Set("n04_dedup_simhash", "q30_approx_distinct")
+    val missing = queries.Registry.all
+      .filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(missing == rowsOnly,
+      s"oracle drift: new rows-only=${missing -- rowsOnly}, " +
+        s"stale pins=${rowsOnly -- missing}")
+  }
+
+  test("bench budget covers the registry exactly") {
+    val budget = graft.tools.BenchGuard.parseFlat(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_budget.json")))).keySet
+    val registered = queries.Registry.all.map(_.name).toSet
+    assert(registered -- budget == Set.empty,
+      s"queries without a ceiling: ${registered -- budget}")
+    assert(budget -- registered == Set.empty,
+      s"stale ceilings for unregistered queries: ${budget -- registered}")
+  }
+
+  test("query names follow the family_snake convention") {
+    val pat = "^[cnqsw]\\d+_[a-z0-9_]+$".r
+    val bad = queries.Registry.all.map(_.name)
+      .filterNot(n => pat.matches(n))
+    assert(bad.isEmpty, s"non-conforming query names: $bad")
+  }
+}
