@@ -192,6 +192,80 @@ object Drift {
       .select(key, "n", "lo_bound", "hi_bound", "n_below", "n_above")
   }
 
+  /** The streaming-legal half of the binned two-sample KS statistic:
+    * per-(key, unit-bin) counts of slice A (`inA`) and its complement
+    * in ONE aggregation — on a streaming frame this runs in update
+    * mode with one state row per (key, bin), and both carried sums
+    * are order-insensitive exact integers. Output: (key, bin, ca, cb).
+    */
+  def ksBinCounts(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      inA: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(key),
+      floor(col(valueCol)).cast("long").as("bin"), inA.as("in_a"))
+      .groupBy(col(key), col("bin"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+
+  /** The report half: binned ECDFs via one key-partitioned cumulative
+    * window over the (key, bin) counts, D = max |F_a − F_b| over bin
+    * edges, and the α = 0.05 large-sample critical value
+    * 1.358·√((n_a+n_b)/(n_a·n_b)). A key entirely inside one slice
+    * yields NULL ks/crit/drifted (the rankSumDrift convention — its
+    * own alarm, never a silent Infinity). Exactness: cumulative and
+    * total counts are exact BIGINTs; every double is a fixed-shape
+    * expression over them (one correctly-rounded sqrt), and MAX over
+    * identical per-bin doubles is order-independent. Output: (key,
+    * n_a, n_b, n_bins, ks_stat, crit_05, drifted).
+    */
+  def ksFromBinCounts(binned: DataFrame, key: String): DataFrame = {
+    val wc = Window.partitionBy(col(key)).orderBy(asc("bin"))
+    val wAll = Window.partitionBy(col(key))
+    val cum = binned
+      .withColumn("cum_a", sum(col("ca")).over(wc))
+      .withColumn("cum_b", sum(col("cb")).over(wc))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
+      .withColumn("gap",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+            col("cum_b").cast("double") / col("n_b").cast("double"))))
+    val bothPos = col("n_a") > 0L && col("n_b") > 0L
+    val crit = lit(1.358) * sqrt(
+      (col("n_a") + col("n_b")).cast("double") /
+        (col("n_a") * col("n_b")).cast("double"))
+    cum.groupBy(col(key))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_bins"), max(col("gap")).as("ks_stat"))
+      .withColumn("crit_05", when(bothPos, crit))
+      .withColumn("drifted",
+        when(bothPos, col("ks_stat") > col("crit_05")))
+      .select(col(key), col("n_a"), col("n_b"), col("n_bins"),
+        col("ks_stat"), col("crit_05"), col("drifted"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift of `valueCol` between
+    * slice A (`inA`) and its complement, per key — the
+    * whole-distribution companion of [[rankSumDrift]] (which is most
+    * sensitive to location shift; KS reacts to ANY CDF divergence,
+    * shape included). Composition of the two halves above, so the
+    * batch query and the streaming monitor share one definition of
+    * each stage.
+    *
+    * Scale shape: one (key, bin)-keyed aggregation with map-side
+    * partials (the frame collapses to distinct-bin size before any
+    * window), one key-partitioned cumulative window, one final
+    * per-key aggregate — key-parallel, no global order.
+    */
+  def ksDrift(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      inA: org.apache.spark.sql.Column): DataFrame =
+    ksFromBinCounts(ksBinCounts(df, key, valueCol, inA), key)
+
   /** One-sided CUSUM drift detection per key: alarms where the
     * cumulative upward deviation of `value` from the reference level
     * exceeds the decision threshold — the classic sequential

@@ -574,6 +574,158 @@ object TextAnalysis {
         "wilson_lo", "wilson_hi", "flagged")
   }
 
+  /** Per-term burstiness: the variance-to-mean ratio (index of
+    * dispersion) of a term's per-document counts — zeros included — and
+    * the Church–Gale adaptation probability P(c ≥ 2 | c ≥ 1). Under a
+    * Poisson (non-bursty) occurrence model dispersion ≈ 1; content
+    * words cluster (dispersion ≫ 1) while function words spread evenly
+    * — the signal that separates topical from structural vocabulary
+    * without any language resource. Restricted to terms with document
+    * frequency ≥ `minDf` so the ratio has support.
+    *
+    * Exactness: df/cf/Σc²/df₂ are exact integers (zeros contribute 0
+    * to every sum, so "zeros included" costs nothing); the three
+    * output doubles are fixed-shape divisions of exact-int-valued
+    * doubles, reproduced verbatim in the oracle.
+    *
+    * Scale shape: explode → (term, doc) count agg → term-keyed fold,
+    * both with map-side partials; the corpus doc count joins back as a
+    * one-row broadcast scalar (BNLJ by construction — whitelisted).
+    */
+  def termBurstiness(docs: DataFrame, minDf: Long = 25L): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val perTerm = perDoc.groupBy("t")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+        sum(col("c") * col("c")).as("sq"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("df2"))
+      .filter(col("df") >= minDf)
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    perTerm.crossJoin(broadcast(total))
+      .withColumn("mean_rate",
+        col("cf").cast("double") / col("n_docs").cast("double"))
+      .withColumn("msq",
+        col("sq").cast("double") / col("n_docs").cast("double"))
+      .withColumn("dispersion",
+        (col("msq") - col("mean_rate") * col("mean_rate")) /
+          col("mean_rate"))
+      .withColumn("adaptation",
+        col("df2").cast("double") / col("df").cast("double"))
+      .select("t", "df", "cf", "mean_rate", "dispersion", "adaptation")
+  }
+
+  /** The n23 PII patterns as one per-row hit predicate (any category
+    * matches) — the [[Curation.releaseHealthcheck]] signal, shared so
+    * the Fleiss rater below and the healthcheck cannot drift.
+    */
+  private[graft] def piiHitCol: Column =
+    PiiPatterns
+      .map { case (_, pat, _) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))) > 0
+      }
+      .reduce(_ || _)
+
+  /** Fleiss' kappa across the THREE per-row document gates — the
+    * heuristic quality gate ([[qualityOkCol]]), the Gopher rules
+    * ([[gopherOkCol]]), and PII-freedom (no [[PiiPatterns]] hit) — per
+    * source. n98 answers "do gates A and B agree"; this answers
+    * whether the whole gate PANEL is measuring one underlying quality
+    * axis (κ high) or orthogonal defects (κ near 0), per source, which
+    * is what decides if a cheaper single-gate pipeline would keep the
+    * same corpus. Binary categories, m = 3 raters:
+    * P_i = (k(k−1) + (3−k)(2−k))/6 for k = keep votes, so
+    * ΣP_i·6 = Σ(k(k−1)+(3−k)(2−k)) stays an exact integer;
+    * P̄ = that/(6n), p = Σk/(3n), P_e = p² + (1−p)², and
+    * κ = (P̄−P_e)/(1−P_e) with the degenerate P_e = 1 margin (all
+    * three gates constant within a source) yielding NULL, not 0/0.
+    *
+    * NULL/empty text lands deterministically in the not-kept cell of
+    * every rater (the same COALESCE contract as the gates themselves;
+    * PII-freedom of a NULL text is coalesced false).
+    *
+    * Scale shape: ONE scan computing all three predicates in the same
+    * projection, one source-keyed aggregation of two integer sums; the
+    * kappa arithmetic is column math on the S-row result.
+    */
+  def gateFleiss(docs: DataFrame): DataFrame = {
+    val k = qualityOkCol.cast("int") + gopherOkCol.cast("int") +
+      coalesce(!piiHitCol, lit(false)).cast("int")
+    docs.select(col("source"), k.cast("long").as("k"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).as("keep_votes"),
+        sum(col("k") * (col("k") - lit(1L)) +
+          (lit(3L) - col("k")) * (lit(2L) - col("k"))).as("agree_pairs6"))
+      .withColumn("pbar",
+        col("agree_pairs6").cast("double") /
+          (lit(6.0) * col("n_docs").cast("double")))
+      .withColumn("p_keep",
+        col("keep_votes").cast("double") /
+          (lit(3.0) * col("n_docs").cast("double")))
+      .withColumn("pe",
+        col("p_keep") * col("p_keep") +
+          (lit(1.0) - col("p_keep")) * (lit(1.0) - col("p_keep")))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(null))
+          .otherwise((col("pbar") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select("source", "n_docs", "keep_votes", "agree_pairs6",
+        "pbar", "p_keep", "pe", "kappa")
+  }
+
+  /** Pairwise source affinity: term-count-vector cosine and
+    * vocabulary Jaccard for every source pair that shares at least one
+    * term — "which sources are textually redundant", the corpus-mix
+    * diagnostic that says whether two scrapes buy one distribution
+    * twice. Deliberately log-free (the registry's TF-IDF precedent):
+    * dot products and intersection sizes are exact integer sums, the
+    * norms are sqrt of exact ints (correctly rounded in both engines),
+    * so cosine and Jaccard are fixed-shape divisions — engine-exact
+    * with no DECIMAL routing needed.
+    *
+    * Pairs with zero shared vocabulary drop out (inner join on term) —
+    * declared semantics, identical in the oracle; with natural text
+    * every pair shares stopwords, so the output is the full S·(S−1)/2
+    * triangle in practice.
+    *
+    * Scale shape: explode → (source, term) count agg with map-side
+    * partials (S·V rows); the pair pass is a term-keyed equi-self-join
+    * whose per-term fanout is bounded by S² (S = #sources, a handful),
+    * then an (src_a, src_b)-keyed agg of two integer sums; per-source
+    * norms re-aggregate the same S·V frame and broadcast-join onto the
+    * S² pair rows. No corpus² anywhere.
+    */
+  def sourceAffinity(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val norms = tc.groupBy("source")
+      .agg(sum(col("c") * col("c")).as("sq"), count(lit(1)).as("v"))
+    val a = tc.select(col("source").as("src_a"), col("t"),
+      col("c").as("ca"))
+    val b = tc.select(col("source").as("src_b"), col("t"),
+      col("c").as("cb"))
+    val pairs = a.join(b, Seq("t"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(norms.select(col("source").as("src_a"),
+        col("sq").as("sq_a"), col("v").as("v_a"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("source").as("src_b"),
+        col("sq").as("sq_b"), col("v").as("v_b"))), Seq("src_b"))
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          (sqrt(col("sq_a").cast("double")) *
+            sqrt(col("sq_b").cast("double"))))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("n_shared")).cast("double"))
+      .select("src_a", "src_b", "n_shared", "dot", "v_a", "v_b",
+        "cosine", "jaccard")
+  }
+
   /** Per-source vocabulary richness: observed vocabulary, Chao1
     * species estimate, and Good-Turing coverage — "how much vocabulary
     * has this source NOT shown yet", the growth diagnostic that says

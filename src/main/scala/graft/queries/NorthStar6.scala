@@ -771,7 +771,7 @@ object NorthStar6 extends QueryGroup {
     * sum_len) — shared by the n98 kappa oracle and the n100
     * healthcheck oracle.
     */
-  private val gaSql: String = """COALESCE((len(ts) >= 5
+  private[queries] val gaSql: String = """COALESCE((len(ts) >= 5
                  AND (length(text) - length(regexp_replace(text,
                      '[^a-zA-Z0-9 ]', '', 'g')))
                    / CAST(length(text) AS DOUBLE) < 0.2
@@ -779,7 +779,7 @@ object NorthStar6 extends QueryGroup {
                      '[0-9]', '', 'g')))
                    / CAST(length(text) AS DOUBLE) < 0.3), FALSE)"""
 
-  private val gbSql: String = """COALESCE(((len(ts) >= 10 AND len(ts) <= 100000)
+  private[queries] val gbSql: String = """COALESCE(((len(ts) >= 10 AND len(ts) <= 100000)
                  AND (CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
                         >= 3.0
                       AND CAST(sum_len AS DOUBLE) / CAST(len(ts) AS INT)
@@ -870,7 +870,7 @@ object NorthStar6 extends QueryGroup {
     * from [[graft.operators.TextAnalysis.PiiPatterns]] (the n23 oracle
     * policy), so a pattern change updates operator and oracle together.
     */
-  private val piiHitSql: String =
+  private[queries] val piiHitSql: String =
     graft.operators.TextAnalysis.PiiPatterns
       .map { case (_, pat, _) =>
         s"len(regexp_extract_all(text, '$pat')) > 0"

@@ -422,6 +422,192 @@ object NorthStar7 extends QueryGroup {
       .orderBy("event_type"),
     Some(cusumOracleSql))
 
+  /** Term burstiness: variance-to-mean dispersion + Church-Gale
+    * adaptation per term with df >= 25. All aggregates are exact
+    * integer sums (zeros-included moments cost nothing because a zero
+    * contributes zero to every sum); the three output doubles are
+    * fixed-shape divisions replicated verbatim below.
+    */
+  private val burstiness = Q(
+    "n108_term_burstiness",
+    "per-term dispersion (variance/mean of per-doc counts, zeros included) and Church-Gale adaptation P(c>=2|c>=1), df>=25",
+    (s, dir) => graft.operators.TextAnalysis
+      .termBurstiness(Tables(s, dir).documents)
+      .orderBy("t"),
+    Some("""WITH pd AS (
+              SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY t, doc_id),
+            pt AS (
+              SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+                CAST(SUM(c) AS BIGINT) AS cf,
+                CAST(SUM(c * c) AS BIGINT) AS sq,
+                CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS df2
+              FROM pd GROUP BY t HAVING COUNT(*) >= 25),
+            d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM documents)
+            SELECT t, df, cf,
+              CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_rate,
+              (CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 - (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                AS dispersion,
+              CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE) AS adaptation
+            FROM pt CROSS JOIN d
+            ORDER BY t"""))
+
+  /** Fleiss' kappa across the three per-row gates (heuristic quality,
+    * Gopher rules, PII-freedom) per source — the gate-panel coherence
+    * report. gaSql/gbSql/piiHitSql are NorthStar6's single replay
+    * definitions, reused so a gate change updates n98/n100/n109
+    * together. All category counts are exact integers; the kappa
+    * arithmetic is a fixed-shape expression tree over them.
+    */
+  /** The n109 oracle, shared with s32's streaming convergence replay
+    * (one replay definition of the panel statistic — the
+    * cusumOracleSql pattern).
+    */
+  private[queries] val fleissOracleSql: String =
+    s"""WITH t AS (
+              SELECT source, text, string_split(text, ' ') AS ts,
+                length(replace(text, ' ', '')) AS sum_len
+              FROM documents),
+            p AS (
+              SELECT source,
+                CAST(CAST(${NorthStar6.gaSql} AS INT)
+                   + CAST(${NorthStar6.gbSql} AS INT)
+                   + CAST(COALESCE(NOT ${NorthStar6.piiHitSql}, FALSE)
+                       AS INT) AS BIGINT) AS k
+              FROM t),
+            a AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(k) AS BIGINT) AS keep_votes,
+                CAST(SUM(k * (k - 1) + (3 - k) * (2 - k)) AS BIGINT)
+                  AS agree_pairs6
+              FROM p GROUP BY source),
+            m AS (
+              SELECT source, n_docs, keep_votes, agree_pairs6,
+                CAST(agree_pairs6 AS DOUBLE)
+                  / (6.0 * CAST(n_docs AS DOUBLE)) AS pbar,
+                CAST(keep_votes AS DOUBLE)
+                  / (3.0 * CAST(n_docs AS DOUBLE)) AS p_keep
+              FROM a),
+            e AS (
+              SELECT *, p_keep * p_keep
+                + (1.0 - p_keep) * (1.0 - p_keep) AS pe
+              FROM m)
+            SELECT source, n_docs, keep_votes, agree_pairs6, pbar,
+              p_keep, pe,
+              CASE WHEN pe = 1.0 THEN NULL
+                   ELSE (pbar - pe) / (1.0 - pe) END AS kappa
+            FROM e ORDER BY source"""
+
+  private val fleiss = Q(
+    "n109_gate_fleiss",
+    "Fleiss' kappa across the quality/Gopher/PII-free gate panel per source (m=3 binary raters)",
+    (s, dir) => graft.operators.TextAnalysis
+      .gateFleiss(Tables(s, dir).documents)
+      .orderBy("source"),
+    Some(fleissOracleSql))
+
+  /** Pairwise source redundancy: term-vector cosine + vocab Jaccard.
+    * Log-free by design (the TF-IDF rational-score precedent): every
+    * aggregate is an exact integer sum, sqrt is correctly rounded in
+    * both engines, so no DECIMAL routing is needed anywhere.
+    */
+  private val affinity = Q(
+    "n110_source_affinity",
+    "pairwise source term-vector cosine + vocabulary Jaccard — which sources are textually redundant",
+    (s, dir) => graft.operators.TextAnalysis
+      .sourceAffinity(Tables(s, dir).documents)
+      .orderBy("src_a", "src_b"),
+    Some("""WITH tc AS (
+              SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY source, t),
+            norms AS (
+              SELECT source, CAST(SUM(c * c) AS BIGINT) AS sq,
+                CAST(COUNT(*) AS BIGINT) AS v
+              FROM tc GROUP BY source),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+                CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM tc a JOIN tc b
+                ON a.t = b.t AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, n_shared, dot,
+              na.v AS v_a, nb.v AS v_b,
+              CAST(dot AS DOUBLE)
+                / (sqrt(CAST(na.sq AS DOUBLE))
+                   * sqrt(CAST(nb.sq AS DOUBLE))) AS cosine,
+              CAST(n_shared AS DOUBLE)
+                / CAST(na.v + nb.v - n_shared AS DOUBLE) AS jaccard
+            FROM pairs
+            JOIN norms na ON na.source = src_a
+            JOIN norms nb ON nb.source = src_b
+            ORDER BY src_a, src_b"""))
+
+  /** The n111 oracle, shared with s33's streaming convergence replay
+    * (the cusumOracleSql / fleissOracleSql pattern — one replay
+    * definition of the statistic). Even/odd event split, the
+    * n88/s29 convention.
+    */
+  private[queries] val ksOracleSql: String =
+    """WITH b AS (
+              SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bin,
+                CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+                CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+              FROM events GROUP BY 1, 2),
+            c AS (
+              SELECT event_type, bin,
+                CAST(SUM(ca) OVER (PARTITION BY event_type
+                  ORDER BY bin) AS BIGINT) AS cum_a,
+                CAST(SUM(cb) OVER (PARTITION BY event_type
+                  ORDER BY bin) AS BIGINT) AS cum_b,
+                CAST(SUM(ca) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n_a,
+                CAST(SUM(cb) OVER (PARTITION BY event_type)
+                  AS BIGINT) AS n_b
+              FROM b),
+            g AS (
+              SELECT event_type, n_a, n_b,
+                CASE WHEN n_a > 0 AND n_b > 0 THEN
+                  abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                END AS gap
+              FROM c),
+            k AS (
+              SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+                CAST(COUNT(*) AS BIGINT) AS n_bins,
+                MAX(gap) AS ks_stat
+              FROM g GROUP BY event_type)
+            SELECT event_type, n_a, n_b, n_bins, ks_stat,
+              CASE WHEN n_a > 0 AND n_b > 0 THEN
+                1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE)) END AS crit_05,
+              CASE WHEN n_a > 0 AND n_b > 0 THEN
+                ks_stat > 1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                  / CAST(n_a * n_b AS DOUBLE)) END AS drifted
+            FROM k ORDER BY event_type"""
+
+  /** Binned two-sample KS drift between the even/odd event slices. */
+  private val ks = Q(
+    "n111_ks_drift",
+    "binned two-sample Kolmogorov-Smirnov drift per event type (max ECDF gap + alpha=0.05 critical value)",
+    (s, dir) => graft.operators.Drift
+      .ksDrift(Tables(s, dir).events, "event_type", "value",
+        col("event_id") % 2 === 0)
+      .orderBy("event_type"),
+    Some(ksOracleSql))
+
   val all: Seq[Q] = Seq(annRecallEval, bitextMargin, evalAllocation,
-    waterfill, gateHealth, vocabRichness, cusum)
+    waterfill, gateHealth, vocabRichness, cusum, burstiness, fleiss,
+    affinity, ks)
 }

@@ -452,6 +452,29 @@ object StreamingQueries extends QueryGroup {
       D.clipMonitor(eventsSource(s, dir, stream), bounds, "event_type", "value")
     }
 
+    /** s32: the batch gate-panel operator applied verbatim to the
+      * stream — every carried aggregate (n, keep votes, pair
+      * agreements) is an order-insensitive integer sum, so the
+      * update-mode running state converges to EXACTLY n109's batch
+      * output; the kappa arithmetic is a stateless projection on the
+      * S-row aggregate.
+      */
+    def s32(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      graft.operators.TextAnalysis.gateFleiss(docsSource(s, dir, stream))
+
+    /** s33: the streaming-legal half of the binned KS statistic —
+      * ONE update-mode aggregation, one state row per (type, bin),
+      * both carried sums order-insensitive exact integers. The
+      * cumulative-ECDF report half runs batch over this state (the
+      * s31 aggregate-the-emitted-state precedent) via the SAME
+      * `ksFromBinCounts` the batch n111 composes — audit and run
+      * share one definition of each stage.
+      */
+    def s33(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      graft.operators.Drift.ksBinCounts(
+        eventsSource(s, dir, stream), "event_type", "value",
+        col("event_id") % 2 === 0)
+
     /** s15's per-batch scoring frame — the EXACT builder the run's
       * foreachBatch calls on each micro-batch slice; the audit applies
       * it to a static stand-in corpus. Shared so the audited lineage
@@ -627,7 +650,11 @@ object StreamingQueries extends QueryGroup {
     "s29_stream_drift_monitor" -> Seq(Frames.s29(s, dir, stream = false)),
     "s30_stream_clip_monitor" -> Seq(Frames.s30(s, dir, stream = false)),
     "s31_stream_cusum_monitor" ->
-      Seq(Frames.s31Path(s, eventsSource(s, dir, stream = false))))
+      Seq(Frames.s31Path(s, eventsSource(s, dir, stream = false))),
+    "s32_stream_gate_panel" -> Seq(Frames.s32(s, dir, stream = false)),
+    "s33_stream_ks_monitor" -> Seq(
+      graft.operators.Drift.ksFromBinCounts(
+        Frames.s33(s, dir, stream = false), "event_type")))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -1881,6 +1908,45 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar7.cusumOracleSql))
 
+  /** Streaming gate-panel agreement monitor — the n109 Fleiss' kappa
+    * as continuous ingest QA, fourth member of the one-state-row-
+    * per-key monitor family (s28 OOV, s29 χ², s30 clip, s32 panel
+    * coherence): the three gate predicates are stateless per-row
+    * expressions in the scan, the per-source (n, keep-votes,
+    * pair-agreement) sums are ONE update-mode aggregation, and the
+    * kappa closed form is a projection over the S-row state. A source
+    * whose κ decays mid-ingest means one gate started disagreeing with
+    * the panel — a feed defect caught before it lands in the corpus.
+    * All carried state is order-insensitive exact integers, so the
+    * stream converges to n109's batch output; the ORACLE IS n109's SQL
+    * verbatim (one replay definition of the statistic).
+    */
+  private val streamGatePanel = Q(
+    "s32_stream_gate_panel",
+    "streaming per-source gate-panel Fleiss' kappa monitor (converges to the n109 batch closed form)",
+    (s, dir) => runToTable(Frames.s32(s, dir), "update").orderBy("source"),
+    Some(NorthStar7.fleissOracleSql))
+
+  /** Streaming KS drift monitor — the whole-distribution companion of
+    * s29's χ² (which needs a frozen baseline and unit bins to mean
+    * anything; KS compares the two slices' full ECDFs directly). The
+    * stream carries only the (type, bin) → (ca, cb) integer counts —
+    * one update-mode aggregation, bounded state — and the Q
+    * batch-aggregates that emitted state into n111's report with the
+    * SAME `ksFromBinCounts` the batch query composes. Converges to
+    * the batch closed form because every carried sum is an
+    * order-insensitive exact integer; the ORACLE IS n111's SQL
+    * verbatim (one replay definition of the statistic).
+    */
+  private val streamKsMonitor = Q(
+    "s33_stream_ks_monitor",
+    "streaming binned two-sample KS drift monitor (converges to the n111 batch closed form)",
+    (s, dir) => graft.operators.Drift
+      .ksFromBinCounts(
+        runToTable(Frames.s33(s, dir), "update"), "event_type")
+      .orderBy("event_type"),
+    Some(NorthStar7.ksOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -1890,5 +1956,5 @@ object StreamingQueries extends QueryGroup {
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
-    streamCusumMonitor)
+    streamCusumMonitor, streamGatePanel, streamKsMonitor)
 }

@@ -217,4 +217,84 @@ class CorpusStatsSpec extends AnyFunSuite {
       ((4L, 3L, 2L, 1L)))
     assert(r.getDouble(5) == 3.5 && r.getDouble(6) == 0.5)
   }
+
+  test("termBurstiness: dispersion and adaptation on a hand-computed fixture") {
+    import spark.implicits._
+    // d1: a a a b | d2: b | d3: c c   (n_docs = 3, zeros included)
+    val docs = Seq((1L, "a a a b"), (2L, "b"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.termBurstiness(docs, minDf = 1L)
+      .orderBy("t").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // a: counts (3,0,0) -> mean 1, E[c^2] 3, disp (3-1)/1 = 2, adapt 1
+    assert(got("a") == ((1L, 3L, 1.0, 2.0, 1.0)))
+    // b: counts (1,1,0) -> mean 2/3, E[c^2] 2/3,
+    //    disp = (2/3 - (2/3)^2)/(2/3); never twice in a doc -> adapt 0
+    val mb = 2.0 / 3.0
+    assert(got("b") == ((2L, 2L, mb, (mb - mb * mb) / mb, 0.0)))
+    // c: counts (0,0,2) -> mean 2/3, E[c^2] 4/3, burstier than b
+    assert(got("c") == ((1L, 2L, mb, (4.0 / 3.0 - mb * mb) / mb, 1.0)))
+    assert(got("c")._4 > got("b")._4,
+      "a clustered term must out-disperse an evenly spread one")
+  }
+
+  test("gateFleiss: kappa closed form on planted unanimous/degenerate/split sources") {
+    import spark.implicits._
+    // keep3: passes all three gates (10 words, mean len 3-10, 2+
+    // stopwords, no digits/punct/PII). drop0: fails all three (digit
+    // ratio, word count, longnum PII). mixed2: quality+PII pass,
+    // Gopher fails (5 words < 10).
+    val keep3 = "the quick brown fox and the lazy dog jump over"
+    val drop0 = "123456789 987654321"
+    val mixed2 = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      ("srcAgree", keep3), ("srcAgree", keep3),
+      ("srcAgree", drop0), ("srcAgree", drop0),
+      ("srcConst", keep3), ("srcConst", keep3),
+      ("srcSplit", keep3), ("srcSplit", mixed2),
+      ("srcSplit", drop0), ("srcSplit", drop0))
+      .zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.gateFleiss(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7))))).toMap
+    // srcAgree: k per row (3,3,0,0) -> unanimous raters, kappa = 1
+    assert(got("srcAgree")._1 == 4L && got("srcAgree")._2 == 6L)
+    assert(got("srcAgree")._4.contains(1.0))
+    // srcConst: every gate keeps every row -> p_e = 1, kappa NULL
+    assert(got("srcConst") == ((2L, 6L, 12L, None)))
+    // srcSplit: k = (3,2,0,0); agree6 = 6+2+6+6 = 20
+    assert(got("srcSplit")._2 == 5L && got("srcSplit")._3 == 20L)
+    val pbar = 20.0 / (6.0 * 4.0)
+    val p = 5.0 / (3.0 * 4.0)
+    val pe = p * p + (1.0 - p) * (1.0 - p)
+    assert(got("srcSplit")._4.contains((pbar - pe) / (1.0 - pe)))
+  }
+
+  test("sourceAffinity: cosine/Jaccard closed form; disjoint pairs drop") {
+    import spark.implicits._
+    // sA and sB identical term vectors; sC overlaps sA on one term;
+    // sD shares nothing with anyone (must be absent from the output)
+    val docs = Seq(
+      (1L, "sA", "x x y"), (2L, "sB", "x x y"),
+      (3L, "sC", "y z"), (4L, "sD", "w"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceAffinity(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got.keySet == Set(("sA", "sB"), ("sA", "sC"), ("sB", "sC")),
+      "exactly the sharing pairs, sD excluded")
+    // sA=sB={x:2,y:1}: dot=5, |A∩B|=2, |A∪B|=2 -> jaccard 1;
+    // cosine = 5/(sqrt(5)*sqrt(5)) (the engines' exact FP tree)
+    assert(got(("sA", "sB")) ==
+      ((2L, 5L, 5.0 / (math.sqrt(5.0) * math.sqrt(5.0)), 1.0)))
+    // sA·sC share y only: dot=1*1, jac=1/(2+2-1)
+    assert(got(("sA", "sC")) ==
+      ((1L, 1L, 1.0 / (math.sqrt(5.0) * math.sqrt(2.0)), 1.0 / 3.0)))
+  }
 }

@@ -1606,4 +1606,30 @@ class NorthStarSpec extends AnyFunSuite {
       .collect().head
     assert(r.getLong(2) == 0L && r.isNullAt(3) && r.getLong(4) == 0L)
   }
+
+  test("ksDrift: max ECDF gap and critical value on a hand-computed fixture") {
+    import spark.implicits._
+    // slice A (even ids): values 0,0,1,2 -> ECDF at bins 0,1,2 = 2/4,3/4,4/4
+    // slice B (odd ids):  values 1,2,2,3 -> ECDF = 0/4,1/4,3/4,4/4
+    // gaps: |.5-0|=.5, |.75-.25|=.5, |1-.75|=.25, |1-1|=0 -> D=0.5
+    val rows = Seq(
+      (0L, "t1", 0.2), (2L, "t1", 0.7), (4L, "t1", 1.5), (6L, "t1", 2.1),
+      (1L, "t1", 1.9), (3L, "t1", 2.0), (5L, "t1", 2.8), (7L, "t1", 3.4),
+      // t2 lives entirely in slice A -> NULL ks/crit/drifted
+      (8L, "t2", 1.0), (10L, "t2", 2.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.Drift
+      .ksDrift(rows, "event_type", "value", col("event_id") % 2 === 0)
+      .orderBy("event_type").collect()
+    val t1 = got(0)
+    assert((t1.getLong(1), t1.getLong(2), t1.getLong(3)) == ((4L, 4L, 4L)))
+    assert(t1.getDouble(4) == 0.5)
+    val crit = 1.358 * math.sqrt(8.0 / 16.0)
+    assert(t1.getDouble(5) == crit)
+    assert(!t1.getBoolean(6), "D=0.5 under the n=4 critical value ~0.96")
+    val t2 = got(1)
+    assert(t2.getLong(1) == 2L && t2.getLong(2) == 0L)
+    assert(t2.isNullAt(4) && t2.isNullAt(5) && t2.isNullAt(6),
+      "single-slice key must report NULL, never Infinity")
+  }
 }

@@ -111,6 +111,8 @@ class PlanQualitySpec extends AnyFunSuite {
       // D-row frames
       "n103_eval_allocation", "n104_token_waterfill",
       "n105_gate_health_wilson",
+      // one-row corpus doc-count scalar under the per-term moments
+      "n108_term_burstiness",
       // one-row corpus-total / denominator aggregates crossJoined back
       // onto per-row data — the intended broadcast-scalar shape
       "n59_dsir_importance", "n61_temperature_mixture",

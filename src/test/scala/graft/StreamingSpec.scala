@@ -210,4 +210,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.exists(_(3) == null),
       "fixture check: at least one quiet type must exercise the NULL path")
   }
+
+  test("s32: streaming gate-panel kappa equals the n109 batch output") {
+    // order-insensitive member: every carried aggregate is an exact
+    // integer sum, so the update-mode running state must land on the
+    // batch closed form bit-for-bit, kappa included
+    val dir = "/root/testdata/sf0.001"
+    val got = queries.Registry
+      .queries("s32_stream_gate_panel")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val want = graft.operators.TextAnalysis
+      .gateFleiss(Tables(spark, dir).documents)
+      .orderBy("source")
+      .collect().map(_.toSeq).toList
+    assert(got == want)
+    assert(want.nonEmpty && want.forall(_(7) != null),
+      "fixture check: every source has mixed votes, kappa defined")
+  }
+
+  test("s33: streaming binned KS equals the n111 batch output") {
+    val dir = "/root/testdata/sf0.001"
+    val got = queries.Registry
+      .queries("s33_stream_ks_monitor")(spark, dir)
+      .collect().map(_.toSeq).toList
+    val want = graft.operators.Drift
+      .ksDrift(Tables(spark, dir).events, "event_type", "value",
+        col("event_id") % 2 === 0)
+      .orderBy("event_type")
+      .collect().map(_.toSeq).toList
+    assert(got == want)
+    assert(want.nonEmpty && want.forall(_(4) != null),
+      "fixture check: both slices populated for every type")
+  }
 }
