@@ -80,6 +80,10 @@ object Bench {
     // warm-up left caches behind: start the timed section clean
     dropAllBlocks()
     val ceil = budgets()
+    // healthy-host sentinel baseline, min-of-3 after warmup (min is the
+    // contention-robust statistic; the floor guards a degenerate 0)
+    val sentinel0 =
+      math.max(0.05, Seq.fill(3)(sentinelSecs(spark)).min)
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val g0 = gcTotalMs()
       val t0 = System.nanoTime()
@@ -112,10 +116,34 @@ object Bench {
       first match {
         case tm @ Timing(n, t, None, _, _, _, _)
             if t >= 0 && ceil.get(n).exists(t > _) =>
-          val (r, rp) = try retime(spark, sfDir, n)
+          var (r, rp) = try retime(spark, sfDir, n)
             catch { case _: Throwable => (t, None: Option[GcProbe]) }
           println(f"Bench: $n first-pass ${t}%.2fs over its " +
             f"${ceil(n)}%.2fs ceiling — isolated re-time ${r}%.2fs (min kept)")
+          // STILL over after one isolated re-time: adjudicate host vs
+          // code with the sentinel before letting the breach stand. An
+          // inflated sentinel proves an external stall storm (the
+          // observed mode: co-tenant CPU steal inflating random queries
+          // 2-10× for tens of seconds) — wait it out, re-time once
+          // more, keep the min. A normal sentinel means the regression
+          // is the query's own and no amount of re-timing will save it.
+          if (math.min(t, r) > ceil(n)) {
+            val s = try sentinelSecs(spark) catch { case _: Throwable => 0.0 }
+            if (s > 3 * sentinel0) {
+              println(f"Bench: $n still over with sentinel ${s}%.2fs vs " +
+                f"baseline ${sentinel0}%.2fs — host stall storm; backing off")
+              var waits = 0
+              while (waits < 6 &&
+                  (try sentinelSecs(spark) catch { case _: Throwable => 0.0 })
+                    > 3 * sentinel0) {
+                Thread.sleep(10000L); waits += 1
+              }
+              val (r2, rp2) = try retime(spark, sfDir, n)
+                catch { case _: Throwable => (r, rp) }
+              println(f"Bench: $n post-storm re-time ${r2}%.2fs")
+              if (r2 < r) { r = r2; rp = rp2 }
+            }
+          }
           Timing(n, math.min(t, r), firstPass = Some(t), retry = Some(r),
             gc = tm.gc, retryGc = rp)
         case other => other
@@ -127,6 +155,24 @@ object Bench {
     * heap) — the [[run]] noise-confirm pass. Mirrors the timed section
     * of [[run]] exactly.
     */
+  /** Fixed CPU-bound sentinel job (~0.2 s on a healthy host): a pure
+    * range-sum whose cost cannot depend on any registry code or data.
+    * When a query's isolated re-time is STILL over its ceiling, this
+    * number adjudicates host vs code: an inflated sentinel means the
+    * machine itself is stalling (external CPU steal — observed as a
+    * ~100 s first pass on n58 with a 12 s retry inside one r11 sweep),
+    * so the breach is re-timed again after the sentinel recovers; a
+    * normal sentinel means the regression is real and the breach
+    * stands however many re-times run.
+    */
+  private def sentinelSecs(
+      spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200000000L, 1L, 32)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def retime(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, name: String): (Double, Option[GcProbe]) = {
     GraftSession.dropAllBlocks(spark)

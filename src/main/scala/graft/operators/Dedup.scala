@@ -96,6 +96,35 @@ object Dedup {
     jaccardPairsOn(tok, threshold)
   }
 
+  /** Cross-source duplicate leakage: the near-dup pair set of
+    * [[jaccardPairs]] aggregated by (source, source) — which source
+    * pairs share instances, the mirror detector. n110's affinity says
+    * two sources have the same DISTRIBUTION; a high cross-source pair
+    * count here says they share the same DOCUMENTS — the case where
+    * dropping one feed entirely is the right curation move. Output per
+    * unordered source pair: whether it crosses sources, the pair
+    * count, and the max Jaccard seen (order-insensitive max of
+    * engine-exact per-pair doubles).
+    *
+    * Scale shape: the pair set is near-dup-sized (tiny relative to the
+    * corpus); the two source-label lookups are doc_id equi-joins; the
+    * final agg is S²-bounded.
+    */
+  def crossSourceLeakage(
+      docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    jaccardPairs(docs, n, threshold)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b", "cross_source")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** [[jaccardPairs]] over a PREPARED (and ideally persisted) shingle
     * table — lets compositions like [[methodAgreement]] share one
     * shingle scan across several pair generators.

@@ -726,6 +726,38 @@ object TextAnalysis {
         "cosine", "jaccard")
   }
 
+  /** Per-source signature terms: the top-k terms by the add-one odds
+    * ratio (tf_in_source + 1)/(tf_elsewhere + 1), tf ≥ minTf — "what
+    * does this feed talk about that the rest of the corpus doesn't",
+    * the one-page per-source content summary. RATIONAL by design (the
+    * TF-IDF precedent — no log-odds, so every score is a fixed-shape
+    * division of exact integers and the ranking is engine-exact);
+    * ties break lexicographically, so the top-k is deterministic at
+    * any parallelism.
+    *
+    * Scale shape: one (source, term) count agg and one term-keyed
+    * total agg (both map-side partial) joined on term; the top-k
+    * window partitions BY SOURCE — key-parallel, never global.
+    */
+  def sourceSignatureTerms(
+      docs: DataFrame, k: Int = 10, minTf: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("tf"))
+    val tot = tc.groupBy("t").agg(sum(col("tf")).as("tf_all"))
+    val scored = tc.join(tot, "t")
+      .filter(col("tf") >= minTf)
+      .withColumn("tf_rest", col("tf_all") - col("tf"))
+      .withColumn("odds",
+        (col("tf") + lit(1L)).cast("double") /
+          (col("tf_rest") + lit(1L)).cast("double"))
+    val w = Window.partitionBy("source").orderBy(desc("odds"), asc("t"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "t", "tf", "tf_rest", "odds")
+  }
+
   /** Per-source vocabulary richness: observed vocabulary, Chao1
     * species estimate, and Good-Turing coverage — "how much vocabulary
     * has this source NOT shown yet", the growth diagnostic that says

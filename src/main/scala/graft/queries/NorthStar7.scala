@@ -607,7 +607,80 @@ object NorthStar7 extends QueryGroup {
       .orderBy("event_type"),
     Some(ksOracleSql))
 
+  /** Cross-source duplicate leakage — the instance-level companion of
+    * n110 (distribution-level affinity): a source pair with many
+    * near-dup pairs is a mirror, and dropping one feed is the move.
+    */
+  private val leakage = Q(
+    "n112_dup_source_leakage",
+    "near-dup pair counts per source pair (3-gram Jaccard >= 0.8) — the mirror/feed-overlap detector",
+    (s, dir) => graft.operators.Dedup
+      .crossSourceLeakage(Tables(s, dir).documents, 3, 0.8)
+      .orderBy("src_a", "src_b"),
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+                END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            pi AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok),
+            jp AS (
+              SELECT id_a, id_b,
+                CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS j
+              FROM pi
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+                >= 0.8),
+            lab AS (
+              SELECT LEAST(da.source, db.source) AS src_a,
+                GREATEST(da.source, db.source) AS src_b, j
+              FROM jp
+              JOIN documents da ON da.doc_id = id_a
+              JOIN documents db ON db.doc_id = id_b)
+            SELECT src_a, src_b, src_a <> src_b AS cross_source,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              MAX(j) AS max_jaccard
+            FROM lab GROUP BY 1, 2, 3
+            ORDER BY src_a, src_b"""))
+
+  /** Per-source signature terms by rational add-one odds. */
+  private val signature = Q(
+    "n113_source_signature_terms",
+    "top-10 per-source signature terms by add-one odds ratio (tf+1)/(tf_rest+1), tf >= 5",
+    (s, dir) => graft.operators.TextAnalysis
+      .sourceSignatureTerms(Tables(s, dir).documents)
+      .orderBy("source", "rank"),
+    Some("""WITH tc AS (
+              SELECT source, t, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                    FROM documents)
+              GROUP BY source, t),
+            tot AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS tf_all
+                    FROM tc GROUP BY t),
+            sc AS (
+              SELECT source, tc.t, tf, tf_all - tf AS tf_rest,
+                CAST(tf + 1 AS DOUBLE)
+                  / CAST(tf_all - tf + 1 AS DOUBLE) AS odds
+              FROM tc JOIN tot ON tot.t = tc.t
+              WHERE tf >= 5),
+            r AS (
+              SELECT source, t, tf, tf_rest, odds,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY odds DESC, t) AS rk
+              FROM sc)
+            SELECT source, CAST(rk AS INT) AS rank, t, tf, tf_rest, odds
+            FROM r WHERE rk <= 10
+            ORDER BY source, rank"""))
+
   val all: Seq[Q] = Seq(annRecallEval, bitextMargin, evalAllocation,
     waterfill, gateHealth, vocabRichness, cusum, burstiness, fleiss,
-    affinity, ks)
+    affinity, ks, leakage, signature)
 }

@@ -297,4 +297,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(("sA", "sC")) ==
       ((1L, 1L, 1.0 / (math.sqrt(5.0) * math.sqrt(2.0)), 1.0 / 3.0)))
   }
+
+  test("sourceSignatureTerms: add-one odds ranking with lexicographic ties") {
+    import spark.implicits._
+    // "own" appears 6x only in srcA -> odds (6+1)/(0+1) = 7;
+    // "both" appears 5x in each source -> odds (5+1)/(5+1) = 1;
+    // "rare" appears 4x in srcA -> filtered by minTf = 5
+    val docs = Seq(
+      (1L, "srcA", "own own own own own own rare rare rare rare both both both both both"),
+      (2L, "srcB", "both both both both both"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceSignatureTerms(docs)
+      .orderBy("source", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("srcA", 1, "own", 6L, 0L, 7.0),
+      ("srcA", 2, "both", 5L, 5L, 1.0),
+      ("srcB", 1, "both", 5L, 5L, 1.0)))
+  }
 }

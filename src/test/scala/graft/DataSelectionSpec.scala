@@ -354,4 +354,23 @@ class DataSelectionSpec extends AnyFunSuite {
     val again = Sampling.evalSuiteAllocation(docs, 200).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("crossSourceLeakage: planted mirror pair lands cross-source, twin within") {
+    import spark.implicits._
+    val mirror = "alpha beta gamma delta epsilon zeta eta theta"
+    val twin = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, "srcA", mirror), (2L, "srcB", mirror), // exact mirror across feeds
+      (3L, "srcC", twin), (4L, "srcC", twin), // within-source duplicate
+      (5L, "srcD", "lone unshared text with no duplicate partner here"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.Dedup
+      .crossSourceLeakage(docs, 3, 0.8)
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(("srcA", "srcB"), ("srcC", "srcC")))
+    assert(got(("srcA", "srcB")) == ((true, 1L, 1.0)))
+    assert(got(("srcC", "srcC")) == ((false, 1L, 1.0)))
+  }
 }
