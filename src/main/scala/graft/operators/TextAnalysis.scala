@@ -231,9 +231,13 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k must be > 0, got $k")
     import org.apache.spark.sql.expressions.Window
+    // tf feeds the df aggregate AND the scored join — without
+    // materialization the corpus explode runs once per consumer
+    // (ScanAudit: documents×3, zero exchange reuse); the n110 policy
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
