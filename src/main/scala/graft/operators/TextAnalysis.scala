@@ -779,6 +779,40 @@ object TextAnalysis {
       .select("source", "rank", "t", "tf", "tf_rest", "odds")
   }
 
+  /** Per-source token-length distribution card: exact order
+    * statistics (p50/p90/p99 as the VALUE at rank ⌈p·n/100⌉, clamped
+    * ≥ 1 — the winsorizeBounds convention, not interpolated
+    * percentiles, so they are tie-stable and engine-exact), plus max
+    * and the exact mean — the batch-sizing input a training pipeline
+    * reads before packing sequences. Ordering by the value alone is
+    * enough: row_number breaks ties arbitrarily but the value at a
+    * given rank of a sorted multiset is permutation-invariant.
+    *
+    * Scale shape: one scan computing the token count per row, one
+    * window partitioned BY SOURCE (rank + per-partition count over
+    * the same shuffle), one per-source aggregation — key-parallel.
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source")).orderBy(asc("n_tok"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("source"))))
+    def kAt(p: Int) =
+      greatest(lit(1L), expr(s"(n * $p + 99) DIV 100"))
+    ranked.groupBy("source")
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("rn") === kAt(50), col("n_tok"))).as("p50_tok"),
+        min(when(col("rn") === kAt(90), col("n_tok"))).as("p90_tok"),
+        min(when(col("rn") === kAt(99), col("n_tok"))).as("p99_tok"),
+        max(col("n_tok")).as("max_tok"),
+        (sum(col("n_tok")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_tok"))
+  }
+
   /** Per-source vocabulary richness: observed vocabulary, Chao1
     * species estimate, and Good-Turing coverage — "how much vocabulary
     * has this source NOT shown yet", the growth diagnostic that says

@@ -680,7 +680,38 @@ object NorthStar7 extends QueryGroup {
             FROM r WHERE rk <= 10
             ORDER BY source, rank"""))
 
+  /** Per-source token-length order statistics — the sequence-packing
+    * sizing card.
+    */
+  private val lengths = Q(
+    "n114_length_percentiles",
+    "per-source token-length order statistics (exact p50/p90/p99 at rank ceil(p*n/100), max, exact mean)",
+    (s, dir) => graft.operators.TextAnalysis
+      .lengthPercentiles(Tables(s, dir).documents)
+      .orderBy("source"),
+    Some("""WITH b AS (
+              SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents),
+            r AS (
+              SELECT source, n_tok,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_tok) AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS n
+              FROM b)
+            SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+              CAST(MIN(CASE WHEN rn = GREATEST(1, (n * 50 + 99) // 100)
+                THEN n_tok END) AS BIGINT) AS p50_tok,
+              CAST(MIN(CASE WHEN rn = GREATEST(1, (n * 90 + 99) // 100)
+                THEN n_tok END) AS BIGINT) AS p90_tok,
+              CAST(MIN(CASE WHEN rn = GREATEST(1, (n * 99 + 99) // 100)
+                THEN n_tok END) AS BIGINT) AS p99_tok,
+              CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+              CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS mean_tok
+            FROM r GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(annRecallEval, bitextMargin, evalAllocation,
     waterfill, gateHealth, vocabRichness, cusum, burstiness, fleiss,
-    affinity, ks, leakage, signature)
+    affinity, ks, leakage, signature, lengths)
 }

@@ -316,4 +316,21 @@ class CorpusStatsSpec extends AnyFunSuite {
       ("srcA", 2, "both", 5L, 5L, 1.0),
       ("srcB", 1, "both", 5L, 5L, 1.0)))
   }
+
+  test("lengthPercentiles: exact order statistics at rank ceil(p*n/100)") {
+    import spark.implicits._
+    // srcA: 10 docs of 1..10 tokens -> ranks ceil(p*10/100) = 5/9/10
+    val a = (1 to 10).map(i =>
+      (i.toLong, "srcA", Seq.fill(i)("w").mkString(" ")))
+    // srcB: one 3-token doc -> every rank clamps to 1
+    val docs = (a :+ ((99L, "srcB", "x y z")))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lengthPercentiles(docs)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    assert(got("srcA") == ((10L, 5L, 9L, 10L, 10L, 5.5)))
+    assert(got("srcB") == ((1L, 3L, 3L, 3L, 3L, 3.0)))
+  }
 }
