@@ -20,7 +20,33 @@ object Bench {
       firstPass: Option[Double] = None,
       retry: Option[Double] = None,
       gc: Option[GcProbe] = None,
-      retryGc: Option[GcProbe] = None)
+      retryGc: Option[GcProbe] = None,
+      storm: Option[StormEvidence] = None)
+
+  /** Receipts for one surviving ceiling breach's host-vs-code
+    * adjudication: every sentinel reading taken while the breach stood
+    * (first entry = the reading that decided storm vs real), how many
+    * 10 s back-off waits ran, and the post-storm re-time if one ran.
+    * r11's n58 "108.7 s first pass during a storm" and n112 "sentinel
+    * 8× baseline" calls lived only in prose — these make every such
+    * adjudication replayable from the artifact alone.
+    */
+  final case class StormEvidence(
+      readings: Seq[Double], waits: Int, postStorm: Option[Double])
+
+  /** Sweep-level host-health evidence: the sentinel baseline (min of
+    * the readings that produced it) and labeled checkpoint readings at
+    * sweep start/mid/end. The checkpoints pin the sentinel's OWN
+    * regime: a healthy host reads ~flat across sweep positions, so a
+    * 3× reading during a breach cannot be shared-JVM debt
+    * misattributed to the host — cache state is dropped between
+    * queries and these three numbers prove position-independence on
+    * every committed artifact.
+    */
+  final case class SweepMeta(
+      baseline: Double,
+      baselineReadings: Seq[Double],
+      checkpoints: Seq[(String, Double)])
 
   /** JVM-pressure evidence captured around one timed section: GC time
     * spent DURING the window and used heap at its end (before the
@@ -65,7 +91,10 @@ object Bench {
     * the driver times.
     */
   def run(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Seq[Timing] = {
+      sfDir: String): Seq[Timing] = runWithMeta(spark, sfDir)._1
+
+  def runWithMeta(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (Seq[Timing], SweepMeta) = {
     // JVM/codegen warmup on the smallest SF so per-query times measure
     // the engine, not first-use JIT (one full pass, results discarded).
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -81,10 +110,33 @@ object Bench {
     dropAllBlocks()
     val ceil = budgets()
     // healthy-host sentinel baseline, min-of-3 after warmup (min is the
-    // contention-robust statistic; the floor guards a degenerate 0)
-    val sentinel0 =
-      math.max(0.05, Seq.fill(3)(sentinelSecs(spark)).min)
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // contention-robust statistic; the floor guards a degenerate 0).
+    // Each reading is try-wrapped: a transient failure of the baseline
+    // job must not abort the sweep and lose every timing — failed
+    // readings drop out and an all-failed baseline falls back to the
+    // floor (storm detection then never fires: the safe direction,
+    // and now a VISIBLE one via the warning + the artifact's storm
+    // object instead of a silent disable).
+    val baselineReadings = Seq.fill(3)(
+      try sentinelSecs(spark) catch { case _: Throwable => -1.0 })
+      .filter(_ >= 0)
+    val sentinel0 = math.max(0.05, baselineReadings.minOption.getOrElse(0.05))
+    if (baselineReadings.size < 3)
+      println(s"Bench: WARNING ${3 - baselineReadings.size} sentinel " +
+        "baseline reading(s) failed — baseline from the survivors")
+    if (sentinel0 > 1.0)
+      println(f"Bench: WARNING sentinel baseline ${sentinel0}%.2fs is " +
+        "anomalously high (healthy ~0.2s) — a storm during baseline " +
+        "measurement inflates the 3x threshold and storm detection may " +
+        "not fire this run")
+    val checkpoints = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def checkpoint(label: String): Unit =
+      try checkpoints += (label -> sentinelSecs(spark))
+      catch { case _: Throwable => () }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    checkpoint("start")
+    val timings = names.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == names.size / 2) checkpoint("mid")
       val g0 = gcTotalMs()
       val t0 = System.nanoTime()
       val first = try {
@@ -114,7 +166,7 @@ object Bench {
             String.valueOf(e.getMessage).take(80)}"))
       }
       first match {
-        case tm @ Timing(n, t, None, _, _, _, _)
+        case tm @ Timing(n, t, None, _, _, _, _, _)
             if t >= 0 && ceil.get(n).exists(t > _) =>
           var (r, rp) = try retime(spark, sfDir, n)
             catch { case _: Throwable => (t, None: Option[GcProbe]) }
@@ -127,28 +179,38 @@ object Bench {
           // 2-10× for tens of seconds) — wait it out, re-time once
           // more, keep the min. A normal sentinel means the regression
           // is the query's own and no amount of re-timing will save it.
+          // EVERY sentinel reading taken here lands in the artifact's
+          // storm object (r11's adjudications lived only in prose).
+          var storm: Option[StormEvidence] = None
           if (math.min(t, r) > ceil(n)) {
             val s = try sentinelSecs(spark) catch { case _: Throwable => 0.0 }
+            val readings = scala.collection.mutable.ArrayBuffer(s)
+            var waits = 0
+            var post: Option[Double] = None
             if (s > 3 * sentinel0) {
               println(f"Bench: $n still over with sentinel ${s}%.2fs vs " +
                 f"baseline ${sentinel0}%.2fs — host stall storm; backing off")
-              var waits = 0
-              while (waits < 6 &&
-                  (try sentinelSecs(spark) catch { case _: Throwable => 0.0 })
-                    > 3 * sentinel0) {
+              var cur = s
+              while (waits < 6 && cur > 3 * sentinel0) {
                 Thread.sleep(10000L); waits += 1
+                cur = try sentinelSecs(spark) catch { case _: Throwable => 0.0 }
+                readings += cur
               }
               val (r2, rp2) = try retime(spark, sfDir, n)
                 catch { case _: Throwable => (r, rp) }
               println(f"Bench: $n post-storm re-time ${r2}%.2fs")
+              post = Some(r2)
               if (r2 < r) { r = r2; rp = rp2 }
             }
+            storm = Some(StormEvidence(readings.toSeq, waits, post))
           }
           Timing(n, math.min(t, r), firstPass = Some(t), retry = Some(r),
-            gc = tm.gc, retryGc = rp)
+            gc = tm.gc, retryGc = rp, storm = storm)
         case other => other
       }
     }
+    checkpoint("end")
+    (timings, SweepMeta(sentinel0, baselineReadings, checkpoints.toSeq))
   }
 
   /** One isolated re-measurement of a single query (clean caches, gc'd
@@ -193,8 +255,8 @@ object Bench {
     // optimizer rules (RewriteSizeOfSplit). A hand-rolled session here
     // would benchmark a different engine than Verify checks.
     val spark = GraftSession.build("graft-bench")
-    val results = run(spark, sfDir)
-    val line = jsonLine(results, sfDir)
+    val (results, meta) = runWithMeta(spark, sfDir)
+    val line = jsonLine(results, sfDir, Some(meta))
     println(line)
     writeArtifact(line)
     spark.stop()
@@ -219,7 +281,8 @@ object Bench {
     * first-pass ceiling breach as {"first": x, "retry": y} so the
     * artifact adjudicates its own flaps.
     */
-  def jsonLine(results: Seq[Timing], sfDir: String): String = {
+  def jsonLine(results: Seq[Timing], sfDir: String,
+      meta: Option[SweepMeta] = None): String = {
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // full JSON string escape — AnalysisException messages are often
@@ -253,7 +316,7 @@ object Bench {
       "\"" + t.name + "\":" + probeJson(t.gc.get)
     }.mkString("{", ",", "}")
     val retimed = results.collect {
-      case t @ Timing(n, _, _, Some(f), Some(r), _, _) =>
+      case t @ Timing(n, _, _, Some(f), Some(r), _, _, _) =>
         val gcFields =
           t.gc.map(p => ",\"first_gc_ms\":" + p.gcMs +
             ",\"first_heap_gb\":" + fmt(p.heapGb)).getOrElse("") +
@@ -262,6 +325,29 @@ object Bench {
         "\"" + n + "\":{\"first\":" + fmt(f) + ",\"retry\":" + fmt(r) +
           gcFields + "}"
     }.mkString("{", ",", "}")
+    // host-health receipts: sentinel baseline + start/mid/end checkpoint
+    // readings (sweep-level), and per-breach sentinel readings / back-off
+    // counts / post-storm re-times — so every host-vs-code adjudication
+    // is replayable from the JSON alone instead of from prose. Keys here
+    // never match BenchGuard's query-name shape, so the truncated-
+    // artifact fallback grep cannot mistake them for timings.
+    val stormObj = meta.map { m =>
+      val arr = m.baselineReadings.map(fmt).mkString("[", ",", "]")
+      val cps = m.checkpoints.map { case (l, v) => "\"" + l + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val breaches = results.collect {
+        case t if t.storm.isDefined =>
+          val se = t.storm.get
+          "\"" + t.name + "\":{\"sentinel\":" +
+            se.readings.map(fmt).mkString("[", ",", "]") +
+            ",\"waits\":" + se.waits +
+            ",\"post_storm\":" + se.postStorm.map(fmt).getOrElse("null") + "}"
+      }.mkString("{", ",", "}")
+      "\"storm\":{\"baseline\":" + fmt(m.baseline) +
+        ",\"baseline_readings\":" + arr +
+        ",\"checkpoints\":" + cps +
+        ",\"breaches\":" + breaches + "},"
+    }.getOrElse("")
     val total = results.filter(_.secs >= 0).map(_.secs).sum
     // environment fields make warm-vs-cold harness deltas explainable
     // from the artifact alone (round 4 carried a README band 25% under
@@ -274,6 +360,6 @@ object Bench {
     // the final ~2k chars of output still contain it after the per-query
     // map outgrows that window (which it did once the registry passed ~100
     // queries).
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"queries":$qs,"errors":$errs,"retimed":$retimed,"value":${fmt(total)}}"""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"queries":$qs,"errors":$errs,"retimed":$retimed,$stormObj"value":${fmt(total)}}"""
   }
 }

@@ -281,22 +281,33 @@ object Dedup {
   def editDistancePairs(
       docs: DataFrame, n: Int, prefilter: Double, minSim: Double): DataFrame = {
     val txt = docs.select(col("doc_id"), col("text"))
-    // only the bare (id_a, id_b) survivor list is ever broadcast — once
-    // against the corpus per side, so the corpus text never shuffles for
-    // candidate matching. The final pair-keyed join moves survivor-sized
-    // text rows only and is a plain shuffle join: spillable if a loose
-    // prefilter makes the survivor set large, where a forced broadcast of
-    // a text-bearing intermediate would OOM the driver/executors.
-    // PERSISTED: the two broadcasts hash on different keys (id_a / id_b),
-    // so ReuseExchange canNOT dedupe them — without the persist the whole
-    // jaccard prefilter would run twice (measured 4.8× on the ScaleProbe
-    // editdist row).
+    // only the bare survivor-id list is ever broadcast — ONCE against
+    // the corpus, so the corpus text never shuffles for candidate
+    // matching and is scanned once for hydration (ScanGuard caught the
+    // r11 form reading the corpus text twice, one scan per pair side —
+    // a real diamond at 100 TB where each hydration pass is a full
+    // table read). The per-side joins below run against the
+    // survivor-sized HYDRATED frame only. The final pair-keyed join
+    // moves survivor-sized text rows only and is a plain shuffle join:
+    // spillable if a loose prefilter makes the survivor set large,
+    // where a forced broadcast of a text-bearing intermediate would
+    // OOM the driver/executors.
+    // PERSISTED (pairs AND hydrated): the joins hash on different keys
+    // (id_a / id_b), so ReuseExchange canNOT dedupe them — without the
+    // persists the whole jaccard prefilter (measured 4.8× on the
+    // ScaleProbe editdist row) and the hydration scan would each run
+    // twice.
     val pairs = jaccardPairs(docs, n, prefilter)
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aSide = txt.join(broadcast(pairs), col("doc_id") === col("id_a"))
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val hydrated = txt.join(broadcast(candIds), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aSide = hydrated.join(pairs, col("doc_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("text").as("ta"))
-    val bSide = txt.join(broadcast(pairs), col("doc_id") === col("id_b"))
+    val bSide = hydrated.join(pairs, col("doc_id") === col("id_b"))
       .select(col("id_a"), col("id_b"), col("text").as("tb"))
     aSide.join(bSide, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"),
@@ -666,6 +677,85 @@ object Dedup {
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '-')")
         .as("band_key"))
+
+  /** MinHash-estimate acceptance eval over the portable LSH index —
+    * the dedup-side member of the n101/n95 index-acceptance family:
+    * for every LSH candidate pair, the MinHash Jaccard ESTIMATE
+    * (matching signature components / numHashes) next to the EXACT
+    * shingle-set Jaccard and their absolute error. A signature length
+    * whose error spreads past the dedup threshold band is how a
+    * production minhash config gets rejected before it silently
+    * over/under-merges a 100 TB corpus.
+    *
+    * Exactness: n_match / n_inter / n_union are exact integers; the
+    * three per-row doubles (estimate, exact, |err|) are fixed-shape
+    * single-rounded expressions over them — hash-exact, no
+    * aggregation-order FP anywhere.
+    *
+    * Scale shape: the shingle table and per-(doc, i) signature
+    * components are each ONE hash aggregation (both persisted — each
+    * feeds two consumers, the n110 diamond policy); candidates come
+    * from the standard band-bucket equi-join; the estimate is a
+    * candidate-keyed join of two Q·numHashes signature slices; the
+    * exact side is [[verifyJaccardPortable]]'s candidate-bounded set
+    * intersection. Nothing corpus². Output: (id_a, id_b, n_match,
+    * est_jaccard, n_inter, n_union, exact_jaccard, abs_err).
+    */
+  def minhashEstimateEval(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sh = portableShingles(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = sh
+      .select(col("doc_id"), col("s"),
+        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        substring(md5(concat(col("i").cast("string"), lit("|"), col("s"))),
+          1, 15).as("mh"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(col("mh")).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = mh.groupBy(col("doc_id"),
+        expr(s"cast(i div $rowsPerBand as int)").as("band_id"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '-')")
+        .as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val est = cand
+      .join(mh.select(col("doc_id").as("id_a"), col("i"),
+        col("mh").as("mh_a")), "id_a")
+      .join(mh.select(col("doc_id").as("id_b"), col("i"),
+        col("mh").as("mh_b")), Seq("id_b", "i"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .as("n_match"))
+    val sets = sh.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
+    val exact = cand
+      .join(sets.select(col("doc_id").as("id_a"), col("ls").as("ls_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("ls").as("ls_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ls_a"), col("ls_b"))).cast("long")
+          .as("n_inter"),
+        (size(col("ls_a")) + size(col("ls_b")) -
+          size(array_intersect(col("ls_a"), col("ls_b")))).cast("long")
+          .as("n_union"))
+    est.join(exact, Seq("id_a", "id_b"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / lit(numHashes))
+      .withColumn("exact_jaccard",
+        col("n_inter").cast("double") / col("n_union"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
+      .select("id_a", "id_b", "n_match", "est_jaccard",
+        "n_inter", "n_union", "exact_jaccard", "abs_err")
+  }
 
   /** Exact-Jaccard filter over candidate (id_a, id_b) pairs on the
     * portable STRING shingle sets (the md5 family's verify stage —

@@ -203,7 +203,12 @@ object Drift {
       key: String,
       valueCol: String,
       inA: org.apache.spark.sql.Column): DataFrame =
-    df.select(col(key),
+    // NULL values are OUT of the distribution, explicitly: a NULL bin
+    // row would sort NULLS FIRST in ksFromBinCounts' cumulative window
+    // (Spark default) but NULLS LAST in the DuckDB oracle, shifting
+    // every ECDF step. The oracle pins the same filter.
+    df.filter(col(valueCol).isNotNull)
+      .select(col(key),
       floor(col(valueCol)).cast("long").as("bin"), inA.as("in_a"))
       .groupBy(col(key), col("bin"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
@@ -244,6 +249,111 @@ object Drift {
         when(bothPos, col("ks_stat") > col("crit_05")))
       .select(col(key), col("n_a"), col("n_b"), col("n_bins"),
         col("ks_stat"), col("crit_05"), col("drifted"))
+  }
+
+  /** Binned squared Hellinger distance of `valueCol` between slice A
+    * (`inA`) and its complement, per key — the MASS-overlap companion
+    * of [[ksDrift]] (KS reads the worst ECDF gap, most sensitive to a
+    * single region; Hellinger integrates disagreement over ALL bins,
+    * so many small shifts register even when no single gap does).
+    * H² = 1 − BC with the Bhattacharyya coefficient
+    * BC = Σ_i √(ca_i·cb_i) / √(n_a·n_b).
+    *
+    * Exactness: per-bin counts are exact BIGINTs from the SAME
+    * [[ksBinCounts]] half the KS family composes (one definition of
+    * the binning); each per-bin term is ONE correctly-rounded sqrt of
+    * an exact integer product, the cross-bin sum routes through
+    * DECIMAL(38,12) (order-insensitive — the n68 full-precision-double
+    * policy), and the final form is a fixed shape over the decimal sum
+    * — engine-exact, no transcendentals (the reason this is Hellinger
+    * and not PSI/JSD, whose logs are not cross-engine bit-exact).
+    * A key entirely inside one slice yields NULL bc/hellinger_sq (the
+    * rankSumDrift convention). Output: (key, n_a, n_b, n_bins, bc,
+    * hellinger_sq).
+    *
+    * Scale shape: [[ksBinCounts]]'s one keyed aggregation, then one
+    * per-key fold over the distinct-bin-sized frame — key-parallel,
+    * no window at all (unlike KS, Hellinger needs no cumulative
+    * order).
+    */
+  def hellingerDrift(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      inA: org.apache.spark.sql.Column): DataFrame =
+    hellingerFromBinCounts(ksBinCounts(df, key, valueCol, inA), key)
+
+  /** The Hellinger report half over a (key, bin, ca, cb) count frame —
+    * the [[ksFromBinCounts]] pattern, so the batch query (n116) and
+    * the streaming monitor (s35) share one definition of the
+    * statistic over the SAME streamed state shape s33 carries.
+    */
+  def hellingerFromBinCounts(binned: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bcSum = sum(sqrt((col("ca") * col("cb")).cast("double"))
+      .cast(DecimalType(38, 12)))
+    val agg = binned.groupBy(col(key))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        count(lit(1)).as("n_bins"), bcSum.as("bc_sum"))
+    val bothPos = col("n_a") > 0L && col("n_b") > 0L
+    agg
+      .withColumn("bc",
+        when(bothPos, col("bc_sum").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double"))))
+      .withColumn("hellinger_sq", when(bothPos, lit(1.0) - col("bc")))
+      .select(col(key), col("n_a"), col("n_b"), col("n_bins"),
+        col("bc"), col("hellinger_sq"))
+  }
+
+  /** Robust outlier bounds per key: median ± c·MAD (median absolute
+    * deviation) — the heavy-tail-immune companion of
+    * [[winsorizeBounds]] (whose P1/P99 ranks are themselves dragged by
+    * the tail they bound; MAD is rank-central, so one corrupt feed
+    * day cannot widen its own gate). Both statistics are ORDER
+    * STATISTICS — the lower median, the value at rank ⌈n/2⌉ = (n+1)
+    * DIV 2 — so they are exact data values, tie-stable in any engine;
+    * the only arithmetic is |v − med| (one IEEE op per row) and
+    * med ± c·mad (two fixed-shape IEEE ops), all single-rounded
+    * identically in both engines. Output: (key, n, med, mad,
+    * lo_bound, hi_bound, n_below, n_above).
+    *
+    * Scale shape: two windows partitioned BY KEY (value ranks, then
+    * deviation ranks) and two co-keyed joins back — key-parallel
+    * throughout, the winsorizeBounds shape run twice.
+    */
+  def madBounds(
+      df: DataFrame,
+      key: String,
+      valueCol: String,
+      c: Double = 3.0): DataFrame = {
+    require(c > 0, s"need c > 0, got $c")
+    val vals = df.select(col(key), col(valueCol).as("v"))
+    val w = Window.partitionBy(col(key)).orderBy(asc("v"))
+    val med = vals
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .groupBy(col(key), col("n"))
+      .agg(min(when(col("rn") === expr("(n + 1) DIV 2"), col("v")))
+        .as("med"))
+    val wd = Window.partitionBy(col(key)).orderBy(asc("d"))
+    val mad = vals.join(med, key)
+      .withColumn("d", abs(col("v") - col("med")))
+      .withColumn("rn", row_number().over(wd))
+      .groupBy(col(key), col("n"), col("med"))
+      .agg(min(when(col("rn") === expr("(n + 1) DIV 2"), col("d")))
+        .as("mad"))
+    val bounds = mad
+      .withColumn("lo_bound", col("med") - lit(c) * col("mad"))
+      .withColumn("hi_bound", col("med") + lit(c) * col("mad"))
+    vals.join(bounds, key)
+      .groupBy(col(key), col("n"), col("med"), col("mad"),
+        col("lo_bound"), col("hi_bound"))
+      .agg(sum(when(col("v") < col("lo_bound"), 1L).otherwise(0L))
+        .as("n_below"),
+        sum(when(col("v") > col("hi_bound"), 1L).otherwise(0L))
+          .as("n_above"))
+      .select(key, "n", "med", "mad", "lo_bound", "hi_bound",
+        "n_below", "n_above")
   }
 
   /** Binned two-sample Kolmogorov–Smirnov drift of `valueCol` between

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned trained-model artifacts on disk — the lifecycle half the
+  * batch-train → streaming-apply pipelines (s19/s21/s23/s26–s33) were
+  * missing: those train and consume frozen model state inside ONE
+  * process, while a production pipeline trains in one JOB and applies
+  * in another, with the model passing through a STORE that carries
+  * versions. Reference capability analog: the managed-resource
+  * open/close contract (`/root/reference/src/main/scala/
+  * SimpleStreamProcessor/Node.scala:162-199`) — a model version is a
+  * resource acquired at apply time, not ambient state.
+  *
+  * Layout: one parquet directory per artifact, partitioned by
+  * `version=N` — so a reader of version N prunes to one partition
+  * (directory-level partition pruning, no data read from other
+  * versions), writers APPEND new versions without touching old ones
+  * (immutable versions — the retrain job can never corrupt the one
+  * being served), and the store works on any parquet filesystem at
+  * any scale because a model frame is model-sized (vocab / bounds /
+  * weights), not corpus-sized.
+  */
+object ModelArtifacts {
+
+  /** Write `model` as version `version` of the artifact at `dir`.
+    * Append-only: versions are immutable once written; re-running a
+    * version is the caller's idempotence decision. The model frame is
+    * coalesced to one file per version — artifacts are model-sized by
+    * contract, and a single file makes the version atomic-ish on a
+    * rename-capable filesystem.
+    */
+  def writeVersion(model: DataFrame, dir: String, version: Int): Unit =
+    model.withColumn("version", lit(version))
+      .coalesce(1)
+      .write.mode("append").partitionBy("version").parquet(dir)
+
+  /** Load the LATEST version from the artifact at `dir` — a FRESH disk
+    * read (no lineage back to the training job; this is the apply-side
+    * jobs' view). The max version is a one-row aggregate joined back
+    * broadcast, never a driver collect; Spark prunes the version
+    * partitions after the join filter at the file-listing level for a
+    * literal and at runtime via the broadcast (dynamic partition
+    * pruning) otherwise — either way the old versions' DATA is never
+    * scanned into the apply plan.
+    */
+  def loadLatest(spark: SparkSession, dir: String): DataFrame = {
+    val art = spark.read.parquet(dir)
+    val latest = art.groupBy().agg(max(col("version")).as("version"))
+    art.join(broadcast(latest), "version")
+  }
+}

@@ -49,17 +49,24 @@ object Retrieval {
       nQueries: Long,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      materializeTf: Boolean = true): DataFrame = {
     require(nQueries >= 1, s"nQueries must be >= 1, got $nQueries")
     require(k >= 1, s"k must be >= 1, got $k")
     // tf feeds dl, df, the query-term extraction AND the posting join —
     // four consumers, and the executed plan re-explodes the corpus for
     // each without materialization (ScanAudit: documents×4, zero
-    // exchange reuse); the n110 policy: one spillable materialization
-    val tf = docs
+    // exchange reuse); the n110 policy: one spillable materialization.
+    // `materializeTf = false` exists ONLY so ScaleProbe can measure the
+    // trade (cache-fill barrier vs four explode passes) instead of
+    // arguing it — production callers always materialize.
+    val tfBase = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf =
+      if (materializeTf)
+        tfBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tfBase
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = dl.agg(

@@ -794,8 +794,14 @@ object TextAnalysis {
     */
   def lengthPercentiles(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL text ⇒ NULL n_tok is OUT of the order statistics, explicitly:
+    // Spark windows default NULLS FIRST while DuckDB defaults NULLS
+    // LAST, so an unfiltered NULL row would shift every rank and
+    // silently diverge operator from oracle (the oracle pins the same
+    // filter). A doc with no tokenizable text has no length.
     val base = docs.select(col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok").isNotNull)
     val w = Window.partitionBy(col("source")).orderBy(asc("n_tok"))
     val ranked = base
       .withColumn("rn", row_number().over(w))
@@ -811,6 +817,64 @@ object TextAnalysis {
         max(col("n_tok")).as("max_tok"),
         (sum(col("n_tok")).cast("double") /
           count(lit(1)).cast("double")).as("mean_tok"))
+  }
+
+  /** Per-source total variation distance between the source's
+    * token-length-bin distribution and the corpus-wide one — the
+    * mixture-shape card that says WHICH feeds are length-outliers
+    * (a source of tweets in a corpus of articles reads TVD ≈ 1):
+    * TVD = ½ Σ_bins |c_s/n_s − c_a/n_a|. Complements [[lengthPercentiles]]
+    * (point statistics) with a whole-distribution distance, and n110's
+    * cosine/Jaccard affinity (CONTENT overlap) with a SHAPE distance.
+    *
+    * Exactness: the absolute difference is kept in cross-multiplied
+    * integer form, |c_s·n_a − c_a·n_s| / (n_s·n_a) — the per-bin
+    * numerators sum EXACTLY in DECIMAL(38,0), and the only doubles are
+    * one final division's fixed shape, so the statistic is
+    * engine-exact with no decimal-routing of per-bin quotients.
+    * NULL-length docs are out of the distribution (the
+    * [[lengthPercentiles]] convention).
+    *
+    * Scale shape: ONE corpus scan into a (source, bin) hash aggregate
+    * with map-side partials; everything after runs on the S·B-sized
+    * count frame (persisted — it feeds the corpus totals, the source
+    * totals, and the dense grid join; without the persist each
+    * consumer would re-scan the corpus, the n110 diamond). The dense
+    * grid is sources × corpus bins — model-sized, broadcast — so bins
+    * a source never hit still contribute their |0 − c_a·n_s| mass.
+    * Output: (source, n_docs, n_bins, tvd).
+    */
+  def sourceLengthTvd(docs: DataFrame, binWidth: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val base = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok").isNotNull)
+      .select(col("source"), expr(s"n_tok DIV $binWidth").as("bin"))
+    val srcBin = base.groupBy("source", "bin")
+      .agg(count(lit(1)).as("c_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBin = srcBin.groupBy("bin").agg(sum(col("c_s")).as("c_a"))
+    val srcTot = srcBin.groupBy("source").agg(sum(col("c_s")).as("n_s"))
+    val corpusTot = corpusBin.groupBy().agg(sum(col("c_a")).as("n_a"))
+    val grid = srcTot
+      .crossJoin(broadcast(corpusBin))
+      .crossJoin(broadcast(corpusTot))
+      .join(srcBin, Seq("source", "bin"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+    // DECIMAL(18,0) × DECIMAL(18,0) → 37 digits: wide enough for
+    // count products at 100 TB (counts ≤ ~1e12 → products ≤ 1e24) and
+    // the widest multiply BOTH engines accept (DuckDB binds decimal
+    // multiplication only up to combined width 38)
+    val term = abs(
+      col("c_s").cast(DecimalType(18, 0)) * col("n_a").cast(DecimalType(18, 0))
+        - col("c_a").cast(DecimalType(18, 0)) * col("n_s").cast(DecimalType(18, 0)))
+    grid.groupBy(col("source"), col("n_s"), col("n_a"))
+      .agg(count(lit(1)).as("n_bins"), sum(term).as("num"))
+      .withColumn("tvd", col("num").cast("double") /
+        (lit(2.0) * col("n_s").cast("double") * col("n_a").cast("double")))
+      .select(col("source"), col("n_s").as("n_docs"), col("n_bins"),
+        col("tvd"))
   }
 
   /** Per-source vocabulary richness: observed vocabulary, Chao1

@@ -564,7 +564,7 @@ object NorthStar7 extends QueryGroup {
                   AS BIGINT) AS ca,
                 CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
                   AS BIGINT) AS cb
-              FROM events GROUP BY 1, 2),
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
             c AS (
               SELECT event_type, bin,
                 CAST(SUM(ca) OVER (PARTITION BY event_type
@@ -692,7 +692,8 @@ object NorthStar7 extends QueryGroup {
     Some("""WITH b AS (
               SELECT source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-              FROM documents),
+              FROM documents
+              WHERE len(string_split(text, ' ')) IS NOT NULL),
             r AS (
               SELECT source, n_tok,
                 row_number() OVER (PARTITION BY source

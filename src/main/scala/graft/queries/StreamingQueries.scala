@@ -67,6 +67,17 @@ object StreamingQueries extends QueryGroup {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
+  /** Runs the streaming frame to a memory sink (AvailableNow) and
+    * returns the sink table. CONTRACT for update-mode callers: the
+    * memory sink appends each batch's updated rows, so with >1
+    * micro-batch the table holds every intermediate state row, not
+    * just the final one. Each single-file source here yields one batch
+    * under AvailableNow (no maxFilesPerTrigger is set), so raw
+    * consumers (s28–s32) read final state today; any consumer that
+    * AGGREGATES ACROSS sink rows must first collapse to final state
+    * per key (monotone counts → max per group — see s33) so the
+    * result cannot depend on trigger slicing.
+    */
   private def runToTable(
       df: org.apache.spark.sql.DataFrame,
       mode: String,
@@ -475,6 +486,71 @@ object StreamingQueries extends QueryGroup {
         eventsSource(s, dir, stream), "event_type", "value",
         col("event_id") % 2 === 0)
 
+    /** s35: the same streaming-legal [[graft.operators.Drift.ksBinCounts]]
+      * half as s33 — ONE update-mode aggregation, one state row per
+      * (type, bin), order-insensitive exact integer sums — consumed by
+      * the HELLINGER report half instead of the KS one. One stream
+      * state definition, two drift statistics over it.
+      */
+    def s35(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      s33(s, dir, stream)
+
+    /** s34: the trained-artifact lifecycle at production shape —
+      * batch-train per-source p25 token-length floors, write them as
+      * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
+      * store (v1 on half the corpus, v2 on all of it), load the
+      * LATEST back with a fresh disk read, and gate the STREAMING
+      * corpus with it. The loaded S-row model is driver-collected
+      * (bounded model state — the s23 realizedRates precedent), so
+      * the artifact store's lifetime ends before the stream starts
+      * and the gate plan joins a LocalRelation leaf. Selecting the
+      * wrong version changes every threshold → hash mismatch: the
+      * version-selection logic itself sits under the oracle. Audit
+      * mode: a literal two-row stand-in model through the SAME gate
+      * lineage.
+      */
+    def s34(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      import s.implicits._
+      val model: DataFrame =
+        if (stream) {
+          val base =
+            java.nio.file.Files.createTempDirectory("graft_s34_").toFile
+          val rows = try {
+            val art = new java.io.File(base, "len_gate").getAbsolutePath
+            val docs = Tables(s, dir).documents
+            def floors(d: DataFrame) = graft.operators.Drift
+              .winsorizeBounds(
+                d.select(col("source"),
+                  size(split(col("text"), " ")).cast("long").as("n_tok"))
+                  .filter(col("n_tok").isNotNull),
+                "source", "n_tok", loPct = 25, hiPct = 99)
+              .select(col("source"), col("lo_bound").as("thr_tok"))
+            graft.operators.ModelArtifacts.writeVersion(
+              floors(docs.filter(col("doc_id") % 2 === 0)), art, 1)
+            graft.operators.ModelArtifacts.writeVersion(floors(docs), art, 2)
+            graft.operators.ModelArtifacts.loadLatest(s, art)
+              .select("source", "thr_tok", "version")
+              .collect().toSeq
+              .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+          } finally {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(base)
+          }
+          rows.toDF("source", "thr_tok", "version")
+        } else
+          Seq(("src0", 10L, 1), ("src1", 12L, 1))
+            .toDF("source", "thr_tok", "version")
+      docsSource(s, dir, stream)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(broadcast(model), Seq("source"), "left")
+        .filter(col("n_tok") >= col("thr_tok"))
+        .groupBy(col("source"), col("version"), col("thr_tok"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    }
+
     /** s15's per-batch scoring frame — the EXACT builder the run's
       * foreachBatch calls on each micro-batch slice; the audit applies
       * it to a static stand-in corpus. Shared so the audited lineage
@@ -654,7 +730,11 @@ object StreamingQueries extends QueryGroup {
     "s32_stream_gate_panel" -> Seq(Frames.s32(s, dir, stream = false)),
     "s33_stream_ks_monitor" -> Seq(
       graft.operators.Drift.ksFromBinCounts(
-        Frames.s33(s, dir, stream = false), "event_type")))
+        Frames.s33(s, dir, stream = false), "event_type")),
+    "s34_stream_artifact_gate" -> Seq(Frames.s34(s, dir, stream = false)),
+    "s35_stream_hellinger_monitor" -> Seq(
+      graft.operators.Drift.hellingerFromBinCounts(
+        Frames.s35(s, dir, stream = false), "event_type")))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -1941,11 +2021,82 @@ object StreamingQueries extends QueryGroup {
   private val streamKsMonitor = Q(
     "s33_stream_ks_monitor",
     "streaming binned two-sample KS drift monitor (converges to the n111 batch closed form)",
-    (s, dir) => graft.operators.Drift
-      .ksFromBinCounts(
-        runToTable(Frames.s33(s, dir), "update"), "event_type")
-      .orderBy("event_type"),
+    (s, dir) => {
+      // An update-mode memory sink APPENDS each batch's updated rows:
+      // with >1 micro-batch the table retains stale (type, bin) rows
+      // from earlier batches and the cumulative-ECDF window would
+      // silently double-count them. The single-file source makes one
+      // batch today, but the report half must not depend on trigger
+      // slicing — collapse the sink to its FINAL state first: ca/cb
+      // are monotone update-mode counts, so max over a (type, bin)
+      // group IS the latest emitted value.
+      val finalState = runToTable(Frames.s33(s, dir), "update")
+        .groupBy("event_type", "bin")
+        .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      graft.operators.Drift
+        .ksFromBinCounts(finalState, "event_type")
+        .orderBy("event_type")
+    },
     Some(NorthStar7.ksOracleSql))
+
+  /** Streaming gate fed by a VERSIONED on-disk model artifact — the
+    * s17 recovery pattern applied to MODEL state: the model crosses a
+    * disk store between the train phase and the apply phase instead of
+    * living in process memory, and the apply side selects the latest
+    * version. The gate itself is the s21 shape (stateless scan-stage
+    * predicate + ONE update-mode aggregation, one state row per
+    * source); the ORACLE recomputes the v2 model and the gated
+    * aggregate from the base tables, so writing, versioning, loading,
+    * and applying all sit under the hash compare.
+    */
+  private val streamArtifactGate = Q(
+    "s34_stream_artifact_gate",
+    "streaming length-floor gate fed by a versioned on-disk model artifact (train v1/v2, load LATEST, apply)",
+    (s, dir) => runToTable(Frames.s34(s, dir), "update").orderBy("source"),
+    Some("""WITH t AS (
+              SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+              WHERE len(string_split(text, ' ')) IS NOT NULL),
+            r AS (
+              SELECT source, n_tok,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY n_tok) AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS n
+              FROM t),
+            b AS (
+              SELECT source,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 25 + 99) // 100)
+                    THEN n_tok END) AS thr_tok
+              FROM r GROUP BY source, n)
+            SELECT t.source, CAST(2 AS INT) AS version, thr_tok,
+              CAST(COUNT(*) AS BIGINT) AS n_kept,
+              CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+            FROM t JOIN b USING (source)
+            WHERE n_tok >= thr_tok
+            GROUP BY t.source, thr_tok
+            ORDER BY source"""))
+
+  /** Streaming Hellinger drift monitor — the mass-overlap companion
+    * of s33 over the IDENTICAL streamed state (the s33 `ksBinCounts`
+    * update-mode aggregation, one state row per (type, bin)): one
+    * stream state definition, two drift statistics batch-derived from
+    * it, each sharing its report half with its batch query (n111 /
+    * n116). Same final-state collapse as s33 — the report must not
+    * depend on trigger slicing. The ORACLE IS n116's SQL verbatim.
+    */
+  private val streamHellingerMonitor = Q(
+    "s35_stream_hellinger_monitor",
+    "streaming binned Hellinger drift monitor (converges to the n116 batch closed form)",
+    (s, dir) => {
+      val finalState = runToTable(Frames.s35(s, dir), "update")
+        .groupBy("event_type", "bin")
+        .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      graft.operators.Drift
+        .hellingerFromBinCounts(finalState, "event_type")
+        .orderBy("event_type")
+    },
+    Some(NorthStar8.hellingerOracleSql))
 
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
@@ -1956,5 +2107,6 @@ object StreamingQueries extends QueryGroup {
     streamQualityGate, streamSnapshotMerge, streamMixtureRealize,
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
-    streamCusumMonitor, streamGatePanel, streamKsMonitor)
+    streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
+    streamHellingerMonitor)
 }

@@ -42,8 +42,15 @@ object BenchGuard {
       .filterNot(_._1.startsWith("_"))
       .toMap
 
-  /** Query-name shape: c01_…, n43_…, q06_…, s17_…, w05_… */
-  private val queryName = """^[cnqsw]\d\d_""".r
+  /** Query-name shape: c01_…, n43_…, n114_…, q06_…, s17_…, w05_….
+    * `\d+` (not `\d\d`): the r11 replay parser required exactly two
+    * digits and silently dropped n100–n114 from every artifact replay
+    * (223 pairs parsed, 208 survived) — a breach in a three-digit query
+    * passed unflagged. RegistryInvariantsSpec asserts every registered
+    * name matches THIS regex so the gate and the registry cannot drift
+    * apart again.
+    */
+  private[graft] val queryName = """^[cnqsw]\d+_""".r
 
   /** Pull the {"queries":{...}} object out of a full Bench output line
     * (or a driver BENCH_r*.json whose `tail` embeds that line with
@@ -105,11 +112,12 @@ object BenchGuard {
         // BenchOne min-of-reps policy) — so the driver's Bench main and
         // this gate adjudicate noise flaps identically, and the
         // artifact's "retimed" object records both numbers.
-        val results = try Bench.run(spark, sfDir) finally spark.stop()
+        val (results, meta) = try Bench.runWithMeta(spark, sfDir)
+          finally spark.stop()
         // emit the bench artifact too — the timing run that backs the
         // verdict should never be thrown away; the file copy survives
         // stdout clipping (see Bench.writeArtifact)
-        val line = Bench.jsonLine(results, sfDir)
+        val line = Bench.jsonLine(results, sfDir, Some(meta))
         println(line)
         Bench.writeArtifact(line)
         (results.map(r => r.name -> r.secs).toMap,

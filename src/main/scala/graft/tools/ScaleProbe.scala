@@ -561,6 +561,18 @@ object ScaleProbe {
           nQueries = 5L, k = 5)
         .count())
 
+    probe("bm25_nopersist", c =>
+      // the SAME plan minus the tf materialization: four explode passes
+      // over the corpus instead of one cache fill. This row vs
+      // bm25_retrieval measures the persist trade the r11 round argued
+      // (a ~1.5 s cache-fill barrier at sf0.1 bought eliminating 3
+      // redundant corpus explodes) — the growth-ratio gap between the
+      // two rows is the crossover evidence PLANS.md cites
+      graft.operators.Retrieval
+        .bm25MoreLikeThis(replicate(t.documents, "doc_id", c),
+          nQueries = 5L, k = 5, materializeTf = false)
+        .count())
+
     probe("containment_dedup", c =>
       // each replica forms its own contained/container structure; the
       // df cap bounds per-shingle fanout as copies multiply df

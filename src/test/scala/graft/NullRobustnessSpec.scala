@@ -109,6 +109,39 @@ class NullRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"NULL-text disposition must be (0 bigrams, NULL, NULL): ${nullRow.head}")
   }
 
+  test("order-statistics family (n114): a NULL-text doc is out of the ranks") {
+    // Spark windows default NULLS FIRST, DuckDB NULLS LAST — an
+    // unfiltered NULL n_tok row would shift EVERY rank on one side
+    // only. lengthPercentiles declares NULL lengths out of the order
+    // statistics (and the oracle pins the same filter), so the
+    // injected doc must leave every per-source card bit-identical.
+    assert(rows("n114_length_percentiles", scratchDir) ==
+      rows("n114_length_percentiles", srcDir),
+      "a NULL-text doc shifted the per-source length order statistics")
+  }
+
+  test("binned-ECDF family (n111/s33): NULL values are out of the distribution") {
+    // same NULLS FIRST / NULLS LAST hazard in ksFromBinCounts'
+    // cumulative window: a NULL bin would shift every ECDF step on the
+    // Spark side only. ksBinCounts filters NULL values (oracle pinned
+    // with WHERE value IS NOT NULL) — injecting NULL-value rows must
+    // not move the statistic.
+    import spark.implicits._
+    val clean = Seq(("a", 1L, 1.0), ("a", 2L, 2.5), ("a", 3L, 2.7),
+      ("a", 4L, 9.0), ("a", 5L, 9.5), ("a", 6L, 1.2))
+      .toDF("event_type", "event_id", "value")
+    val dirty = clean.unionByName(
+      Seq(("a", 7L), ("a", 8L)).toDF("event_type", "event_id")
+        .withColumn("value",
+          org.apache.spark.sql.functions.lit(null).cast("double")))
+    def ks(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Drift.ksDrift(df, "event_type", "value",
+        org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+        .collect().toSeq
+    assert(ks(dirty) == ks(clean),
+      "NULL-value rows moved the binned KS statistic")
+  }
+
   test("GD-trajectory family (n70): a NULL-text doc moves no weight") {
     // domainTokenProbs starts at explode(split(text)) — the NULL doc
     // adds zero token mass to its source, and no count in the trainer

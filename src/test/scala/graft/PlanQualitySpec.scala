@@ -131,7 +131,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "n94_hybrid_rerank",
       // one-row corpus-count scalars (the keep-k denominator / the
       // negative-draw modulus) crossJoined onto per-row data
-      "n75_quality_rank_fusion", "n76_contrastive_triplets")
+      "n75_quality_rank_fusion", "n76_contrastive_triplets",
+      // the dense source×bin grid: a B-row corpus-bin frame and a
+      // one-row corpus-total scalar crossJoined onto the S-row source
+      // totals — all three sides model-sized broadcast by construction
+      "n118_source_length_tvd")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,

@@ -45,4 +45,37 @@ class RegistryInvariantsSpec extends AnyFunSuite {
       .filterNot(n => pat.matches(n))
     assert(bad.isEmpty, s"non-conforming query names: $bad")
   }
+
+  test("scan baseline covers the registry exactly, >=3 entries pinned inherent") {
+    // the ScanGuard discipline at suite speed: every registered query
+    // carries a committed worst-scan-count baseline (a new query cannot
+    // ship without being profiled), no stale entries linger, and every
+    // >=3-scan baseline is argued onto ScanGuard.inherent (PLANS.md) —
+    // set equality both ways, like the BNLJ whitelist. The measured
+    // re-profile itself runs in the ScanGuard main (minutes, not suite).
+    val baseline = graft.tools.BenchGuard.parseFlat(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.tools.ScanGuard.baselineFile))))
+      .map { case (k, v) => k -> v.toInt }
+    val registered = queries.Registry.all.map(_.name).toSet
+    assert(registered -- baseline.keySet == Set.empty,
+      s"queries without a scan baseline: ${registered -- baseline.keySet}")
+    assert(baseline.keySet -- registered == Set.empty,
+      s"stale scan baselines: ${baseline.keySet -- registered}")
+    val overThree = baseline.filter(_._2 >= 3).keySet
+    assert(overThree == graft.tools.ScanGuard.inherent,
+      s"unwhitelisted >=3-scan: ${overThree -- graft.tools.ScanGuard.inherent}; " +
+        s"stale inherent pins: ${graft.tools.ScanGuard.inherent -- overThree}")
+  }
+
+  test("BenchGuard's replay name filter accepts every registered query") {
+    // The r11 replay parser's `^[cnqsw]\d\d_` silently dropped every
+    // three-digit query (n100–n114) from artifact replays — a breach
+    // there passed unflagged. Pinning the gate's OWN regex against the
+    // registry means a name shape the gate can't see fails here, at
+    // suite speed, instead of opening a new blind spot.
+    val bad = queries.Registry.all.map(_.name)
+      .filterNot(n => graft.tools.BenchGuard.queryName.findFirstIn(n).isDefined)
+    assert(bad.isEmpty, s"names invisible to BenchGuard replay: $bad")
+  }
 }
