@@ -50,4 +50,13 @@ object ModelArtifacts {
     val latest = art.groupBy().agg(max(col("version")).as("version"))
     art.join(broadcast(latest), "version")
   }
+
+  /** Load a PINNED version — the rollback / shadow-deployment read
+    * path (serve vN while evaluating vN+1, or pin a known-good version
+    * after a bad retrain). The literal filter prunes to the one
+    * version partition at file-listing time; other versions' files are
+    * never opened.
+    */
+  def loadVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
+    spark.read.parquet(dir).filter(col("version") === version)
 }

@@ -113,6 +113,38 @@ object Similarity {
     * and per-query work drops by ~numCentroids/nProbe. This is the
     * standard billion-vector layout (IVF) with exact re-ranking.
     */
+  /** Corpus → nearest centroid (the IVF assignment pass), shared by
+    * [[ivfTopK]] and [[ivfProbeSweep]]. Keep=1 needs no window at all:
+    * fold the (sorted, one-row, broadcast) codebook per corpus row — an
+    * argmax in the scan stage with ZERO corpus shuffle. The window form
+    * would shuffle corpus × numCentroids rows by n_id; at 100 TB that
+    * exchange is the whole cost of the assignment. Tie rule matches
+    * the window (desc sim, asc cent_id): ascending fold + strict '>'.
+    * A null cosine (zero-norm / null-element embedding) coalesces to
+    * -2.0 so the row still lands in the FIRST centroid's bucket — the
+    * window form ranks all-null ties by asc cent_id the same way; the
+    * init sim sits below the coalesce floor so centroid 0 always wins
+    * the degenerate fold. Output: (n_id, cent_id).
+    */
+  private def ivfAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val codebook = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("c_emb"))))
+        .as("codebook"))
+    corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("best", aggregate(
+        col("codebook"),
+        struct(lit(-3.0).as("sim"), lit(-1L).as("cent_id")),
+        (acc, c) => {
+          val sim = coalesce(cosine(col("n_emb"), c.getField("c_emb")),
+            lit(-2.0))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"), c.getField("cent_id").as("cent_id")))
+            .otherwise(acc)
+        }))
+      .select(col("n_id"), col("best.cent_id").as("cent_id"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -130,33 +162,7 @@ object Similarity {
         .filter(col("cent_rank") <= keep)
         .select(col(idCol), col("cent_id"))
     }
-    // Corpus → nearest centroid is keep=1, so it needs no window at all:
-    // fold the (sorted, one-row, broadcast) codebook per corpus row — an
-    // argmax in the scan stage with ZERO corpus shuffle. The window form
-    // above would shuffle corpus × numCentroids rows by n_id; at 100 TB
-    // that exchange is the whole cost of the assignment. Tie rule matches
-    // the window (desc sim, asc cent_id): ascending fold + strict '>'.
-    // A null cosine (zero-norm / null-element embedding) coalesces to
-    // -2.0 so the row still lands in the FIRST centroid's bucket — the
-    // window form ranks all-null ties by asc cent_id the same way; the
-    // init sim sits below the coalesce floor so centroid 0 always wins
-    // the degenerate fold.
-    val codebook = cents
-      .agg(sort_array(collect_list(struct(col("cent_id"), col("c_emb"))))
-        .as("codebook"))
-    val assign = corpus.select(col("id").as("n_id"), col("embedding").as("n_emb"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("best", aggregate(
-        col("codebook"),
-        struct(lit(-3.0).as("sim"), lit(-1L).as("cent_id")),
-        (acc, c) => {
-          val sim = coalesce(cosine(col("n_emb"), c.getField("c_emb")),
-            lit(-2.0))
-          when(sim > acc.getField("sim"),
-            struct(sim.as("sim"), c.getField("cent_id").as("cent_id")))
-            .otherwise(acc)
-        }))
-      .select(col("n_id"), col("best.cent_id").as("cent_id"))
+    val assign = ivfAssign(corpus, cents)
     val probes = nearest(
       queries.select(col("id").as("q_id"), col("embedding").as("q_emb")),
       "q_id", "q_emb", nProbe)
@@ -173,6 +179,142 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** [[ivfTopK]] evaluated at SEVERAL nProbe settings in one plan —
+    * the index-tuning sweep. A naive per-setting loop re-derives the
+    * corpus→centroid assignment (the one corpus-sized pass) once per
+    * setting (ScanAudit read 11 embeddings scans on the 3-setting
+    * loop); here the assignment and the query probe RANKING are
+    * computed ONCE — a setting's candidate set is exactly
+    * `cent_rank <= nProbe` over the shared ranking, so per-setting
+    * results are bit-identical to the per-call form while the corpus
+    * is touched a constant number of times regardless of how many
+    * settings the sweep covers. Output: [[ivfTopK]]'s columns plus
+    * `n_probe`.
+    */
+  def ivfProbeSweep(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      probes: Seq[Int],
+      numCentroids: Int = 16): DataFrame = {
+    require(probes.nonEmpty && probes.forall(_ >= 1),
+      s"probes must be >= 1, got $probes")
+    val pmax = probes.max
+    val cents = corpus.filter(col("id") < numCentroids)
+      .select(col("id").as("cent_id"), col("embedding").as("c_emb"))
+    // query → pmax nearest centroids, RANK RETAINED (ivfTopK's probe
+    // ranking; a setting p's probed buckets are exactly rank <= p)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cent_sim"), asc("cent_id"))
+    val probeRank = queries
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cent_rank", row_number().over(w))
+      .filter(col("cent_rank") <= pmax)
+      .select(col("q_id"), col("cent_id"), col("cent_rank"))
+    // corpus → nearest centroid, computed ONCE for every setting (the
+    // per-call loop re-derived this corpus-sized pass per setting)
+    val assign = ivfAssign(corpus, cents)
+    // a candidate enters setting p iff SOME bucket of rank <= p
+    // surfaced it — i.e. its minimum surfacing rank is <= p; the
+    // min-agg replaces ivfTopK's DISTINCT (same dedup, rank kept)
+    val cand = probeRank
+      .join(assign, "cent_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(min(col("cent_rank")).as("min_cent_rank"))
+    val scored = cand
+      .join(corpus.select(col("id").as("n_id"),
+        col("embedding").as("n_emb")), "n_id")
+      .join(broadcast(queries.select(col("id").as("q_id"),
+        col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("min_cent_rank"),
+        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+    val perSetting = scored
+      .withColumn("n_probe",
+        explode(array(probes.distinct.sorted.map(lit): _*)))
+      .filter(col("min_cent_rank") <= col("n_probe"))
+    val wr = Window.partitionBy(col("n_probe"), col("q_id"))
+      .orderBy(desc("cos_sim"), asc("n_id"))
+    perSetting
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("n_probe"), col("q_id"), col("n_id"), col("cos_sim"),
+        col("rank"))
+  }
+
+  /** The streaming-legal half of embedding-space drift: per-centroid
+    * occupancy counts of slice A (`inA`) and its complement, over the
+    * [[ivfAssign]] codebook partitioning (lowest-id vectors as
+    * centroids — the n12 convention, so the oracle replays the
+    * assignment). Assignment is a stateless scan-stage argmax
+    * (broadcast codebook fold, zero shuffle), so on a streaming frame
+    * this is ONE update-mode aggregation with `numCentroids` state
+    * rows — the drift-monitor shape (s29/s33) applied to the
+    * EMBEDDING space, where the scalar monitors are blind: a new
+    * content cluster moves occupancy mass long before any token
+    * statistic. Output: (cent_id, ca, cb).
+    */
+  def centOccupancy(
+      corpus: DataFrame,
+      inA: org.apache.spark.sql.Column,
+      cents: DataFrame): DataFrame = {
+    // the argmax folds the broadcast codebook per row IN THE SCAN
+    // STAGE (ivfAssign's shape, with the slice flag carried through
+    // instead of joined back — a join would be stream-stream-illegal
+    // and a second corpus pass in batch)
+    val codebook = cents
+      .agg(sort_array(collect_list(struct(col("cent_id"), col("c_emb"))))
+        .as("codebook"))
+    corpus.select(col("id"), col("embedding"), inA.as("in_a"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("best", aggregate(
+        col("codebook"),
+        struct(lit(-3.0).as("sim"), lit(-1L).as("cent_id")),
+        (acc, c) => {
+          val sim = coalesce(cosine(col("embedding"), c.getField("c_emb")),
+            lit(-2.0))
+          when(sim > acc.getField("sim"),
+            struct(sim.as("sim"), c.getField("cent_id").as("cent_id")))
+            .otherwise(acc)
+        }))
+      .select(col("best.cent_id").as("cent_id"), col("in_a"))
+      .groupBy("cent_id")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+  }
+
+  /** The n12-convention codebook over a STATIC table: lowest-id
+    * vectors as centroids. Extracted so the batch query and the
+    * streaming monitor build the identical codebook from the static
+    * side (deriving it from the stream would be a stream-stream
+    * join).
+    */
+  def lowIdCents(staticCorpus: DataFrame, numCentroids: Int = 16): DataFrame =
+    staticCorpus.filter(col("id") < numCentroids)
+      .select(col("id").as("cent_id"), col("embedding").as("c_emb"))
+
+  /** The report half: per-centroid occupancy shares of both slices
+    * and their gap — |ca/n_a − cb/n_b| per centroid (the ksFromBinCounts
+    * gap shape: fixed-order IEEE ops over exact integers, engine-
+    * deterministic). ΣGap/2 is the occupancy TVD, but the per-centroid
+    * rows are the actionable artifact (they name WHICH region of the
+    * embedding space gained or lost mass). Slice totals ride a one-row
+    * broadcast scalar, never a partition-less window.
+    */
+  def occupancyGapReport(occ: DataFrame): DataFrame = {
+    val tot = occ.groupBy()
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    occ.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          abs(col("ca").cast("double") / col("n_a").cast("double") -
+            col("cb").cast("double") / col("n_b").cast("double"))))
+      .select(col("cent_id"), col("ca"), col("cb"),
+        col("n_a"), col("n_b"), col("gap"))
   }
 
   /** IVF-Flat with a Lloyd-TRAINED codebook — [[ivfTopK]]'s "a k-means

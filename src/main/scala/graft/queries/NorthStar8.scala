@@ -261,6 +261,286 @@ object NorthStar8 extends QueryGroup {
             FROM est e JOIN ex USING (id_a, id_b)
             ORDER BY id_a, id_b"""))
 
+  /** Recall-vs-cost curve of the IVF index across nProbe — the tuning
+    * sweep that picks the probe count BEFORE a 100 TB index ships: one
+    * brute ground-truth pass (the n05/n101 broadcast-query scan, taken
+    * once), one IVF ranking per probe setting, and the n101 recall/rr
+    * join per setting — evaluation joins touch only Q·k lists. Recall
+    * is monotone in nProbe by construction (more probes only add
+    * candidates); the per-query rows name the vectors a low setting
+    * fails on.
+    */
+  private val nprobeSweep = {
+    val ps = Seq(1, 2, 4)
+    Q(
+      "n120_ivf_nprobe_sweep",
+      "IVF index tuning curve: per-query recall@10 + reciprocal rank at nProbe in {1,2,4} vs brute force",
+      (s, dir) => {
+        val S = graft.operators.Similarity
+        val emb = Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding"))
+        val q = emb.filter(col("id") < 10)
+        // both Q·k-sized frames feed one recall join PER SETTING —
+        // persisted so the ground-truth corpus pass and the sweep's
+        // shared assignment/scoring run once, not once per setting
+        val exact = S.bruteTopK(q, emb, 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sweep = S.ivfProbeSweep(q, emb, 10, ps)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ps.map { p =>
+          S.annRecall(exact, sweep.filter(col("n_probe") === p))
+            .withColumn("n_probe", lit(p))
+        }.reduce(_.unionByName(_))
+          .select("n_probe", "q_id", "n_hit", "recall", "rr")
+          .orderBy("n_probe", "q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                          FROM embeddings WHERE vec_id < 10),
+            ex_ranked AS (
+              SELECT q_id, n_id,
+                row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM (SELECT q_id, e.vec_id AS n_id,
+                      ${Sql.oCos("q_emb", "e.embedding")} AS cos_sim
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id <> q_id)),
+            exact AS (SELECT q_id, n_id, rank FROM ex_ranked
+                      WHERE rank <= 10),
+            cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+                      FROM embeddings WHERE vec_id < 16),
+            assign AS (
+              SELECT n_id, cent_id FROM (
+                SELECT n_id, cent_id,
+                  row_number() OVER (PARTITION BY n_id
+                    ORDER BY s DESC, cent_id ASC) AS rn
+                FROM (SELECT e.vec_id AS n_id, c.cent_id,
+                        ${Sql.oCos("e.embedding", "c.c_emb")} AS s
+                      FROM embeddings e CROSS JOIN cents c))
+              WHERE rn = 1),
+            probe_rank AS (
+              SELECT q_id, cent_id, rn FROM (
+                SELECT q_id, cent_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY s DESC, cent_id ASC) AS rn
+                FROM (SELECT e.vec_id AS q_id, c.cent_id,
+                        ${Sql.oCos("e.embedding", "c.c_emb")} AS s
+                      FROM embeddings e CROSS JOIN cents c
+                      WHERE e.vec_id < 10))
+              WHERE rn <= ${ps.max}),
+            ps(n_probe) AS (VALUES ${ps.map(p => s"($p)").mkString(", ")}),
+            cand AS (
+              SELECT DISTINCT ps.n_probe, pr.q_id, a.n_id
+              FROM ps
+              JOIN probe_rank pr ON pr.rn <= ps.n_probe
+              JOIN assign a USING (cent_id)
+              WHERE a.n_id <> pr.q_id),
+            ranked AS (
+              SELECT n_probe, q_id, n_id,
+                row_number() OVER (PARTITION BY n_probe, q_id
+                  ORDER BY cos_sim DESC, n_id ASC) AS rank
+              FROM (SELECT n_probe, q_id, n_id,
+                      ${Sql.oCos("qe.embedding", "ne.embedding")} AS cos_sim
+                    FROM cand
+                    JOIN embeddings qe ON qe.vec_id = q_id
+                    JOIN embeddings ne ON ne.vec_id = n_id)),
+            approx AS (SELECT n_probe, q_id, n_id, rank FROM ranked
+                       WHERE rank <= 10),
+            scaffold AS (
+              SELECT ps.n_probe, q.q_id
+              FROM ps CROSS JOIN (SELECT DISTINCT q_id FROM exact) q),
+            nx AS (SELECT q_id, COUNT(*) AS n_exact FROM exact
+                   GROUP BY q_id),
+            hit AS (SELECT a.n_probe, a.q_id, COUNT(*) AS n_hit
+                    FROM approx a JOIN exact x
+                      ON a.q_id = x.q_id AND a.n_id = x.n_id
+                    GROUP BY a.n_probe, a.q_id),
+            true_nn AS (SELECT q_id, n_id FROM exact WHERE rank = 1),
+            rrs AS (
+              SELECT s.n_probe, s.q_id,
+                COALESCE(CAST(1 AS DOUBLE) / a.rank,
+                         CAST(0 AS DOUBLE)) AS rr
+              FROM scaffold s
+              JOIN true_nn t ON t.q_id = s.q_id
+              LEFT JOIN approx a ON a.n_probe = s.n_probe
+                AND a.q_id = s.q_id AND a.n_id = t.n_id)
+            SELECT CAST(s.n_probe AS INT) AS n_probe, s.q_id,
+              COALESCE(h.n_hit, 0) AS n_hit,
+              CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                / CAST(n.n_exact AS DOUBLE) AS recall,
+              r.rr
+            FROM scaffold s
+            JOIN nx n ON n.q_id = s.q_id
+            LEFT JOIN hit h ON h.n_probe = s.n_probe AND h.q_id = s.q_id
+            JOIN rrs r ON r.n_probe = s.n_probe AND r.q_id = s.q_id
+            ORDER BY n_probe, s.q_id"""))
+  }
+
+  /** Champion/challenger (shadow) evaluation of two artifact versions:
+    * v1 stays PINNED (the serving model — [[graft.operators.ModelArtifacts.loadVersion]]),
+    * v2 is the LATEST retrain; both clip gates run over the same feed
+    * and the per-type disagreement count is the promote/rollback
+    * signal — the production step BETWEEN n115's roundtrip and
+    * blindly serving a retrain.
+    */
+  private val shadowEval = Q(
+    "n121_model_shadow_eval",
+    "shadow deployment: pinned v1 vs latest v2 bounds artifacts over the same feed, per-type clip disagreement",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_n121_").toFile
+      try {
+        val art = new java.io.File(base, "bounds").getAbsolutePath
+        val ev = Tables(s, dir).events
+        def bounds(df: DataFrame) = graft.operators.Drift
+          .winsorizeBounds(df, "event_type", "value")
+          .select("event_type", "lo_bound", "hi_bound")
+        graft.operators.ModelArtifacts.writeVersion(
+          bounds(ev.filter(col("event_id") % 2 === 0)), art, 1)
+        graft.operators.ModelArtifacts.writeVersion(bounds(ev), art, 2)
+        val v1 = graft.operators.ModelArtifacts.loadVersion(s, art, 1)
+          .select(col("event_type"),
+            col("lo_bound").as("lo1"), col("hi_bound").as("hi1"))
+        val v2 = graft.operators.ModelArtifacts.loadLatest(s, art)
+          .select(col("event_type"),
+            col("lo_bound").as("lo2"), col("hi_bound").as("hi2"))
+        ev.select(col("event_type"), col("value").as("v"))
+          .join(broadcast(v1), "event_type")
+          .join(broadcast(v2), "event_type")
+          .withColumn("out1", col("v") < col("lo1") || col("v") > col("hi1"))
+          .withColumn("out2", col("v") < col("lo2") || col("v") > col("hi2"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("out1"), 1L).otherwise(0L)).as("v1_out"),
+            sum(when(col("out2"), 1L).otherwise(0L)).as("v2_out"),
+            sum(when(col("out1") =!= col("out2"), 1L).otherwise(0L))
+              .as("n_disagree"))
+          .orderBy("event_type")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""WITH r1 AS (
+              SELECT event_type, value AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE event_id % 2 = 0),
+            b1 AS (
+              SELECT event_type,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 1 + 99) // 100)
+                    THEN v END) AS lo1,
+                MIN(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN v END) AS hi1
+              FROM r1 GROUP BY event_type, n),
+            r2 AS (
+              SELECT event_type, value AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            b2 AS (
+              SELECT event_type,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 1 + 99) // 100)
+                    THEN v END) AS lo2,
+                MIN(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN v END) AS hi2
+              FROM r2 GROUP BY event_type, n)
+            SELECT e.event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN value < lo1 OR value > hi1
+                THEN 1 ELSE 0 END) AS BIGINT) AS v1_out,
+              CAST(SUM(CASE WHEN value < lo2 OR value > hi2
+                THEN 1 ELSE 0 END) AS BIGINT) AS v2_out,
+              CAST(SUM(CASE WHEN (value < lo1 OR value > hi1)
+                  <> (value < lo2 OR value > hi2)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+            FROM events e
+            JOIN b1 USING (event_type)
+            JOIN b2 USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** Per-source exact-duplication card — the release-statistics view
+    * of n01's fingerprint groups: how much of each feed is copies.
+    */
+  private val dupCard = Q(
+    "n122_source_dup_card",
+    "per-source exact-duplicate card: doc count, distinct fingerprints, dup ratio, largest copy group",
+    (s, dir) => {
+      import graft.functions.TextFunctions.fingerprint
+      val fps = Tables(s, dir).documents
+        .select(col("source"), fingerprint(col("text")).as("fp"))
+        .groupBy("source", "fp").agg(count(lit(1)).as("copies"))
+      fps.groupBy("source")
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          max(col("copies")).as("max_copies"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
+        .withColumn("dup_ratio",
+          (col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs").cast("double"))
+        .select("source", "n_docs", "n_distinct", "n_dup_docs",
+          "max_copies", "dup_ratio")
+        .orderBy("source")
+    },
+    Some("""WITH g AS (
+              SELECT source,
+                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                  1, 16) AS fp,
+                CAST(COUNT(*) AS BIGINT) AS copies
+              FROM documents GROUP BY 1, 2)
+            SELECT source,
+              CAST(SUM(copies) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dup_docs,
+              CAST(MAX(copies) AS BIGINT) AS max_copies,
+              CAST(SUM(copies) - COUNT(*) AS DOUBLE)
+                / CAST(SUM(copies) AS DOUBLE) AS dup_ratio
+            FROM g GROUP BY source ORDER BY source"""))
+
+  /** The n123 oracle, shared with s36's streaming convergence replay
+    * (the ksOracleSql pattern). Even/odd vec_id split.
+    */
+  private[queries] val occupancyOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+                       FROM embeddings WHERE vec_id < 16),
+            assign AS (
+              SELECT n_id, cent_id FROM (
+                SELECT n_id, cent_id,
+                  row_number() OVER (PARTITION BY n_id
+                    ORDER BY s DESC, cent_id ASC) AS rn
+                FROM (SELECT e.vec_id AS n_id, c.cent_id,
+                        ${Sql.oCos("e.embedding", "c.c_emb")} AS s
+                      FROM embeddings e CROSS JOIN cents c))
+              WHERE rn = 1),
+            occ AS (
+              SELECT cent_id,
+                CAST(SUM(CASE WHEN n_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+                CAST(SUM(CASE WHEN n_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+              FROM assign GROUP BY cent_id),
+            tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                      CAST(SUM(cb) AS BIGINT) AS n_b FROM occ)
+            SELECT cent_id, ca, cb, n_a, n_b,
+              CASE WHEN n_a > 0 AND n_b > 0 THEN
+                abs(CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) END AS gap
+            FROM occ CROSS JOIN tot ORDER BY cent_id"""
+
+  /** Embedding-space drift via centroid-occupancy shift — the drift
+    * family applied where the scalar monitors are blind.
+    */
+  private val embeddingDrift = Q(
+    "n123_embedding_occupancy_drift",
+    "embedding-space drift: per-centroid occupancy of even vs odd vec_id slices with share gaps",
+    (s, dir) => {
+      val S = graft.operators.Similarity
+      val emb = Tables(s, dir).embeddings
+        .select(col("vec_id").as("id"), col("embedding"))
+      S.occupancyGapReport(
+        S.centOccupancy(emb, col("id") % 2 === 0, S.lowIdCents(emb)))
+        .orderBy("cent_id")
+    },
+    Some(occupancyOracleSql))
+
   val all: Seq[Q] = Seq(artifactLifecycle, hellinger, mad, lengthTvd,
-    minhashEval)
+    minhashEval, nprobeSweep, shadowEval, dupCard, embeddingDrift)
 }

@@ -495,6 +495,33 @@ object StreamingQueries extends QueryGroup {
     def s35(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
       s33(s, dir, stream)
 
+    /** s36: the streaming-legal half of embedding-space drift — the
+      * [[graft.operators.Similarity.centOccupancy]] codebook argmax is
+      * a stateless scan-stage fold, so the stream carries ONE
+      * update-mode aggregation with numCentroids state rows; the
+      * occupancy-gap report half runs batch over the emitted state
+      * (the s33 pattern, embedding-space edition).
+      */
+    def s36(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      val physicalSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val raw =
+        if (stream)
+          s.readStream.schema(physicalSchema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        else
+          s.read.schema(physicalSchema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      // the codebook comes from the STATIC table (deriving it from the
+      // stream would be a stream-stream join): the s19/s21 batch-model
+      // → streaming-apply shape, with the model being 16 centroids
+      val cents = graft.operators.Similarity.lowIdCents(
+        Tables(s, dir).embeddings
+          .select(col("vec_id").as("id"), col("embedding")))
+      graft.operators.Similarity.centOccupancy(
+        raw.select(col("vec_id").as("id"), col("embedding")),
+        col("id") % 2 === 0, cents)
+    }
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -734,7 +761,10 @@ object StreamingQueries extends QueryGroup {
     "s34_stream_artifact_gate" -> Seq(Frames.s34(s, dir, stream = false)),
     "s35_stream_hellinger_monitor" -> Seq(
       graft.operators.Drift.hellingerFromBinCounts(
-        Frames.s35(s, dir, stream = false), "event_type")))
+        Frames.s35(s, dir, stream = false), "event_type")),
+    "s36_stream_embedding_drift" -> Seq(
+      graft.operators.Similarity.occupancyGapReport(
+        Frames.s36(s, dir, stream = false))))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2098,6 +2128,25 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar8.hellingerOracleSql))
 
+  /** Streaming embedding-space drift monitor — the s33/s35 pattern
+    * where the scalar monitors are blind: the codebook argmax runs in
+    * the scan stage (broadcast fold, stateless), the stream carries
+    * numCentroids exact-integer state rows, and the report half is
+    * the SAME `occupancyGapReport` the batch n123 composes. Same
+    * final-state collapse as s33. The ORACLE IS n123's SQL verbatim.
+    */
+  private val streamEmbeddingDrift = Q(
+    "s36_stream_embedding_drift",
+    "streaming embedding-space drift monitor (per-centroid occupancy; converges to the n123 batch closed form)",
+    (s, dir) => {
+      val finalState = runToTable(Frames.s36(s, dir), "update")
+        .groupBy("cent_id")
+        .agg(max(col("ca")).as("ca"), max(col("cb")).as("cb"))
+      graft.operators.Similarity.occupancyGapReport(finalState)
+        .orderBy("cent_id")
+    },
+    Some(NorthStar8.occupancyOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -2108,5 +2157,5 @@ object StreamingQueries extends QueryGroup {
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
-    streamHellingerMonitor)
+    streamHellingerMonitor, streamEmbeddingDrift)
 }

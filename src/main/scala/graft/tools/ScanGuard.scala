@@ -47,6 +47,10 @@ object ScanGuard {
     "n52_ann_lsh_multitable",
     "n54_ivf_lloyd",
     "n101_ann_recall_eval",
+    // nProbe sweep: ground-truth brute pass + the ONE shared
+    // assignment/scoring of ivfProbeSweep — constant in the number of
+    // settings (the per-call loop read 11; the shared form reads 8)
+    "n120_ivf_nprobe_sweep",
     // bitext mining: two embedding spaces × forward/backward top-k
     "n102_bitext_margin",
     // contrastive mining: pruned anchor scan + count-only scan + the

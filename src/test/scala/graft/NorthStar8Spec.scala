@@ -81,6 +81,71 @@ class NorthStar8Spec extends AnyFunSuite {
     assert(r == Seq(("s1", 2L, 2L, 0.5), ("s2", 2L, 2L, 0.5)), s"got $r")
   }
 
+  test("ivfProbeSweep slices are bit-identical to per-call ivfTopK") {
+    // the sweep's whole claim: sharing the assignment/scoring across
+    // settings changes the COST, never the result — each setting's
+    // slice must equal the per-call ranking row for row
+    val S = graft.operators.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val q = emb.filter(col("id") < 5)
+    val sweep = S.ivfProbeSweep(q, emb, 5, Seq(1, 2, 4)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    Seq(1, 2, 4).foreach { p =>
+      val percall = S.ivfTopK(q, emb, 5, nProbe = p)
+        .select("q_id", "n_id", "cos_sim", "rank").collect()
+        .map(r => (p, r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getInt(3))).toSet
+      val slice = sweep.filter(_._1 == p)
+      assert(slice == percall,
+        s"nProbe=$p sweep/per-call drift: only-sweep=${slice -- percall}, " +
+          s"only-percall=${percall -- slice}")
+    }
+  }
+
+  test("ModelArtifacts.loadVersion reads exactly the pinned version") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_").toFile
+    try {
+      val dir = new java.io.File(base, "m").getAbsolutePath
+      graft.operators.ModelArtifacts.writeVersion(
+        Seq(("a", 1L)).toDF("k", "v"), dir, 1)
+      graft.operators.ModelArtifacts.writeVersion(
+        Seq(("a", 10L)).toDF("k", "v"), dir, 2)
+      val v1 = graft.operators.ModelArtifacts.loadVersion(spark, dir, 1)
+        .select("k", "v").as[(String, Long)].collect().toSeq
+      assert(v1 == Seq(("a", 1L)),
+        "loadVersion(1) must see v1's values even after v2 lands")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base)
+    }
+  }
+
+  test("source dup card: planted copies pin the counts") {
+    // s1: 3 docs, 2 distinct (one pair of copies); s2: 2 distinct docs
+    val docs = Seq(
+      (1L, "x y z", "s1"), (2L, "x y z", "s1"), (3L, "p q", "s1"),
+      (4L, "m n", "s2"), (5L, "r s", "s2")).toDF("doc_id", "text", "source")
+    val fps = docs
+      .select(col("source"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .groupBy("source", "fp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("copies"))
+    val card = fps.groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum(col("copies")).as("n_docs"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_distinct"),
+        org.apache.spark.sql.functions.max(col("copies")).as("max_copies"))
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(card == Seq(("s1", 3L, 2L, 2L), ("s2", 2L, 2L, 1L)), s"got $card")
+  }
+
   test("minhashEstimateEval: identical texts pin est = exact = 1, err = 0") {
     val t = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")

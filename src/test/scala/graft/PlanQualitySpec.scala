@@ -135,7 +135,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // the dense source×bin grid: a B-row corpus-bin frame and a
       // one-row corpus-total scalar crossJoined onto the S-row source
       // totals — all three sides model-sized broadcast by construction
-      "n118_source_length_tvd")
+      "n118_source_length_tvd",
+      // the n05 brute ground-truth pass + the n12 codebook crossJoins,
+      // under the sweep composition
+      "n120_ivf_nprobe_sweep",
+      // the one-row broadcast codebook crossJoined onto the corpus —
+      // the scan-stage occupancy argmax
+      "n123_embedding_occupancy_drift")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
@@ -204,7 +210,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // registry joins on derived equi-keys (band keys, grams, buckets,
     // sources) and must plan hash joins; set equality so both a new
     // BNLJ and a stale entry fail here, not at 100 TB.
-    val allowed = Set("s15_stream_vector_search#0")
+    val allowed = Set("s15_stream_vector_search#0",
+      // the one-row broadcast codebook crossJoined onto the stream —
+      // the scan-stage argmax that makes the monitor stateless
+      "s36_stream_embedding_drift#0")
     val actual = streamingPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
