@@ -125,6 +125,20 @@ object Tokenizer {
     // the merge chain over the vocab
     val merges = bpeTrainMerges(docs, k)
       .select("lhs", "rhs").collect().map(r => (r.getString(0), r.getString(1)))
+    segmentationStatsWith(docs, merges.toSeq)
+  }
+
+  /** The APPLY half with the merge chain as an input — the tokenizer-
+    * artifact read path (n124 loads the merges from a versioned
+    * [[ModelArtifacts]] store instead of retraining; [[bpeSegmentationStats]]
+    * is train-then-apply through this same function, so the two paths
+    * cannot drift). Merges apply in TRAINING ORDER — BPE rounds are
+    * prefix-stable (round r depends only on rounds < r), which is what
+    * makes a k-round artifact's first j rows exactly the j-round model.
+    */
+  def segmentationStatsWith(
+      docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val vocabSym = merges.foldLeft(
       docs.select(explode(split(col("text"), " ")).as("w"))
         .filter(!col("w").contains("|")).distinct()

@@ -247,7 +247,7 @@ object NorthStar4 extends QueryGroup {
     * the two-pass merge rewrite (the operator's documented application
     * rule).
     */
-  private def bpeRound(r: Int): String = {
+  private[queries] def bpeRound(r: Int): String = {
     val prev = s"v${r - 1}"
     s"""p$r AS (
               SELECT ss[i+1] AS lhs, ss[i+2] AS rhs,
@@ -300,7 +300,7 @@ object NorthStar4 extends QueryGroup {
   /** One application round: rewrite the DISTINCT-word symbol table with
     * round r's learned merge (same two-pass replace rule).
     */
-  private def bpeApplyRound(r: Int): String =
+  private[queries] def bpeApplyRound(r: Int): String =
     s"""w$r AS (
               SELECT w, replace(replace(sym,
                   '|' || lhs || '|' || rhs || '|', '|' || lhs || rhs || '|'),

@@ -541,6 +541,78 @@ object NorthStar8 extends QueryGroup {
     },
     Some(occupancyOracleSql))
 
+  /** Tokenizer-artifact lifecycle: the n65 BPE merges pass through the
+    * versioned store between training and application. BPE rounds are
+    * prefix-stable, so ONE k=3 training yields both versions (v1 = the
+    * first 2 merge rows — exactly the 2-round model; v2 = all 3); the
+    * apply side loads the LATEST merge chain from disk (driver-collected
+    * in round order — tokenizer model state, bounded by k) and segments
+    * the corpus through the SAME
+    * [[graft.operators.Tokenizer.segmentationStatsWith]] the retrain
+    * path (n66) uses. Selecting v1 changes every source's segmentation
+    * → hash mismatch, so version selection sits under the oracle
+    * (which replays the full 3-round train + apply chain).
+    */
+  private val tokenizerArtifact = Q(
+    "n124_tokenizer_artifact",
+    "versioned BPE-merges artifact: train once, write v1(2 merges)/v2(3), load LATEST, segment the corpus",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_n124_").toFile
+      try {
+        val art = new java.io.File(base, "merges").getAbsolutePath
+        val T = graft.operators.Tokenizer
+        val docs = Tables(s, dir).documents
+        val m3 = T.bpeTrainMerges(docs, 3)
+        graft.operators.ModelArtifacts.writeVersion(
+          m3.filter(col("round") <= 2), art, 1)
+        graft.operators.ModelArtifacts.writeVersion(m3, art, 2)
+        val loaded = graft.operators.ModelArtifacts.loadLatest(s, art)
+          .orderBy("round").select("lhs", "rhs", "version").collect()
+        val merges = loaded.map(r => (r.getString(0), r.getString(1))).toSeq
+        // merges are plan literals after the collect: the returned plan
+        // has no lineage onto the artifact store, so no checkpoint is
+        // needed before the temp tree is deleted
+        T.segmentationStatsWith(docs, merges)
+          .withColumn("version", lit(loaded.head.getInt(2)))
+          .select("source", "version", "n_words", "n_symbols",
+            "symbols_per_word")
+          .orderBy("source")
+      } finally rmTree(base)
+    },
+    Some(s"""WITH v0 AS (
+              SELECT COUNT(*) AS c,
+                '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w NOT LIKE '%|%'
+              GROUP BY w),
+            ${NorthStar4.bpeRound(1)},
+            ${NorthStar4.bpeRound(2)},
+            ${NorthStar4.bpeRound(3)},
+            w0 AS (
+              SELECT DISTINCT w,
+                '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS sym
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              WHERE w NOT LIKE '%|%'),
+            ${NorthStar4.bpeApplyRound(1)},
+            ${NorthStar4.bpeApplyRound(2)},
+            ${NorthStar4.bpeApplyRound(3)},
+            ws AS (
+              SELECT w, CAST(len(list_filter(string_split(sym, '|'),
+                x -> x != '')) AS INT) AS n_sym
+              FROM w3)
+            SELECT source, CAST(2 AS INT) AS version,
+              COUNT(*) AS n_words,
+              CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+              CAST(SUM(n_sym) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS symbols_per_word
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                  FROM documents) cw
+            JOIN ws USING (w)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(artifactLifecycle, hellinger, mad, lengthTvd,
-    minhashEval, nprobeSweep, shadowEval, dupCard, embeddingDrift)
+    minhashEval, nprobeSweep, shadowEval, dupCard, embeddingDrift,
+    tokenizerArtifact)
 }
