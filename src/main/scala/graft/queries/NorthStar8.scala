@@ -612,7 +612,88 @@ object NorthStar8 extends QueryGroup {
             JOIN ws USING (w)
             GROUP BY source ORDER BY source"""))
 
+  /** Dedup threshold tuning curve — the n120 sweep pattern applied to
+    * near-dup dedup: ONE exact candidate generation at the loosest
+    * threshold (the AllPairs prefix filter is exact at any threshold,
+    * so the 0.7 pair set CONTAINS every tighter set), then per-
+    * threshold pair counts / affected-doc counts / mean similarity.
+    * This is the curve that picks the merge threshold before a 100 TB
+    * dedup run: too loose over-merges (n_docs_affected explodes), too
+    * tight leaves mirrors in (n112's leakage). Mean similarity routes
+    * through DECIMAL(38,12) (summing quotients — the oSum12 pairing).
+    */
+  private val thresholdSweep = {
+    val ts = Seq(0.7, 0.8, 0.9)
+    Q(
+      "n125_dedup_threshold_sweep",
+      "near-dup threshold tuning curve: pair/affected-doc counts + mean Jaccard at t in {0.7,0.8,0.9} from one candidate pass",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        // pairs feed the per-threshold counts AND the affected-doc
+        // explode — persist, the diamond policy
+        val pairs = graft.operators.Dedup
+          .jaccardPairs(Tables(s, dir).documents, 3, ts.min)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val swept = pairs
+          .withColumn("threshold", explode(array(ts.map(lit): _*)))
+          .filter(col("jaccard") >= col("threshold"))
+        val pairCounts = swept.groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("jaccard").cast(DecimalType(38, 12))).cast("double")
+              .as("sum_j"))
+        val docCounts = swept
+          .select(col("threshold"),
+            explode(array(col("id_a"), col("id_b"))).as("d"))
+          .distinct()
+          .groupBy("threshold").agg(count(lit(1)).as("n_docs_affected"))
+        pairCounts.join(docCounts, "threshold")
+          .withColumn("mean_jaccard",
+            col("sum_j") / col("n_pairs").cast("double"))
+          .select("threshold", "n_pairs", "n_docs_affected", "mean_jaccard")
+          .orderBy("threshold")
+      },
+      Some(s"""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+                END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            pi AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok),
+            jp AS (
+              SELECT id_a, id_b,
+                CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS j
+              FROM pi
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+                >= ${ts.min}),
+            tt(threshold) AS (VALUES ${ts.map(t => s"($t)").mkString(", ")}),
+            sw AS (SELECT threshold, id_a, id_b, j
+                   FROM tt JOIN jp ON j >= threshold),
+            pc AS (
+              SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                ${Sql.oSum12("j")} AS sum_j
+              FROM sw GROUP BY threshold),
+            dc AS (
+              SELECT threshold,
+                CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+              FROM (SELECT threshold, id_a AS d FROM sw
+                    UNION ALL SELECT threshold, id_b FROM sw)
+              GROUP BY threshold)
+            SELECT threshold, n_pairs, n_docs_affected,
+              sum_j / CAST(n_pairs AS DOUBLE) AS mean_jaccard
+            FROM pc JOIN dc USING (threshold)
+            ORDER BY threshold"""))
+  }
+
   val all: Seq[Q] = Seq(artifactLifecycle, hellinger, mad, lengthTvd,
     minhashEval, nprobeSweep, shadowEval, dupCard, embeddingDrift,
-    tokenizerArtifact)
+    tokenizerArtifact, thresholdSweep)
 }

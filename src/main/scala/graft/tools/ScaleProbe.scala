@@ -573,6 +573,47 @@ object ScaleProbe {
           nQueries = 5L, k = 5, materializeTf = false)
         .count())
 
+    probe("length_tvd", c =>
+      // ONE corpus scan into the (source, bin) agg; everything after
+      // runs on the persisted S·B count frame — time should track the
+      // scan, with the dense-grid tail constant in corpus size
+      graft.operators.TextAnalysis
+        .sourceLengthTvd(replicate(t.documents, "doc_id", c))
+        .count())
+
+    probe("minhash_est_eval", c =>
+      // candidate-bounded like every LSH shape: replicas form their own
+      // near-dup structure, so candidate volume (and output) grows with
+      // copies while the signature/shingle passes grow linearly
+      graft.operators.Dedup
+        .minhashEstimateEval(replicate(t.documents, "doc_id", c))
+        .count())
+
+    probe("ivf_probe_sweep", c => {
+      // the sweep's claim under growth: corpus passes (assignment,
+      // scoring) are shared across the three settings, so time should
+      // track corpus size once, not once per setting
+      val emb = replicate(
+        t.embeddings.select(col("vec_id").as("id"), col("embedding")),
+        "id", c)
+      graft.operators.Similarity
+        .ivfProbeSweep(emb.filter(col("id") < 10), emb, 10, Seq(1, 2, 4))
+        .count()
+    })
+
+    probe("cent_occupancy", c => {
+      // scan-stage argmax: map-only over the corpus, one numCentroids-
+      // row aggregate — the most linear shape in the registry
+      val emb = replicate(
+        t.embeddings.select(col("vec_id").as("id"), col("embedding")),
+        "id", c)
+      graft.operators.Similarity.occupancyGapReport(
+        graft.operators.Similarity.centOccupancy(emb,
+          col("id") % 2 === 0,
+          graft.operators.Similarity.lowIdCents(emb)))
+        .count()
+    })
+
     probe("containment_dedup", c =>
       // each replica forms its own contained/container structure; the
       // df cap bounds per-shingle fanout as copies multiply df
