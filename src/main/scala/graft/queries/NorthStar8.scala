@@ -457,6 +457,25 @@ object NorthStar8 extends QueryGroup {
             JOIN b2 USING (event_type)
             GROUP BY e.event_type ORDER BY e.event_type"""))
 
+  /** The n122 oracle, shared with s37's streaming convergence replay
+    * (the ksOracleSql pattern).
+    */
+  private[queries] val dupCardOracleSql: String =
+    """WITH g AS (
+              SELECT source,
+                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                  1, 16) AS fp,
+                CAST(COUNT(*) AS BIGINT) AS copies
+              FROM documents GROUP BY 1, 2)
+            SELECT source,
+              CAST(SUM(copies) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dup_docs,
+              CAST(MAX(copies) AS BIGINT) AS max_copies,
+              CAST(SUM(copies) - COUNT(*) AS DOUBLE)
+                / CAST(SUM(copies) AS DOUBLE) AS dup_ratio
+            FROM g GROUP BY source ORDER BY source"""
+
   /** Per-source exact-duplication card — the release-statistics view
     * of n01's fingerprint groups: how much of each feed is copies.
     */
@@ -480,20 +499,7 @@ object NorthStar8 extends QueryGroup {
           "max_copies", "dup_ratio")
         .orderBy("source")
     },
-    Some("""WITH g AS (
-              SELECT source,
-                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
-                  1, 16) AS fp,
-                CAST(COUNT(*) AS BIGINT) AS copies
-              FROM documents GROUP BY 1, 2)
-            SELECT source,
-              CAST(SUM(copies) AS BIGINT) AS n_docs,
-              CAST(COUNT(*) AS BIGINT) AS n_distinct,
-              CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dup_docs,
-              CAST(MAX(copies) AS BIGINT) AS max_copies,
-              CAST(SUM(copies) - COUNT(*) AS DOUBLE)
-                / CAST(SUM(copies) AS DOUBLE) AS dup_ratio
-            FROM g GROUP BY source ORDER BY source"""))
+    Some(dupCardOracleSql))
 
   /** The n123 oracle, shared with s36's streaming convergence replay
     * (the ksOracleSql pattern). Even/odd vec_id split.
@@ -693,7 +699,74 @@ object NorthStar8 extends QueryGroup {
             ORDER BY threshold"""))
   }
 
+  /** Quality-classifier operating-point curve — the third tuning sweep
+    * (n120 index recall, n125 dedup threshold, here the GATE
+    * threshold): confusion counts + precision/recall of the n68
+    * trained classifier against the source labels at three candidate
+    * thresholds. This is the table that picks the gate's operating
+    * point before it filters a 100 TB feed — a 0.5 default keeps the
+    * wrong precision/recall trade for most mixes. Counts are exact
+    * integers; precision/recall are single divisions of exact counts;
+    * the scores themselves are the hash-exact n68 values, so threshold
+    * comparisons land identically in both engines.
+    */
+  private val classifierPr = {
+    val ts = Seq(0.3, 0.5, 0.7)
+    Q(
+      "n126_classifier_pr_curve",
+      "quality-gate operating points: confusion counts + precision/recall of the n68 classifier at t in {0.3,0.5,0.7}",
+      (s, dir) => {
+        val scored = graft.operators.QualityModel
+          .trainedQualityScores(Tables(s, dir).documents,
+            positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+            iters = 3)
+        scored
+          .withColumn("threshold", explode(array(ts.map(lit): _*)))
+          .withColumn("p", col("score") >= col("threshold"))
+          .groupBy("threshold")
+          .agg(
+            sum(when(col("p") && col("label") === 1, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("p") && col("label") === 0, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(!col("p") && col("label") === 1, 1L).otherwise(0L))
+              .as("fn"),
+            sum(when(!col("p") && col("label") === 0, 1L).otherwise(0L))
+              .as("tn"))
+          .withColumn("precision",
+            when(col("tp") + col("fp") > 0L,
+              col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+          .withColumn("recall",
+            when(col("tp") + col("fn") > 0L,
+              col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+          .orderBy("threshold")
+      },
+      Some(s"""${NorthStar4.qcCtes},
+            sc AS (
+              SELECT doc_id, y,
+                0.5 + (0.5 * m) / (1.0 + abs(m)) AS score
+              FROM m4),
+            tt(threshold) AS (VALUES ${ts.map(t => s"($t)").mkString(", ")}),
+            cf AS (
+              SELECT threshold,
+                CAST(SUM(CASE WHEN score >= threshold AND y = 1.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(SUM(CASE WHEN score >= threshold AND y = 0.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(SUM(CASE WHEN score < threshold AND y = 1.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CAST(SUM(CASE WHEN score < threshold AND y = 0.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM tt CROSS JOIN sc GROUP BY threshold)
+            SELECT threshold, tp, fp, fn, tn,
+              CASE WHEN tp + fp > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+              CASE WHEN tp + fn > 0 THEN
+                CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+            FROM cf ORDER BY threshold"""))
+  }
+
   val all: Seq[Q] = Seq(artifactLifecycle, hellinger, mad, lengthTvd,
     minhashEval, nprobeSweep, shadowEval, dupCard, embeddingDrift,
-    tokenizerArtifact, thresholdSweep)
+    tokenizerArtifact, thresholdSweep, classifierPr)
 }

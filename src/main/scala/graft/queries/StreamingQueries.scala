@@ -522,6 +522,20 @@ object StreamingQueries extends QueryGroup {
         col("id") % 2 === 0, cents)
     }
 
+    /** s37: the streaming-legal half of the n122 dup card — one
+      * update-mode aggregation keyed by (source, fingerprint), exact
+      * integer copy counts (fingerprinting is a stateless scan
+      * expression). The per-source card rolls up over the emitted
+      * state batch-side (the s33 collapse pattern).
+      */
+    def s37(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      import graft.functions.TextFunctions.fingerprint
+      docsSource(s, dir, stream)
+        .select(col("source"), fingerprint(col("text")).as("fp"))
+        .groupBy("source", "fp")
+        .agg(count(lit(1)).as("copies"))
+    }
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -764,7 +778,8 @@ object StreamingQueries extends QueryGroup {
         Frames.s35(s, dir, stream = false), "event_type")),
     "s36_stream_embedding_drift" -> Seq(
       graft.operators.Similarity.occupancyGapReport(
-        Frames.s36(s, dir, stream = false))))
+        Frames.s36(s, dir, stream = false))),
+    "s37_stream_dup_card" -> Seq(Frames.s37(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2147,6 +2162,37 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar8.occupancyOracleSql))
 
+  /** Streaming per-source dup card — the n122 release card as
+    * continuous ingest QA: the (source, fingerprint) copy counts are
+    * ONE update-mode aggregation (fingerprinting is a stateless scan
+    * expression), the card's per-source rollup runs batch over the
+    * emitted state with the s33-style final-state collapse (copies
+    * are monotone — max per (source, fp) IS the latest value). A
+    * source whose dup_ratio climbs mid-ingest is re-sending content —
+    * caught before n01's batch dedup pays for it. The ORACLE IS
+    * n122's SQL verbatim.
+    */
+  private val streamDupCard = Q(
+    "s37_stream_dup_card",
+    "streaming per-source exact-duplication card (converges to the n122 batch closed form)",
+    (s, dir) => {
+      val finalState = runToTable(Frames.s37(s, dir), "update")
+        .groupBy("source", "fp")
+        .agg(max(col("copies")).as("copies"))
+      finalState.groupBy("source")
+        .agg(sum(col("copies")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          max(col("copies")).as("max_copies"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
+        .withColumn("dup_ratio",
+          (col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs").cast("double"))
+        .select("source", "n_docs", "n_distinct", "n_dup_docs",
+          "max_copies", "dup_ratio")
+        .orderBy("source")
+    },
+    Some(NorthStar8.dupCardOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -2157,5 +2203,5 @@ object StreamingQueries extends QueryGroup {
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
-    streamHellingerMonitor, streamEmbeddingDrift)
+    streamHellingerMonitor, streamEmbeddingDrift, streamDupCard)
 }
