@@ -417,7 +417,13 @@ object NorthStar8 extends QueryGroup {
           .localCheckpoint()
       } finally rmTree(base)
     },
-    Some("""WITH r1 AS (
+    Some(shadowOracleSql))
+
+  /** The n121 oracle, shared with s38's streaming convergence replay
+    * (the ksOracleSql pattern).
+    */
+  private[queries] lazy val shadowOracleSql: String =
+    """WITH r1 AS (
               SELECT event_type, value AS v,
                 row_number() OVER (PARTITION BY event_type
                   ORDER BY value) AS rn,
@@ -455,7 +461,7 @@ object NorthStar8 extends QueryGroup {
             FROM events e
             JOIN b1 USING (event_type)
             JOIN b2 USING (event_type)
-            GROUP BY e.event_type ORDER BY e.event_type"""))
+            GROUP BY e.event_type ORDER BY e.event_type"""
 
   /** The n122 oracle, shared with s37's streaming convergence replay
     * (the ksOracleSql pattern).

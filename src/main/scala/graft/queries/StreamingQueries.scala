@@ -522,6 +522,64 @@ object StreamingQueries extends QueryGroup {
         col("id") % 2 === 0, cents)
     }
 
+    /** s38: the n121 champion/challenger on the STREAM — v1 pinned,
+      * v2 latest, both loaded from the on-disk artifact store
+      * (driver-collected model rows, the s34 pattern), the stream
+      * clip-checked under BOTH and the per-type disagreement carried
+      * in ONE update-mode aggregation of exact integer sums. This is
+      * the shadow-deployment shape at its real operating point: the
+      * retrain is evaluated against the serving model ON LIVE TRAFFIC
+      * without gating anything. Audit mode: literal stand-in bounds
+      * through the same lineage.
+      */
+    def s38(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      import s.implicits._
+      val models: DataFrame =
+        if (stream) {
+          val base =
+            java.nio.file.Files.createTempDirectory("graft_s38_").toFile
+          val rows = try {
+            val art = new java.io.File(base, "bounds").getAbsolutePath
+            val ev = Tables(s, dir).events
+            def bounds(df: DataFrame) = graft.operators.Drift
+              .winsorizeBounds(df, "event_type", "value")
+              .select("event_type", "lo_bound", "hi_bound")
+            graft.operators.ModelArtifacts.writeVersion(
+              bounds(ev.filter(col("event_id") % 2 === 0)), art, 1)
+            graft.operators.ModelArtifacts.writeVersion(bounds(ev), art, 2)
+            val v1 = graft.operators.ModelArtifacts.loadVersion(s, art, 1)
+            val v2 = graft.operators.ModelArtifacts.loadLatest(s, art)
+            v1.select(col("event_type"),
+                col("lo_bound").as("lo1"), col("hi_bound").as("hi1"))
+              .join(v2.select(col("event_type"),
+                col("lo_bound").as("lo2"), col("hi_bound").as("hi2")),
+                "event_type")
+              .collect().toSeq
+              .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+                r.getDouble(3), r.getDouble(4)))
+          } finally {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(base)
+          }
+          rows.toDF("event_type", "lo1", "hi1", "lo2", "hi2")
+        } else
+          Seq(("view", 1.0, 9.0, 2.0, 8.0), ("click", 1.0, 9.0, 2.0, 8.0))
+            .toDF("event_type", "lo1", "hi1", "lo2", "hi2")
+      eventsSource(s, dir, stream)
+        .select(col("event_type"), col("value").as("v"))
+        .join(broadcast(models), Seq("event_type"), "left")
+        .withColumn("out1", col("v") < col("lo1") || col("v") > col("hi1"))
+        .withColumn("out2", col("v") < col("lo2") || col("v") > col("hi2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("out1"), 1L).otherwise(0L)).as("v1_out"),
+          sum(when(col("out2"), 1L).otherwise(0L)).as("v2_out"),
+          sum(when(col("out1") =!= col("out2"), 1L).otherwise(0L))
+            .as("n_disagree"))
+    }
+
     /** s37: the streaming-legal half of the n122 dup card — one
       * update-mode aggregation keyed by (source, fingerprint), exact
       * integer copy counts (fingerprinting is a stateless scan
@@ -779,7 +837,8 @@ object StreamingQueries extends QueryGroup {
     "s36_stream_embedding_drift" -> Seq(
       graft.operators.Similarity.occupancyGapReport(
         Frames.s36(s, dir, stream = false))),
-    "s37_stream_dup_card" -> Seq(Frames.s37(s, dir, stream = false)))
+    "s37_stream_dup_card" -> Seq(Frames.s37(s, dir, stream = false)),
+    "s38_stream_shadow_eval" -> Seq(Frames.s38(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2193,6 +2252,22 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar8.dupCardOracleSql))
 
+  /** Streaming shadow (champion/challenger) evaluation — n121 at its
+    * real operating point: the pinned v1 and latest v2 artifact
+    * versions are both loaded from the on-disk store, and LIVE traffic
+    * is clip-checked under both in ONE update-mode aggregation whose
+    * per-type disagreement counts are the promote/rollback signal —
+    * the retrain evaluated on the stream without gating anything.
+    * All carried sums are order-insensitive exact integers, so the
+    * stream converges to n121's batch output; the ORACLE IS n121's
+    * SQL verbatim.
+    */
+  private val streamShadowEval = Q(
+    "s38_stream_shadow_eval",
+    "streaming shadow deployment: pinned v1 vs latest v2 artifacts clip-checked on live traffic (converges to n121)",
+    (s, dir) => runToTable(Frames.s38(s, dir), "update").orderBy("event_type"),
+    Some(NorthStar8.shadowOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -2203,5 +2278,6 @@ object StreamingQueries extends QueryGroup {
     streamEmbedDecontam, streamSourceQuota, streamSftGate, streamRewardGate,
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
-    streamHellingerMonitor, streamEmbeddingDrift, streamDupCard)
+    streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
+    streamShadowEval)
 }
