@@ -41,6 +41,48 @@ object AsOfJoin {
       .select(col("left_id"), col("key"), col("matched").as("right_id"))
   }
 
+  /** FORWARD as-of with a horizon — the LABEL join: for each left row,
+    * the EARLIEST right row with `left.ts <= right.ts <= left.ts +
+    * horizonSeconds` on the same key (ties at the minimal ts go to the
+    * LOWEST right_id; no match within the horizon → NULL). This is how
+    * a training pipeline attaches outcomes to events ("the next
+    * purchase within 12 h of this view") — [[perKey]] run backward in
+    * time: one union, one per-key window scanned in DESCENDING ts
+    * order carrying the nearest future right row, then the horizon
+    * applied as a stateless filter on the carried timestamp. Same
+    * one-shuffle, key-parallel shape as [[perKey]]; the bucketed
+    * scale path applies symmetrically if a key ever gets hot.
+    *
+    * left: (key, ts, left_id); right: (key, ts, right_id).
+    * Output: (left_id, key, right_id nullable).
+    */
+  def forwardPerKey(
+      left: DataFrame, right: DataFrame, horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0, s"horizon must be >= 0, got $horizonSeconds")
+    val nullMark =
+      lit(null).cast("struct<rts:timestamp,right_id:bigint>")
+    val l = left.select(col("key"), col("ts"), col("left_id"),
+      nullMark.as("rmark"), lit(1).as("side"))
+    val r = right.select(col("key"), col("ts"),
+      lit(null).cast("long").as("left_id"),
+      struct(col("ts").as("rts"), col("right_id")).as("rmark"),
+      lit(0).as("side"))
+    // reverse-time scan: rights at EQUAL ts come before the left row
+    // (side 0 < 1 — "at-or-after" inclusive), and among rights sharing
+    // (key, ts) the DESCENDING right_id order puts the minimum last, so
+    // last(ignoreNulls) carries the earliest-then-lowest-id future row
+    val w = Window.partitionBy(col("key"))
+      .orderBy(desc("ts"), col("side"), desc("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.union(l)
+      .withColumn("m", last(col("rmark"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("left_id"), col("key"),
+        when(unix_micros(col("m.rts")) <=
+            unix_micros(col("ts")) + horizonSeconds * 1000000L,
+          col("m.right_id")).as("right_id"))
+  }
+
   def bucketed(left: DataFrame, right: DataFrame, bucketSeconds: Long): DataFrame = {
     val bucket = (ts: org.apache.spark.sql.Column) =>
       floor(ts.cast("double") / bucketSeconds).cast("long")

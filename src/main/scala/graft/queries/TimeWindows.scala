@@ -216,6 +216,40 @@ object TimeWindows extends QueryGroup {
              FROM stamped WHERE wm_us IS NOT NULL
              ORDER BY user_id, w_start_us"""))
 
+  /** FORWARD as-of with a horizon — the label join a training pipeline
+    * runs to attach outcomes to events: each view gets the NEXT
+    * purchase by the same user within 12 h (earliest ts, then lowest
+    * event_id; none in the horizon → NULL). The operator is w04's
+    * union+window trick scanned in reverse time order
+    * ([[graft.operators.AsOfJoin.forwardPerKey]]); the oracle is a
+    * correlated scalar subquery with the same total tie order.
+    */
+  private val asofForward = Q(
+    "w07_asof_forward_label",
+    "forward as-of label join: view -> next purchase within 12h, per user",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"))
+      graft.operators.AsOfJoin.forwardPerKey(left, right, 12L * 3600L)
+        .select(col("left_id").as("view_id"), col("key").as("user_id"),
+          col("right_id").as("purchase_id"))
+        .orderBy("view_id")
+    },
+    Some("""SELECT v.event_id AS view_id, v.user_id,
+              (SELECT p.event_id FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND p.ts >= v.ts
+                 AND p.ts <= v.ts + INTERVAL 12 HOUR
+               ORDER BY p.ts, p.event_id LIMIT 1) AS purchase_id
+            FROM events v WHERE v.event_type = 'view'
+            ORDER BY view_id"""))
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
-    punctuated)
+    punctuated, asofForward)
 }

@@ -106,4 +106,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("forwardPerKey: horizon, inclusive at-ts, min-id ties, no-match null") {
+    // key 1: left at 5 -> earliest right at-or-after is ts=10 (within
+    // horizon 10); left at 10 matches the SAME-ts right (inclusive),
+    // two rights tie at ts=10 -> MIN right_id; left at 95 -> nearest
+    // right is 200, beyond the horizon -> null.
+    // key 2: no rights at all -> null.
+    val left = df(Seq(
+      (1L, 5L, 100L), (1L, 10L, 101L), (1L, 95L, 102L),
+      (2L, 50L, 200L)),
+      "left_id")
+    val right = df(Seq(
+      (1L, 10L, 12L), (1L, 10L, 11L), (1L, 200L, 13L)),
+      "right_id")
+    val got = AsOfJoin.forwardPerKey(left, right, horizonSeconds = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val expected = Set(
+      (100L, 1L, Some(11L)), (101L, 1L, Some(11L)), (102L, 1L, None),
+      (200L, 2L, None))
+    assert(got == expected, s"got $got")
+  }
 }
