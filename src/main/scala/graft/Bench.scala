@@ -34,16 +34,21 @@ object Bench {
   final case class StormEvidence(
       readings: Seq[Double], waits: Int, postStorm: Option[Double])
 
-  /** Sweep-level host-health evidence: the sentinel baseline (min of
-    * the readings that produced it) and labeled checkpoint readings at
-    * sweep start/mid/end. The checkpoints pin the sentinel's OWN
-    * regime: a healthy host reads ~flat across sweep positions, so a
-    * 3× reading during a breach cannot be shared-JVM debt
-    * misattributed to the host — cache state is dropped between
-    * queries and these three numbers prove position-independence on
-    * every committed artifact.
+  /** Sweep-level host-health evidence: which sentinel KIND this run
+    * used ("proc_external_busy" = out-of-JVM /proc reading, external
+    * CPU fraction in [0,1]; "jvm_range_sum" = the legacy in-JVM job,
+    * seconds), the baseline (min of the readings that produced it; −1
+    * when every baseline reading failed and detection was disabled),
+    * and labeled checkpoint readings at sweep start/mid/end. The
+    * checkpoints pin the sentinel's OWN regime: the /proc reading is
+    * two kernel tick samples, so it CANNOT absorb shared-JVM debt —
+    * on a quiet host it stays ~flat across a full sweep by
+    * construction (the r12 confound, where the in-JVM sentinel read
+    * 4.5× baseline at the end checkpoint purely from JVM debt, is
+    * removed rather than argued around).
     */
   final case class SweepMeta(
+      kind: String,
       baseline: Double,
       baselineReadings: Seq[Double],
       checkpoints: Seq[(String, Double)])
@@ -109,31 +114,70 @@ object Bench {
     // warm-up left caches behind: start the timed section clean
     dropAllBlocks()
     val ceil = budgets()
+    // Sentinel kind, decided once per sweep: the out-of-process /proc
+    // reading when the platform provides it (external CPU fraction —
+    // cannot absorb bench-JVM debt), the in-JVM range-sum job as the
+    // non-Linux fallback (seconds). The artifact records which kind
+    // its readings are in.
+    val sentinelKind =
+      try { HostSentinel.externalBusyFraction(100); "proc_external_busy" }
+      catch { case _: Throwable => "jvm_range_sum" }
+    def sentinelRead(): Double =
+      if (sentinelKind == "proc_external_busy")
+        HostSentinel.externalBusyFraction(500)
+      else sentinelSecs(spark)
     // healthy-host sentinel baseline, min-of-3 after warmup (min is the
-    // contention-robust statistic; the floor guards a degenerate 0).
-    // Each reading is try-wrapped: a transient failure of the baseline
-    // job must not abort the sweep and lose every timing — failed
-    // readings drop out and an all-failed baseline falls back to the
-    // floor (storm detection then never fires: the safe direction,
-    // and now a VISIBLE one via the warning + the artifact's storm
-    // object instead of a silent disable).
+    // contention-robust statistic). Each reading is try-wrapped: a
+    // transient failure must not abort the sweep and lose every timing
+    // — failed readings drop out. ALL readings failing DISABLES storm
+    // detection for the run (baseline −1 in the artifact, loud
+    // warning): detection never fires, breaches stand un-adjudicated
+    // for a human to read against the warning. The r12 behavior —
+    // falling back to the 0.05 s floor — actually OVER-fired (3× floor
+    // = 0.15 s sat below the healthy in-JVM reading), burning up to
+    // 60 s of back-off per breach while the comment claimed the
+    // opposite direction; disabled-with-warning is the direction the
+    // comment promised.
     val baselineReadings = Seq.fill(3)(
-      try sentinelSecs(spark) catch { case _: Throwable => -1.0 })
+      try sentinelRead() catch { case _: Throwable => -1.0 })
       .filter(_ >= 0)
-    val sentinel0 = math.max(0.05, baselineReadings.minOption.getOrElse(0.05))
-    if (baselineReadings.size < 3)
+    val sentinel0 =
+      if (baselineReadings.isEmpty) Double.MaxValue
+      else if (sentinelKind == "jvm_range_sum")
+        math.max(0.05, baselineReadings.min)
+      else baselineReadings.min
+    // storm = external pressure well past baseline. For the /proc kind
+    // the threshold has an absolute floor (0.35 of the machine busy
+    // elsewhere): a quiet-host baseline is legitimately ~0, so a pure
+    // 3× rule would storm on noise.
+    def stormy(reading: Double): Boolean =
+      if (sentinel0 == Double.MaxValue) false
+      else if (sentinelKind == "proc_external_busy")
+        reading > math.max(0.35, 3 * sentinel0)
+      else reading > 3 * sentinel0
+    if (baselineReadings.isEmpty)
+      println("Bench: WARNING all sentinel baseline readings failed — " +
+        "storm detection DISABLED this run; any ceiling breach stands " +
+        "un-adjudicated")
+    else if (baselineReadings.size < 3)
       println(s"Bench: WARNING ${3 - baselineReadings.size} sentinel " +
         "baseline reading(s) failed — baseline from the survivors")
-    if (sentinel0 > 1.0)
+    if (sentinelKind == "jvm_range_sum" && baselineReadings.nonEmpty &&
+        sentinel0 > 1.0)
       println(f"Bench: WARNING sentinel baseline ${sentinel0}%.2fs is " +
         "anomalously high (healthy ~0.2s) — a storm during baseline " +
         "measurement inflates the 3x threshold and storm detection may " +
         "not fire this run")
+    if (sentinelKind == "proc_external_busy" && baselineReadings.nonEmpty &&
+        sentinel0 > 0.35)
+      println(f"Bench: WARNING host already ${sentinel0 * 100}%.0f%% " +
+        "externally busy during baseline — this sweep runs under load")
     val checkpoints = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def checkpoint(label: String): Unit =
-      try checkpoints += (label -> sentinelSecs(spark))
+      try checkpoints += (label -> sentinelRead())
       catch { case _: Throwable => () }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = sweepOrder(SparkEntry.queries.keySet.toSeq)
+      .map(n => n -> SparkEntry.queries(n))
     checkpoint("start")
     val timings = names.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == names.size / 2) checkpoint("mid")
@@ -183,17 +227,18 @@ object Bench {
           // storm object (r11's adjudications lived only in prose).
           var storm: Option[StormEvidence] = None
           if (math.min(t, r) > ceil(n)) {
-            val s = try sentinelSecs(spark) catch { case _: Throwable => 0.0 }
+            val s = try sentinelRead() catch { case _: Throwable => 0.0 }
             val readings = scala.collection.mutable.ArrayBuffer(s)
             var waits = 0
             var post: Option[Double] = None
-            if (s > 3 * sentinel0) {
-              println(f"Bench: $n still over with sentinel ${s}%.2fs vs " +
-                f"baseline ${sentinel0}%.2fs — host stall storm; backing off")
+            if (stormy(s)) {
+              println(f"Bench: $n still over with sentinel ${s}%.3f vs " +
+                f"baseline ${sentinel0}%.3f ($sentinelKind) — host stall " +
+                "storm; backing off")
               var cur = s
-              while (waits < 6 && cur > 3 * sentinel0) {
+              while (waits < 6 && stormy(cur)) {
                 Thread.sleep(10000L); waits += 1
-                cur = try sentinelSecs(spark) catch { case _: Throwable => 0.0 }
+                cur = try sentinelRead() catch { case _: Throwable => 0.0 }
                 readings += cur
               }
               val (r2, rp2) = try retime(spark, sfDir, n)
@@ -210,7 +255,30 @@ object Bench {
       }
     }
     checkpoint("end")
-    (timings, SweepMeta(sentinel0, baselineReadings, checkpoints.toSeq))
+    (timings, SweepMeta(sentinelKind,
+      if (sentinel0 == Double.MaxValue) -1.0 else sentinel0,
+      baselineReadings, checkpoints.toSeq))
+  }
+
+  /** Pinned sweep order (sweep_order.json: {"name": slot}): a
+    * committed query keeps its slot forever; names not yet in the file
+    * (this round's additions) run AFTER every pinned one, sorted by
+    * name. Registry growth therefore never shifts an existing query
+    * deeper into accumulated shared-JVM debt — r12's 12 new n1xx names
+    * pushed every s-query ~13 alphabetical slots later and forced four
+    * ceiling re-derivations for untouched queries; under this order
+    * the same growth moves nobody. RegistryInvariantsSpec pins
+    * file↔registry set equality, so additions are APPENDED to the
+    * file in the commit that registers them (BenchOne derives their
+    * ceiling in the same end-of-sweep debt regime they will run in).
+    * A missing/unreadable file degrades to the old alphabetical order.
+    */
+  private[graft] def sweepOrder(names: Seq[String]): Seq[String] = {
+    val pinned: Map[String, Double] =
+      try graft.tools.BenchGuard.parseFlat(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("sweep_order.json")))
+      catch { case _: Throwable => Map.empty }
+    names.sortBy(n => (pinned.getOrElse(n, Double.MaxValue), n))
   }
 
   /** One isolated re-measurement of a single query (clean caches, gc'd
@@ -304,12 +372,8 @@ object Bench {
     }.mkString("{", ",", "}")
     // per-query JVM-pressure evidence: GC ms inside the timed window +
     // used heap at its end — the data PLANS.md cites when adjudicating
-    // shared-JVM flaps. Emitted BEFORE "queries": a ~2 kB driver tail
-    // capture must keep the END of the queries map (BenchGuard's
-    // truncated-artifact fallback greps query-shaped name:number pairs
-    // there — an ~8 kB gc object between "queries" and the tail would
-    // starve it), and the flap-adjudication gc numbers ride the
-    // "retimed" entries inline, which DO sit in the tail.
+    // shared-JVM flaps. Like every other object, emitted BEFORE
+    // "queries" (see the key-order note at the end of this method).
     def probeJson(p: GcProbe): String =
       "{\"gc_ms\":" + p.gcMs + ",\"heap_gb\":" + fmt(p.heapGb) + "}"
     val gcs = results.collect { case t if t.gc.isDefined =>
@@ -343,7 +407,8 @@ object Bench {
             ",\"waits\":" + se.waits +
             ",\"post_storm\":" + se.postStorm.map(fmt).getOrElse("null") + "}"
       }.mkString("{", ",", "}")
-      "\"storm\":{\"baseline\":" + fmt(m.baseline) +
+      "\"storm\":{\"kind\":\"" + esc(m.kind) + "\"" +
+        ",\"baseline\":" + fmt(m.baseline) +
         ",\"baseline_readings\":" + arr +
         ",\"checkpoints\":" + cps +
         ",\"breaches\":" + breaches + "},"
@@ -356,10 +421,19 @@ object Bench {
     val env = s""""cpus":${rt.availableProcessors()},""" +
       s""""max_heap_gb":${fmt(rt.maxMemory() / 1e9)},""" +
       s""""java":"${esc(System.getProperty("java.version"))}","""
-    // "value" (the headline total) goes LAST: log captures that keep only
-    // the final ~2k chars of output still contain it after the per-query
-    // map outgrows that window (which it did once the registry passed ~100
-    // queries).
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"queries":$qs,"errors":$errs,"retimed":$retimed,$stormObj"value":${fmt(total)}}"""
+    // KEY ORDER IS LOAD-BEARING. The driver's log capture keeps only
+    // the final ~2 kB of stdout, so the end of this line is the only
+    // part guaranteed to survive into the committed BENCH_r*.json:
+    //   - "queries" goes SECOND-TO-LAST, after every other object.
+    //     r12 emitted it before "retimed"/"storm", whose grown receipts
+    //     pushed the whole map out of the tail and crashed BenchGuard's
+    //     replay ("no per-query timings found"); with the map at the
+    //     end, any clip lands either inside it (the surviving pairs
+    //     get a partial check) or before it only when the line fits.
+    //   - "value" (the headline total) stays absolutely LAST so the
+    //     driver's metric read survives the same clip.
+    // BenchGuardSpec round-trips a 241-query line through a 2 kB tail
+    // clip to pin this contract.
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"errors":$errs,"retimed":$retimed,$stormObj"queries":$qs,"value":${fmt(total)}}"""
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+/** Out-of-JVM host-pressure sentinel: reads EXTERNAL CPU load straight
+  * from the kernel instead of timing a job inside the bench JVM.
+  *
+  * The shared-session range-sum sentinel it replaces had one confound
+  * the r12 closing sweep documented honestly: late in a 241-query
+  * sweep the sentinel job itself absorbs accumulated JVM debt (codegen
+  * cache, GC backlog), so its reading rises ~4× with no host storm —
+  * harmless only because it merely gated an extra re-time. This
+  * reading cannot absorb JVM debt by construction: it is two samples
+  * of kernel tick counters with a sleep between them, no allocation,
+  * no Spark job.
+  *
+  * Reading = fraction of total machine CPU capacity consumed by
+  * anything OTHER than this process over the window:
+  *
+  *   external = (Δbusy_host − Δ(utime+stime)_self) / Δtotal_host
+  *
+  * from `/proc/stat` (aggregate cpu line: user nice system idle iowait
+  * irq softirq steal — steal counts co-tenant hypervisor theft, the
+  * exact storm mode the bench adjudicates) and `/proc/self/stat`
+  * (fields 14/15, utime+stime across all threads of this JVM). On a
+  * quiet host this reads ~0 regardless of sweep position; during the
+  * observed co-tenant storms (queries inflated 2–10×) most of the 32
+  * cores are busy elsewhere, so it reads well above 0.35.
+  *
+  * Throws on any non-Linux / unreadable-proc condition — the caller
+  * (Bench) falls back to the in-JVM job sentinel and records which
+  * kind the artifact carries.
+  */
+object HostSentinel {
+
+  /** One external-busy-fraction reading over `windowMs`, in [0, 1]. */
+  def externalBusyFraction(windowMs: Long = 500): Double = {
+    val (busy0, total0) = hostTicks()
+    val self0 = selfTicks()
+    Thread.sleep(windowMs)
+    val (busy1, total1) = hostTicks()
+    val self1 = selfTicks()
+    val dTotal = (total1 - total0).toDouble
+    require(dTotal > 0, "no /proc/stat tick progress over the window")
+    math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / dTotal)
+  }
+
+  /** (busy, total) jiffies from the aggregate cpu line of /proc/stat.
+    * busy excludes idle+iowait; total sums the first 8 fields (through
+    * steal — guest time is already folded into user on Linux).
+    */
+  private def hostTicks(): (Long, Long) = {
+    val line = firstLine("/proc/stat")
+    require(line.startsWith("cpu "), s"unexpected /proc/stat head: $line")
+    val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
+    require(f.length == 8, "short /proc/stat cpu line")
+    val total = f.sum
+    (total - f(3) - f(4), total)
+  }
+
+  /** utime+stime jiffies of THIS process (all threads), /proc/self/stat
+    * fields 14/15. comm (field 2) is parenthesized and may contain
+    * spaces — parse from after the LAST ')'.
+    */
+  private def selfTicks(): Long = {
+    val s = firstLine("/proc/self/stat")
+    val after = s.substring(s.lastIndexOf(')') + 2).split(" ")
+    after(11).toLong + after(12).toLong
+  }
+
+  private def firstLine(path: String): String = {
+    val src = scala.io.Source.fromFile(path)
+    try src.getLines().next() finally src.close()
+  }
+}

@@ -320,6 +320,12 @@ object Drift {
     * Scale shape: two windows partitioned BY KEY (value ranks, then
     * deviation ranks) and two co-keyed joins back — key-parallel
     * throughout, the winsorizeBounds shape run twice.
+    *
+    * NULL values are declared OUT of the order statistics (the
+    * ksBinCounts/lengthPercentiles convention, and what the n117
+    * oracle's WHERE value IS NOT NULL pins): Spark windows rank NULLS
+    * FIRST, DuckDB NULLS LAST, so an unfiltered NULL would shift
+    * rn/n/med/mad on the operator side only.
     */
   def madBounds(
       df: DataFrame,
@@ -327,7 +333,8 @@ object Drift {
       valueCol: String,
       c: Double = 3.0): DataFrame = {
     require(c > 0, s"need c > 0, got $c")
-    val vals = df.select(col(key), col(valueCol).as("v"))
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(key), col(valueCol).as("v"))
     val w = Window.partitionBy(col(key)).orderBy(asc("v"))
     val med = vals
       .withColumn("rn", row_number().over(w))

@@ -52,13 +52,30 @@ object BenchGuard {
     */
   private[graft] val queryName = """^[cnqsw]\d+_""".r
 
+  /** Retimed-entry shape: `"name":{"first":X,"retry":Y…}`. The final
+    * fallback when a clip leaves no flat query pair at all (r12's
+    * committed artifact: the clip landed INSIDE "retimed" back when
+    * "queries" preceded it). The confirmed timing is min(first, retry)
+    * — exactly what Bench.run records in "queries" for a retimed
+    * query, so a replay from these entries judges the same numbers.
+    */
+  private val retimedPair =
+    """"([A-Za-z0-9_]+)"\s*:\s*\{"first":(-?[0-9.]+),"retry":(-?[0-9.]+)""".r
+
   /** Pull the {"queries":{...}} object out of a full Bench output line
     * (or a driver BENCH_r*.json whose `tail` embeds that line with
-    * escaped quotes — normalized here before matching). Driver artifacts
-    * keep only the final ~2k chars of output, which can truncate the
-    * line BEFORE the "queries" key — fall back to every name:number
-    * pair that looks like a query, so a partial artifact still gets a
-    * partial check instead of no check.
+    * escaped quotes — normalized here before matching). Driver
+    * artifacts keep only the final ~2k chars of output; since r13 the
+    * line puts "queries" second-to-last precisely so a clip lands
+    * inside it, but older artifacts (and pathological clips) still
+    * need the fallbacks:
+    *   1. complete "queries" object → parse exactly its pairs;
+    *   2. clipped → every query-shaped flat name:number pair found —
+    *      a partial check beats a crash or no check;
+    *   3. still nothing → the retimed entries' min(first, retry).
+    * Returns EMPTY (never throws) when no fallback finds a timing —
+    * the caller owns the clean-failure message (the r12 `require`
+    * here turned an unreplayable artifact into a stack trace).
     */
   private[graft] def extractQueries(content: String): Map[String, Double] = {
     val norm = content.replace("\\\"", "\"")
@@ -88,8 +105,17 @@ object BenchGuard {
           .toMap
       }
     val qs = flat.view.filterKeys(queryName.findFirstIn(_).isDefined).toMap
-    require(qs.nonEmpty, "no per-query timings found in bench artifact")
-    qs
+    if (qs.nonEmpty) qs
+    else {
+      println("BenchGuard: no flat query pair survived the clip — " +
+        "falling back to retimed first/retry entries")
+      retimedPair.findAllMatchIn(norm)
+        .filter(_.end < norm.length)
+        .map(m => m.group(1) ->
+          math.min(m.group(2).toDouble, m.group(3).toDouble))
+        .filter(p => queryName.findFirstIn(p._1).isDefined)
+        .toMap
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,8 +126,17 @@ object BenchGuard {
 
     val (times, errors, replay) = args.headOption match {
       case Some(artifact) =>
-        (extractQueries(Files.readString(Paths.get(artifact))),
-          Map.empty[String, String], true)
+        val qs = extractQueries(Files.readString(Paths.get(artifact)))
+        if (qs.isEmpty) {
+          // a clean verdict, never a stack trace: the clipped round
+          // artifact carries no timings in any recoverable shape — the
+          // full-file copy is the replayable record
+          println(s"BenchGuard FAIL: no per-query timings found in " +
+            s"clipped artifact $artifact — replay the full-file " +
+            "bench_last.json instead")
+          sys.exit(1)
+        }
+        (qs, Map.empty[String, String], true)
       case None =>
         val sfDir =
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,4 +57,56 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(parsed == Map(
       "q05_anti_join" -> 0.425, "q06_outer_join" -> 1.107))
   }
+
+  test("round-trip: a 241-query jsonLine clipped to its last 2kB still yields timings") {
+    // the r12 failure, pinned: the driver keeps only the final ~2 kB of
+    // stdout, and that round's grown retimed+storm receipts pushed the
+    // whole queries map out of the tail — BenchGuard crashed on the
+    // committed artifact. The key-order contract (queries second-to-
+    // last, value last) means ANY tail clip now lands inside the
+    // queries map; this round-trips a registry-sized line with
+    // r12-sized receipts through exactly that clip.
+    val plain = (1 to 229).map(i =>
+      Bench.Timing(f"n$i%03d_synthetic_query_name", i / 100.0))
+    val probe = Some(Bench.GcProbe(12345, 5.678))
+    val flapped = (1 to 12).map(i =>
+      Bench.Timing(f"s$i%02d_retimed_query_name", 2.0,
+        firstPass = Some(9.987), retry = Some(2.0),
+        gc = probe, retryGc = probe,
+        storm = Some(Bench.StormEvidence(Seq(0.648, 0.871, 0.112), 2,
+          Some(2.0)))))
+    val meta = Bench.SweepMeta("proc_external_busy", 0.021,
+      Seq(0.021, 0.034, 0.029),
+      Seq("start" -> 0.02, "mid" -> 0.31, "end" -> 0.025))
+    val results = plain ++ flapped
+    val line = Bench.jsonLine(results, "/root/testdata/sf0.1", Some(meta))
+    val full = BenchGuard.extractQueries(line)
+    assert(full.size == results.size, "full line must carry every query")
+    val clipped = line.takeRight(2048)
+    val recovered = BenchGuard.extractQueries(clipped)
+    assert(recovered.nonEmpty, "2kB tail clip recovered no timings")
+    // every recovered value matches the full line's confirmed value
+    assert(recovered.forall { case (k, v) => full(k) == v },
+      "clip-recovered timings disagree with the full line")
+    // the LAST query emitted must survive any tail clip by construction
+    assert(recovered.contains(results.last.name))
+    // and the driver's headline metric survives alongside
+    assert(clipped.contains("\"value\":"))
+  }
+
+  test("a clip with no flat query pair falls back to retimed first/retry minima") {
+    // the r12 committed-artifact shape: the tail window held only the
+    // retimed object — name:{...} entries the flat-pair regex correctly
+    // refuses. The last-resort fallback reads min(first, retry), which
+    // is exactly the confirmed value Bench.run recorded in "queries".
+    val tail = """st_gc_ms":512},"retimed":{"n58_three_stage_curation":{"first":108.7,"retry":12.1,"first_gc_ms":88},"w03_session_windows":{"first":5.04,"retry":3.02}},"storm":{"kind":"jvm_range_sum","baseline":0.112}"""
+    assert(BenchGuard.extractQueries(tail) == Map(
+      "n58_three_stage_curation" -> 12.1, "w03_session_windows" -> 3.02))
+  }
+
+  test("no timings in any recoverable shape returns empty, never throws") {
+    // the caller (main) owns the clean-failure exit; the r12 `require`
+    // here turned an unreplayable artifact into a stack trace
+    assert(BenchGuard.extractQueries("""{"n": 4, "rc": 0}""").isEmpty)
+  }
 }

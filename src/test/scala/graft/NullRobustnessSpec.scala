@@ -142,6 +142,28 @@ class NullRobustnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       "NULL-value rows moved the binned KS statistic")
   }
 
+  test("robust-bounds family (n117): NULL values are out of the MAD ranks") {
+    // madBounds runs TWO rank windows (values, then absolute
+    // deviations) — the same NULLS FIRST / NULLS LAST hazard as n114,
+    // doubled. The operator declares NULL values out of both rank
+    // passes (its n117 oracle pins WHERE value IS NOT NULL), so
+    // injecting NULL-value rows must leave every per-key card
+    // bit-identical — including n (which must count non-NULL values
+    // only) and the clip counts (a NULL v is neither below nor above).
+    import spark.implicits._
+    val clean = Seq(("a", 1.0), ("a", 2.5), ("a", 2.7), ("a", 9.0),
+      ("a", 9.5), ("a", 1.2), ("b", 4.0), ("b", 4.5))
+      .toDF("event_type", "value")
+    val dirty = clean.unionByName(
+      Seq("a", "a", "b").toDF("event_type").withColumn("value",
+        org.apache.spark.sql.functions.lit(null).cast("double")))
+    def mad(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Drift.madBounds(df, "event_type", "value")
+        .orderBy("event_type").collect().toSeq
+    assert(mad(dirty) == mad(clean),
+      "NULL values moved the median/MAD order statistics or counts")
+  }
+
   test("GD-trajectory family (n70): a NULL-text doc moves no weight") {
     // domainTokenProbs starts at explode(split(text)) — the NULL doc
     // adds zero token mass to its source, and no count in the trainer

@@ -68,6 +68,25 @@ class RegistryInvariantsSpec extends AnyFunSuite {
         s"stale inherent pins: ${graft.tools.ScanGuard.inherent -- overThree}")
   }
 
+  test("sweep order covers the registry exactly, with distinct slots") {
+    // the pinned-sweep-order discipline: every registered query holds a
+    // committed slot (a new query cannot ship without being appended),
+    // no stale entries linger, and slots are distinct so the order is
+    // total. Bench.sweepOrder sorts by these slots; set equality both
+    // ways keeps registry growth from ever reshuffling existing
+    // queries' accumulated-debt positions (the r12 ceiling-churn mode).
+    val order = graft.tools.BenchGuard.parseFlat(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("sweep_order.json"))))
+    val registered = queries.Registry.all.map(_.name).toSet
+    assert(registered -- order.keySet == Set.empty,
+      s"queries without a sweep slot: ${registered -- order.keySet}")
+    assert(order.keySet -- registered == Set.empty,
+      s"stale sweep slots: ${order.keySet -- registered}")
+    assert(order.values.toSeq.distinct.size == order.size,
+      "duplicate sweep slots — the order must be total")
+  }
+
   test("BenchGuard's replay name filter accepts every registered query") {
     // The r11 replay parser's `^[cnqsw]\d\d_` silently dropped every
     // three-digit query (n100–n114) from artifact replays — a breach
