@@ -22,6 +22,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Clustering {
 
+  /** Rounds the most recent [[connectedComponents]] call on this
+    * thread took to converge. Pointer jumping converges in O(log n)
+    * rounds of the dup graph's diameter — the ONE super-linear axis a
+    * fixed-scale wall-time probe can't attribute (a slow 32× row could
+    * be more data per round or more rounds); ScaleProbe records this
+    * beside its 1×/8×/32× ratios so the two causes separate on the
+    * printed evidence. Observability only — never an input to any
+    * operator.
+    */
+  val lastCcRounds = new ThreadLocal[Integer]
+
   /** Component label (= min reachable node id) for every node that
     * appears in `edges`. Output: (id, component).
     */
@@ -39,7 +50,9 @@ object Clustering {
       .agg(least(col("u"), min(col("v"))).as("lb"))
       .select(col("u").as("id"), col("lb")))
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       // min label over the neighborhood…
       val nbrMin = bi.join(labels, bi("u") === labels("id"))
         .groupBy(bi("v").as("id")).agg(min(col("lb")).as("nlb"))
@@ -63,6 +76,7 @@ object Clustering {
       labelsGen = jumpedGen
     }
     bi.unpersist()
+    lastCcRounds.set(rounds)
     labels.select(col("id"), col("lb").as("component"))
   }
 

@@ -56,7 +56,62 @@ object ModelArtifacts {
     * after a bad retrain). The literal filter prunes to the one
     * version partition at file-listing time; other versions' files are
     * never opened.
+    *
+    * FAILS LOUDLY when the pinned version is absent (pruned by
+    * [[pruneVersions]], or never written): the partition filter alone
+    * would return an EMPTY frame, and a serving job silently scoring
+    * with zero model rows is the worst failure mode a versioned store
+    * can have — a left join against empty bounds passes every row.
+    * The existence check is one directory listing (metadata, never a
+    * data read), through the store path's own Hadoop filesystem so it
+    * holds on any parquet filesystem, not just local disk.
     */
-  def loadVersion(spark: SparkSession, dir: String, version: Int): DataFrame =
+  def loadVersion(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val have = listVersions(spark, dir)
+    require(have.contains(version),
+      s"artifact version $version at $dir is absent " +
+        s"(pruned or never written; available: ${have.mkString(", ")}) — " +
+        "a pinned reader must fail loudly, not silently read nothing")
     spark.read.parquet(dir).filter(col("version") === version)
+  }
+
+  /** The versions currently present at `dir`, ascending — a directory
+    * listing of the `version=N` partitions (metadata-only; version
+    * data is never opened). Empty when the store doesn't exist yet.
+    */
+  def listVersions(spark: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("version="))
+      .map(_.getPath.getName.stripPrefix("version=").toInt)
+      .sorted
+  }
+
+  /** Retention/GC — the lifecycle step that closes the append-only
+    * loop: delete every version partition EXCEPT the newest
+    * `keepLatestK`, returning the versions dropped. A production store
+    * cannot only grow: superseded retrains are dead weight (at model
+    * cadence, hundreds of partitions a year), and an UNBOUNDED pin set
+    * means a rollback target may be arbitrarily stale. Deletion is
+    * per-partition directory removal through the store's filesystem —
+    * versions are immutable, so there is no in-place state to corrupt,
+    * and the serving read path ([[loadLatest]] / [[loadVersion]])
+    * never lists a half-deleted partition as available because the
+    * delete is directory-atomic per version. A pinned reader of a
+    * pruned version fails loudly at [[loadVersion]]'s existence check
+    * rather than silently reading latest (or nothing).
+    */
+  def pruneVersions(spark: SparkSession, dir: String,
+      keepLatestK: Int): Seq[Int] = {
+    require(keepLatestK >= 1, s"need keepLatestK >= 1, got $keepLatestK")
+    val drop = listVersions(spark, dir).dropRight(keepLatestK)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"version=$v"), true)
+    }
+    drop
+  }
 }

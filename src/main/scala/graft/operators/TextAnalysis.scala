@@ -819,6 +819,48 @@ object TextAnalysis {
           count(lit(1)).cast("double")).as("mean_tok"))
   }
 
+  /** The mergeable-sketch companion of [[lengthPercentiles]]: the same
+    * per-source p50/p90/p99 card via `approx_percentile`
+    * (Greenwald–Khanna quantile summaries) instead of exact ranks.
+    *
+    * The trade, stated for 100 TB: the exact card pays one window sort
+    * PER KEY over every row (a full per-source shuffle+sort of the
+    * corpus — fine when sources are many and each fits a partition,
+    * the n114 regime); the sketch is a HASH AGGREGATE — per-partition
+    * summaries of bounded size (O(accuracy) per key) merged
+    * associatively map-side, so no row ever shuffles, only sketches
+    * do. At a million-row source the sort moves ~8 MB/key across the
+    * wire; the sketch moves ~80 kB/key regardless of source size.
+    *
+    * The cost is exactness: GK guarantees rank error ≤ n/accuracy
+    * (here ≤ 0.01 % of the rows per key), and the returned value is
+    * some DATA value within that rank band — not cross-engine
+    * bit-stable (DuckDB's approx_quantile is t-digest; even two Spark
+    * runs can differ under repartitioning). So this registers
+    * rows-only (the q30 approx_count_distinct pattern, pinned by
+    * RegistryInvariantsSpec), and TextAnalysisSketchSpec pins the
+    * rank-error bound against the exact [[lengthPercentiles]] values
+    * instead of a hash oracle. NULL lengths are out of the
+    * distribution (the [[lengthPercentiles]] convention — NULLs never
+    * enter the sketch on either engine).
+    */
+  def lengthPercentilesSketch(docs: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val base = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok").isNotNull)
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_tok"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("pcts"),
+        max(col("n_tok")).as("max_tok"))
+      .select(col("source"), col("n_docs"),
+        col("pcts")(0).as("p50_tok"),
+        col("pcts")(1).as("p90_tok"),
+        col("pcts")(2).as("p99_tok"),
+        col("max_tok"))
+  }
+
   /** Per-source total variation distance between the source's
     * token-length-bin distribution and the corpus-wide one — the
     * mixture-shape card that says WHICH feeds are length-outliers

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-13 continuation: the artifact lifecycle's retention half
+  * (append-only stores must also EXPIRE — prune superseded versions,
+  * and a pinned reader of a pruned version must fail loudly, never
+  * silently read latest or nothing), and the mergeable-sketch
+  * companion of the exact order-statistics cards (the 100 TB
+  * percentile path: sketches merge map-side; exact ranks pay a
+  * per-key sort).
+  */
+object NorthStar9 extends QueryGroup {
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Versioned-store retention: train and write v1 (quarter feed),
+    * v2 (half feed), v3 (full feed) → prune to the newest TWO →
+    * serve from the pruned store (pinned v2 + latest v3 — the n121
+    * shadow pattern over a store that has actually forgotten v1).
+    * The retention CONTRACT is exercised in-query on the real store:
+    * pruneVersions must report exactly {1}, and a pinned read of the
+    * pruned v1 must throw (the loud-failure mode
+    * [[graft.operators.ModelArtifacts.loadVersion]] guarantees) — a
+    * store that silently serves a pinned reader nothing, or prunes
+    * the wrong partition, fails the query before any row is emitted,
+    * and the surviving-version counts ride the result columns under
+    * the oracle.
+    */
+  private val retention = Q(
+    "n127_artifact_retention",
+    "versioned store retention: write v1/v2/v3, prune to newest 2, pinned-v2 + latest-v3 gates over the pruned store; pinned read of pruned v1 must fail loudly",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_n127_").toFile
+      try {
+        val M = graft.operators.ModelArtifacts
+        val art = new java.io.File(base, "bounds").getAbsolutePath
+        val ev = Tables(s, dir).events
+        def bounds(df: DataFrame) = graft.operators.Drift
+          .winsorizeBounds(df, "event_type", "value")
+          .select("event_type", "lo_bound", "hi_bound")
+        M.writeVersion(bounds(ev.filter(col("event_id") % 4 === 0)), art, 1)
+        M.writeVersion(bounds(ev.filter(col("event_id") % 2 === 0)), art, 2)
+        M.writeVersion(bounds(ev), art, 3)
+        val pruned = M.pruneVersions(s, art, keepLatestK = 2)
+        require(pruned == Seq(1),
+          s"retention must drop exactly version 1, dropped: $pruned")
+        val left = M.listVersions(s, art)
+        require(left == Seq(2, 3),
+          s"store must hold exactly versions 2 and 3, holds: $left")
+        // the loud-failure contract, on the real pruned store: a pinned
+        // reader of the dropped version must throw, not read nothing
+        val failedLoudly =
+          try { M.loadVersion(s, art, 1); false }
+          catch { case _: IllegalArgumentException => true }
+        require(failedLoudly,
+          "pinned read of the pruned v1 must fail loudly")
+        val pinned = M.loadVersion(s, art, 2)
+          .select(col("event_type"),
+            col("lo_bound").as("lo2"), col("hi_bound").as("hi2"))
+        val latest = M.loadLatest(s, art)
+          .select(col("event_type"),
+            col("lo_bound").as("lo3"), col("hi_bound").as("hi3"))
+        ev.select(col("event_type"), col("value").as("v"))
+          .join(broadcast(pinned), "event_type")
+          .join(broadcast(latest), "event_type")
+          .withColumn("out2", col("v") < col("lo2") || col("v") > col("hi2"))
+          .withColumn("out3", col("v") < col("lo3") || col("v") > col("hi3"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("out2"), 1L).otherwise(0L)).as("pinned_out"),
+            sum(when(col("out3"), 1L).otherwise(0L)).as("latest_out"),
+            sum(when(col("out2") =!= col("out3"), 1L).otherwise(0L))
+              .as("n_disagree"))
+          .withColumn("n_versions_left", lit(left.size))
+          .withColumn("n_pruned", lit(pruned.size))
+          .orderBy("event_type")
+          .localCheckpoint()
+      } finally rmTree(base)
+    },
+    Some("""WITH r2 AS (
+              SELECT event_type, value AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE event_id % 2 = 0),
+            b2 AS (
+              SELECT event_type,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 1 + 99) // 100)
+                    THEN v END) AS lo2,
+                MIN(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN v END) AS hi2
+              FROM r2 GROUP BY event_type, n),
+            r3 AS (
+              SELECT event_type, value AS v,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events),
+            b3 AS (
+              SELECT event_type,
+                MIN(CASE WHEN rn = GREATEST(1, (n * 1 + 99) // 100)
+                    THEN v END) AS lo3,
+                MIN(CASE WHEN rn = (n * 99 + 99) // 100
+                    THEN v END) AS hi3
+              FROM r3 GROUP BY event_type, n)
+            SELECT e.event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN value < lo2 OR value > hi2
+                THEN 1 ELSE 0 END) AS BIGINT) AS pinned_out,
+              CAST(SUM(CASE WHEN value < lo3 OR value > hi3
+                THEN 1 ELSE 0 END) AS BIGINT) AS latest_out,
+              CAST(SUM(CASE WHEN (value < lo2 OR value > hi2)
+                  <> (value < lo3 OR value > hi3)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+              CAST(2 AS INT) AS n_versions_left,
+              CAST(1 AS INT) AS n_pruned
+            FROM events e
+            JOIN b2 USING (event_type)
+            JOIN b3 USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type"""))
+
+  /** Per-source token-length percentiles via mergeable quantile
+    * sketches — the n114 card's 100 TB path (hash aggregate, no
+    * per-key sort). Rows-only BY DESIGN: Greenwald–Khanna returns a
+    * data value within the rank-error band, not a cross-engine-exact
+    * one (DuckDB's approx_quantile is t-digest) — the q30
+    * approx_count_distinct pattern, pinned by RegistryInvariantsSpec;
+    * TextAnalysisSketchSpec pins the rank-error bound against the
+    * exact n114 values instead of a hash oracle.
+    */
+  private val lengthSketch = Q(
+    "n128_length_percentiles_sketch",
+    "per-source token-length p50/p90/p99 via mergeable GK quantile sketches (accuracy 10000) — the n114 card without the per-key sort; rows-only by design",
+    (s, dir) => graft.operators.TextAnalysis
+      .lengthPercentilesSketch(Tables(s, dir).documents)
+      .orderBy("source"),
+    None)
+
+  val all: Seq[Q] = Seq(retention, lengthSketch)
+}

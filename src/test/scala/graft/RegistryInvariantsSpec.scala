@@ -7,11 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * a driver artifact:
   *
   *   - every query carries a DuckDB oracle unless it is on the PINNED
-  *     rows-only list (n04's xxhash64 SimHash bits and q30's
-  *     approx_count_distinct have no cross-engine-exact SQL form —
-  *     both documented in COVERAGE.md). Set equality, so a pin that
-  *     GAINS an oracle is flagged as stale exactly like a new query
-  *     that silently ships without one.
+  *     rows-only list (n04's xxhash64 SimHash bits, q30's
+  *     approx_count_distinct, and n128's GK quantile sketches have no
+  *     cross-engine-exact SQL form — all documented in COVERAGE.md;
+  *     n128's replacement guarantee is TextAnalysisSketchSpec's
+  *     rank-band pin). Set equality, so a pin that GAINS an oracle is
+  *     flagged as stale exactly like a new query that silently ships
+  *     without one.
   *   - every registered query has a committed bench ceiling, and every
   *     ceiling names a registered query (same parser the gate uses).
   *   - names follow the family_snake convention the driver artifacts
@@ -20,7 +22,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistryInvariantsSpec extends AnyFunSuite {
 
   test("every query has an oracle unless pinned rows-only") {
-    val rowsOnly = Set("n04_dedup_simhash", "q30_approx_distinct")
+    val rowsOnly = Set("n04_dedup_simhash", "q30_approx_distinct",
+      "n128_length_percentiles_sketch")
     val missing = queries.Registry.all
       .filter(_.oracle.isEmpty).map(_.name).toSet
     assert(missing == rowsOnly,
@@ -66,6 +69,23 @@ class RegistryInvariantsSpec extends AnyFunSuite {
     assert(overThree == graft.tools.ScanGuard.inherent,
       s"unwhitelisted >=3-scan: ${overThree -- graft.tools.ScanGuard.inherent}; " +
         s"stale inherent pins: ${graft.tools.ScanGuard.inherent -- overThree}")
+  }
+
+  test("scale baseline covers the probe registry exactly") {
+    // the ScaleProbe --gate discipline at suite speed: every registered
+    // probe carries a committed 8x/1x growth-ratio ceiling (a new probe
+    // cannot ship without one) and no stale ceilings linger — the
+    // measured re-probe itself runs in the ScaleProbe main (minutes).
+    val baseline = graft.tools.BenchGuard.parseFlat(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(graft.tools.ScaleProbe.baselineFile))))
+    val probes = graft.tools.ScaleProbe.probeNames.toSet
+    assert(probes -- baseline.keySet == Set.empty,
+      s"probes without a ratio ceiling: ${probes -- baseline.keySet}")
+    assert(baseline.keySet -- probes == Set.empty,
+      s"stale ratio ceilings: ${baseline.keySet -- probes}")
+    assert(baseline.values.forall(_ >= 1.0),
+      "a growth-ratio ceiling under 1.0 can never pass")
   }
 
   test("sweep order covers the registry exactly, with distinct slots") {
