@@ -125,6 +125,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
   }
 
+  /** Train/val/test split-leakage card — [[crossSourceLeakage]]'s
+    * machinery pointed at the split boundary instead of the feed
+    * boundary: near-dup pairs whose members land in DIFFERENT hash
+    * splits leak eval signal into training (the benchmark-contamination
+    * mode n18 checks against an EXTERNAL suite, here arising from the
+    * corpus's own held-out slices — a mirror page in test while its
+    * twin trains is a memorization freebie no external decontam run
+    * sees). Split assignment is the production rule: a pure function
+    * of doc_id (md5 bucket mod 100 → 80/10/10 train/val/test), so it
+    * is reproducible at any parallelism, stable across reruns, and —
+    * the scale point — needs NO join to label a pair: both sides'
+    * splits are scan-stage expressions on the pair set itself.
+    *
+    * Output per unordered split pair: (split_a, split_b, cross_split,
+    * n_pairs, n_docs, max_jaccard) — n_docs counts the distinct
+    * documents involved, the "how much data do I quarantine" number.
+    *
+    * Scale shape: [[jaccardPairs]]' candidate-bounded joins; the pair
+    * frame (pair-set-sized) is persisted because it feeds both the
+    * pair counts and the distinct-doc explode — everything after runs
+    * on pairs, never the corpus.
+    */
+  def splitLeakage(
+      docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    def splitOf(id: org.apache.spark.sql.Column) = {
+      val bucket = conv(substring(
+        md5(concat_ws(":", id, lit("split"))), 1, 8), 16, 10)
+        .cast("long") % 100
+      when(bucket < 80, lit("train"))
+        .when(bucket < 90, lit("val"))
+        .otherwise(lit("test"))
+    }
+    val lab = jaccardPairs(docs, n, threshold)
+      .withColumn("sa", splitOf(col("id_a")))
+      .withColumn("sb", splitOf(col("id_b")))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"),
+        col("id_a"), col("id_b"), col("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairAgg = lab.groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    val docAgg = lab
+      .select(col("split_a"), col("split_b"),
+        explode(array(col("id_a"), col("id_b"))).as("d"))
+      .distinct()
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_docs"))
+    pairAgg.join(docAgg, Seq("split_a", "split_b"))
+      .withColumn("cross_split", col("split_a") =!= col("split_b"))
+      .select("split_a", "split_b", "cross_split", "n_pairs", "n_docs",
+        "max_jaccard")
+  }
+
   /** [[jaccardPairs]] over a PREPARED (and ideally persisted) shingle
     * table — lets compositions like [[methodAgreement]] share one
     * shingle scan across several pair generators.

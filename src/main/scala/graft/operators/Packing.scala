@@ -38,6 +38,56 @@ object Packing {
         expr(s"_start_offset DIV $budget").as("pack_id"))
   }
 
+  /** Packing-efficiency tuning sweep — the table read BEFORE a context
+    * length ships: per (source, context length), the sequence counts
+    * and padding waste of the two standard packing policies. `pad`
+    * gives every document its own sequence(s) (⌈n/L⌉ each — docs
+    * longer than L chunk, the last chunk padded to L: the SFT/eval
+    * regime where examples must not bleed into each other); `concat`
+    * is [[packSequences]]'s concatenate-then-chunk stream (waste only
+    * in the final partial sequence: the pretraining regime). The gap
+    * between the two efficiencies at a given L is exactly the compute
+    * a trainer burns on pad tokens by NOT packing — the number that
+    * decides both the context length and the policy for a 100 TB run.
+    *
+    * Exactness: pure integer arithmetic (⌈a/b⌉ as (a+b−1) DIV b) until
+    * two final fixed-shape divisions of exact BIGINTs — fully under
+    * the hash oracle, no FP policy. NULL-token docs are out (the
+    * lengthPercentiles convention).
+    *
+    * Scale shape: one scan, a bounded explode (|contexts| rows per
+    * doc), one hash aggregate with map-side partials — no join, no
+    * window, scan-speed at any corpus size.
+    */
+  def packingEfficiencySweep(docs: DataFrame,
+      contexts: Seq[Long]): DataFrame = {
+    require(contexts.nonEmpty && contexts.forall(_ > 0),
+      s"context lengths must be positive, got $contexts")
+    val base = docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .filter(col("n_tok").isNotNull)
+    base
+      .withColumn("context_len", explode(array(contexts.map(lit): _*)))
+      .groupBy("source", "context_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(expr("(n_tok + context_len - 1) DIV context_len"))
+          .as("pad_seqs"))
+      .withColumn("pad_waste",
+        col("pad_seqs") * col("context_len") - col("total_tokens"))
+      .withColumn("pad_efficiency", col("total_tokens").cast("double") /
+        (col("pad_seqs") * col("context_len")).cast("double"))
+      .withColumn("concat_seqs",
+        expr("(total_tokens + context_len - 1) DIV context_len"))
+      .withColumn("concat_waste",
+        col("concat_seqs") * col("context_len") - col("total_tokens"))
+      .withColumn("concat_efficiency", col("total_tokens").cast("double") /
+        (col("concat_seqs") * col("context_len")).cast("double"))
+      .select("source", "context_len", "n_docs", "total_tokens",
+        "pad_seqs", "pad_waste", "pad_efficiency",
+        "concat_seqs", "concat_waste", "concat_efficiency")
+  }
+
   /** Boundary-exact context manifest — the chunk-side view of
     * [[packSequences]]: one row per `budget`-token context of the
     * concatenated stream with (n_docs, first_doc, last_doc, n_tokens),

@@ -142,5 +142,113 @@ object NorthStar9 extends QueryGroup {
       .orderBy("source"),
     None)
 
-  val all: Seq[Q] = Seq(retention, lengthSketch)
+  /** Packing-policy tuning sweep — the fourth tuning curve (n120 index
+    * recall, n125 dedup threshold, n126 gate threshold, here the
+    * context length × packing policy): per (source, L), pad-policy vs
+    * concat-policy sequence counts and padding waste. Pure integer
+    * arithmetic under the hash oracle.
+    */
+  private val packingSweep = {
+    val ls = Seq(512L, 2048L, 8192L)
+    Q(
+      "n129_packing_efficiency_sweep",
+      "context-length tuning curve: pad-policy vs concat-policy sequence counts + padding waste per source at L in {512,2048,8192}",
+      (s, dir) => graft.operators.Packing
+        .packingEfficiencySweep(Tables(s, dir).documents, ls)
+        .orderBy("source", "context_len"),
+      Some(s"""WITH b AS (
+              SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+              WHERE len(string_split(text, ' ')) IS NOT NULL),
+            ls(context_len) AS (VALUES ${
+          ls.map(l => s"(CAST($l AS BIGINT))").mkString(", ")}),
+            g AS (
+              SELECT source, context_len,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                CAST(SUM((n_tok + context_len - 1) // context_len)
+                  AS BIGINT) AS pad_seqs
+              FROM b CROSS JOIN ls GROUP BY source, context_len)
+            SELECT source, context_len, n_docs, total_tokens,
+              pad_seqs,
+              pad_seqs * context_len - total_tokens AS pad_waste,
+              CAST(total_tokens AS DOUBLE)
+                / CAST(pad_seqs * context_len AS DOUBLE) AS pad_efficiency,
+              (total_tokens + context_len - 1) // context_len AS concat_seqs,
+              ((total_tokens + context_len - 1) // context_len)
+                * context_len - total_tokens AS concat_waste,
+              CAST(total_tokens AS DOUBLE)
+                / CAST(((total_tokens + context_len - 1) // context_len)
+                    * context_len AS DOUBLE) AS concat_efficiency
+            FROM g ORDER BY source, context_len"""))
+  }
+
+  /** Train/val/test split leakage — near-dup pairs straddling the hash
+    * split boundary (the corpus's own benchmark-contamination mode;
+    * n18 checks an EXTERNAL suite, this checks the held-out slices).
+    */
+  private val splitLeak = Q(
+    "n130_split_leakage",
+    "near-dup pairs straddling the md5 80/10/10 train/val/test split: pair counts, quarantine doc counts, max Jaccard per split pair",
+    (s, dir) => graft.operators.Dedup
+      .splitLeakage(Tables(s, dir).documents, 3, 0.8)
+      .orderBy("split_a", "split_b"),
+    Some("""WITH tok AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                     ELSE list_transform(range(len(ts) - 2),
+                            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])
+                END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents)),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+            pi AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM tok),
+            jp AS (
+              SELECT id_a, id_b,
+                CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS j
+              FROM pi
+              JOIN sz sa ON id_a = sa.doc_id
+              JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter)
+                >= 0.8),
+            lab AS (
+              SELECT LEAST(spa, spb) AS split_a, GREATEST(spa, spb) AS split_b,
+                id_a, id_b, j
+              FROM (SELECT id_a, id_b, j,
+                      CASE WHEN CAST(('0x' || substr(md5(
+                          CAST(id_a AS VARCHAR) || ':split'), 1, 8))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(
+                          CAST(id_a AS VARCHAR) || ':split'), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS spa,
+                      CASE WHEN CAST(('0x' || substr(md5(
+                          CAST(id_b AS VARCHAR) || ':split'), 1, 8))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(
+                          CAST(id_b AS VARCHAR) || ':split'), 1, 8))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS spb
+                    FROM jp)),
+            pa AS (
+              SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                MAX(j) AS max_jaccard
+              FROM lab GROUP BY split_a, split_b),
+            da AS (
+              SELECT split_a, split_b,
+                CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+              FROM (SELECT split_a, split_b, id_a AS d FROM lab
+                    UNION ALL SELECT split_a, split_b, id_b FROM lab)
+              GROUP BY split_a, split_b)
+            SELECT split_a, split_b, split_a <> split_b AS cross_split,
+              n_pairs, n_docs, max_jaccard
+            FROM pa JOIN da USING (split_a, split_b)
+            ORDER BY split_a, split_b"""))
+
+  val all: Seq[Q] = Seq(retention, lengthSketch, packingSweep, splitLeak)
 }
