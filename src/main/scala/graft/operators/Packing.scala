@@ -60,33 +60,57 @@ object Packing {
     * window, scan-speed at any corpus size.
     */
   def packingEfficiencySweep(docs: DataFrame,
-      contexts: Seq[Long]): DataFrame = {
+      contexts: Seq[Long]): DataFrame =
+    packingReportFromCounts(packingStateCounts(docs, contexts))
+
+  /** The context-length set the registered queries sweep — one
+    * definition shared by the batch card (n129) and the streaming
+    * monitor (s39), so the two stay oracle-comparable.
+    */
+  val defaultContexts: Seq[Long] = Seq(512L, 2048L, 8192L)
+
+  /** The streaming-legal half of [[packingEfficiencySweep]]: the
+    * (source, context_len)-keyed MONOTONE integer sums — doc count,
+    * total tokens, pad-policy sequence count. Legal as ONE update-mode
+    * streaming aggregation (stateless scan expressions into a keyed
+    * agg, S·|contexts| state rows); every carried sum is an
+    * order-insensitive integer, so the streamed state converges to
+    * the batch closed form under any trigger slicing (the ksBinCounts
+    * convergence argument).
+    */
+  def packingStateCounts(docs: DataFrame, contexts: Seq[Long]): DataFrame = {
     require(contexts.nonEmpty && contexts.forall(_ > 0),
       s"context lengths must be positive, got $contexts")
-    val base = docs.select(col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
       .filter(col("n_tok").isNotNull)
-    base
       .withColumn("context_len", explode(array(contexts.map(lit): _*)))
       .groupBy("source", "context_len")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("total_tokens"),
         sum(expr("(n_tok + context_len - 1) DIV context_len"))
           .as("pad_seqs"))
-      .withColumn("pad_waste",
-        col("pad_seqs") * col("context_len") - col("total_tokens"))
-      .withColumn("pad_efficiency", col("total_tokens").cast("double") /
-        (col("pad_seqs") * col("context_len")).cast("double"))
-      .withColumn("concat_seqs",
-        expr("(total_tokens + context_len - 1) DIV context_len"))
-      .withColumn("concat_waste",
-        col("concat_seqs") * col("context_len") - col("total_tokens"))
-      .withColumn("concat_efficiency", col("total_tokens").cast("double") /
-        (col("concat_seqs") * col("context_len")).cast("double"))
-      .select("source", "context_len", "n_docs", "total_tokens",
-        "pad_seqs", "pad_waste", "pad_efficiency",
-        "concat_seqs", "concat_waste", "concat_efficiency")
   }
+
+  /** The report half over a (source, context_len, n_docs,
+    * total_tokens, pad_seqs) count frame — stateless arithmetic, so
+    * the batch query and the streaming monitor share one definition
+    * of every derived column (the ksFromBinCounts pattern).
+    */
+  def packingReportFromCounts(counts: DataFrame): DataFrame = counts
+    .withColumn("pad_waste",
+      col("pad_seqs") * col("context_len") - col("total_tokens"))
+    .withColumn("pad_efficiency", col("total_tokens").cast("double") /
+      (col("pad_seqs") * col("context_len")).cast("double"))
+    .withColumn("concat_seqs",
+      expr("(total_tokens + context_len - 1) DIV context_len"))
+    .withColumn("concat_waste",
+      col("concat_seqs") * col("context_len") - col("total_tokens"))
+    .withColumn("concat_efficiency", col("total_tokens").cast("double") /
+      (col("concat_seqs") * col("context_len")).cast("double"))
+    .select("source", "context_len", "n_docs", "total_tokens",
+      "pad_seqs", "pad_waste", "pad_efficiency",
+      "concat_seqs", "concat_waste", "concat_efficiency")
 
   /** Boundary-exact context manifest — the chunk-side view of
     * [[packSequences]]: one row per `budget`-token context of the

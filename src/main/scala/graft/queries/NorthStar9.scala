@@ -142,21 +142,12 @@ object NorthStar9 extends QueryGroup {
       .orderBy("source"),
     None)
 
-  /** Packing-policy tuning sweep — the fourth tuning curve (n120 index
-    * recall, n125 dedup threshold, n126 gate threshold, here the
-    * context length × packing policy): per (source, L), pad-policy vs
-    * concat-policy sequence counts and padding waste. Pure integer
-    * arithmetic under the hash oracle.
+  /** The n129 oracle, shared with s39's streaming convergence replay
+    * (the ksOracleSql pattern — one replay definition of the card).
     */
-  private val packingSweep = {
-    val ls = Seq(512L, 2048L, 8192L)
-    Q(
-      "n129_packing_efficiency_sweep",
-      "context-length tuning curve: pad-policy vs concat-policy sequence counts + padding waste per source at L in {512,2048,8192}",
-      (s, dir) => graft.operators.Packing
-        .packingEfficiencySweep(Tables(s, dir).documents, ls)
-        .orderBy("source", "context_len"),
-      Some(s"""WITH b AS (
+  private[queries] lazy val packingOracleSql: String = {
+    val ls = graft.operators.Packing.defaultContexts
+    s"""WITH b AS (
               SELECT source,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
               FROM documents
@@ -181,8 +172,23 @@ object NorthStar9 extends QueryGroup {
               CAST(total_tokens AS DOUBLE)
                 / CAST(((total_tokens + context_len - 1) // context_len)
                     * context_len AS DOUBLE) AS concat_efficiency
-            FROM g ORDER BY source, context_len"""))
+            FROM g ORDER BY source, context_len"""
   }
+
+  /** Packing-policy tuning sweep — the fourth tuning curve (n120 index
+    * recall, n125 dedup threshold, n126 gate threshold, here the
+    * context length × packing policy): per (source, L), pad-policy vs
+    * concat-policy sequence counts and padding waste. Pure integer
+    * arithmetic under the hash oracle.
+    */
+  private val packingSweep = Q(
+    "n129_packing_efficiency_sweep",
+    "context-length tuning curve: pad-policy vs concat-policy sequence counts + padding waste per source at L in {512,2048,8192}",
+    (s, dir) => graft.operators.Packing
+      .packingEfficiencySweep(Tables(s, dir).documents,
+        graft.operators.Packing.defaultContexts)
+      .orderBy("source", "context_len"),
+    Some(packingOracleSql))
 
   /** Train/val/test split leakage — near-dup pairs straddling the hash
     * split boundary (the corpus's own benchmark-contamination mode;

@@ -594,6 +594,20 @@ object StreamingQueries extends QueryGroup {
         .agg(count(lit(1)).as("copies"))
     }
 
+    /** s39: the streaming-legal half of the n129 packing-efficiency
+      * card — [[graft.operators.Packing.packingStateCounts]] applied
+      * verbatim to the document stream (one update-mode aggregation,
+      * S·|contexts| state rows of monotone integer sums; the bounded
+      * per-row explode is a stateless scan expression). The report
+      * half runs batch-side over the collapsed state through the SAME
+      * [[graft.operators.Packing.packingReportFromCounts]] the n129
+      * query composes — one definition of every derived column.
+      */
+    def s39(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      graft.operators.Packing.packingStateCounts(
+        docsSource(s, dir, stream),
+        graft.operators.Packing.defaultContexts)
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -838,7 +852,8 @@ object StreamingQueries extends QueryGroup {
       graft.operators.Similarity.occupancyGapReport(
         Frames.s36(s, dir, stream = false))),
     "s37_stream_dup_card" -> Seq(Frames.s37(s, dir, stream = false)),
-    "s38_stream_shadow_eval" -> Seq(Frames.s38(s, dir, stream = false)))
+    "s38_stream_shadow_eval" -> Seq(Frames.s38(s, dir, stream = false)),
+    "s39_stream_packing_monitor" -> Seq(Frames.s39(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2252,6 +2267,32 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar8.dupCardOracleSql))
 
+  /** Streaming packing-efficiency monitor — the n129 context-length
+    * tuning card maintained over continuous ingest: the per-(source,
+    * context length) doc/token/pad-sequence sums are ONE update-mode
+    * aggregation of monotone integers (the s33 collapse pattern — max
+    * per key over the emitted state IS the latest value), and the
+    * derived waste/efficiency columns run batch-side through the SAME
+    * report half the n129 query composes. A source whose pad
+    * efficiency collapses mid-ingest just started sending much
+    * shorter (or much longer) documents than the context length was
+    * tuned for — caught while the feed streams, not at the next
+    * batch re-tune. The ORACLE IS n129's SQL verbatim.
+    */
+  private val streamPackingMonitor = Q(
+    "s39_stream_packing_monitor",
+    "streaming packing-efficiency monitor per (source, context length) (converges to the n129 batch closed form)",
+    (s, dir) => {
+      val finalState = runToTable(Frames.s39(s, dir), "update")
+        .groupBy("source", "context_len")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("total_tokens")).as("total_tokens"),
+          max(col("pad_seqs")).as("pad_seqs"))
+      graft.operators.Packing.packingReportFromCounts(finalState)
+        .orderBy("source", "context_len")
+    },
+    Some(NorthStar9.packingOracleSql))
+
   /** Streaming shadow (champion/challenger) evaluation — n121 at its
     * real operating point: the pinned v1 and latest v2 artifact
     * versions are both loaded from the on-disk store, and LIVE traffic
@@ -2279,5 +2320,5 @@ object StreamingQueries extends QueryGroup {
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
-    streamShadowEval)
+    streamShadowEval, streamPackingMonitor)
 }

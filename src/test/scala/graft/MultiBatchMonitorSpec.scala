@@ -104,4 +104,38 @@ class MultiBatchMonitorSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"occupancy drift moved under trigger slicing:\n$streamed\nvs\n$batch")
   }
+
+  test("s39 collapse: multi-batch packing monitor equals the batch closed form") {
+    implicit val sql = spark.sqlContext
+    // three batches that keep re-touching source "a"'s state rows —
+    // varying token counts so every monotone sum really changes
+    val docChunks = Seq(
+      Seq((1L, "a", "w w w"), (2L, "b", "w w w w w")),
+      Seq((3L, "a", "w w w w w w w"), (4L, "a", "w")),
+      Seq((5L, "a", "w w"), (6L, "b", "w w w w w w w w w")))
+    val contexts = Seq(4L, 8L)
+    val input = MemoryStream[(Long, String, String)]
+    val counts = graft.operators.Packing.packingStateCounts(
+      input.toDF().toDF("doc_id", "source", "text"), contexts)
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("mb_pack").start()
+    try docChunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    val sink = spark.table("mb_pack")
+    assert(sink.count() >
+      sink.select("source", "context_len").distinct().count(),
+      "multi-batch retention did not occur")
+    val finalState = sink.groupBy("source", "context_len")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("total_tokens")).as("total_tokens"),
+        max(col("pad_seqs")).as("pad_seqs"))
+    val streamed = graft.operators.Packing
+      .packingReportFromCounts(finalState)
+      .orderBy("source", "context_len").collect().toSeq
+    val batch = graft.operators.Packing.packingEfficiencySweep(
+      docChunks.flatten.toDF("doc_id", "source", "text"), contexts)
+      .orderBy("source", "context_len").collect().toSeq
+    assert(streamed == batch,
+      s"packing card moved under trigger slicing:\n$streamed\nvs\n$batch")
+  }
 }
