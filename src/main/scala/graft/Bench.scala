@@ -173,9 +173,20 @@ object Bench {
       println(f"Bench: WARNING host already ${sentinel0 * 100}%.0f%% " +
         "externally busy during baseline — this sweep runs under load")
     val checkpoints = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // each checkpoint records BOTH pressure channels from one window:
+    // "<label>" = external CPU (the gating signal), "<label>_io" =
+    // host iowait fraction — the channel a CPU sentinel is blind to
+    // (an r13 sweep slowed its documents-heavy tail 1.5–3× while
+    // external CPU read ~0.03; the io series makes that mode readable
+    // from the artifact). The jvm fallback has no io channel.
     def checkpoint(label: String): Unit =
-      try checkpoints += (label -> sentinelRead())
-      catch { case _: Throwable => () }
+      try {
+        if (sentinelKind == "proc_external_busy") {
+          val (ext, io) = HostSentinel.pressure(500)
+          checkpoints += (label -> ext)
+          checkpoints += (s"${label}_io" -> io)
+        } else checkpoints += (label -> sentinelRead())
+      } catch { case _: Throwable => () }
     val names = sweepOrder(SparkEntry.queries.keySet.toSeq)
       .map(n => n -> SparkEntry.queries(n))
     checkpoint("start")

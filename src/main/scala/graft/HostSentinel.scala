@@ -32,28 +32,42 @@ package graft
 object HostSentinel {
 
   /** One external-busy-fraction reading over `windowMs`, in [0, 1]. */
-  def externalBusyFraction(windowMs: Long = 500): Double = {
-    val (busy0, total0) = hostTicks()
+  def externalBusyFraction(windowMs: Long = 500): Double =
+    pressure(windowMs)._1
+
+  /** One (externalBusy, ioWait) fraction pair from a single window.
+    * ioWait is host-wide CPU-idle-on-IO — the channel a CPU-steal
+    * sentinel is blind to: an r13 sweep slowed its documents-heavy
+    * tail 1.5–3× while external CPU read ~0.03 (page-cache/IO
+    * interference, not compute). ioWait rides the artifact's
+    * checkpoint series as EVIDENCE (`*_io` labels); it does not gate —
+    * a ~0 reading under a breach says "not external CPU" without
+    * claiming the IO path was quiet at query time.
+    */
+  def pressure(windowMs: Long = 500): (Double, Double) = {
+    val (busy0, io0, total0) = hostTicks()
     val self0 = selfTicks()
     Thread.sleep(windowMs)
-    val (busy1, total1) = hostTicks()
+    val (busy1, io1, total1) = hostTicks()
     val self1 = selfTicks()
     val dTotal = (total1 - total0).toDouble
     require(dTotal > 0, "no /proc/stat tick progress over the window")
-    math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / dTotal)
+    (math.max(0.0, ((busy1 - busy0) - (self1 - self0)) / dTotal),
+      math.max(0.0, (io1 - io0) / dTotal))
   }
 
-  /** (busy, total) jiffies from the aggregate cpu line of /proc/stat.
-    * busy excludes idle+iowait; total sums the first 8 fields (through
-    * steal — guest time is already folded into user on Linux).
+  /** (busy, iowait, total) jiffies from the aggregate cpu line of
+    * /proc/stat. busy excludes idle+iowait; total sums the first 8
+    * fields (through steal — guest time is already folded into user
+    * on Linux).
     */
-  private def hostTicks(): (Long, Long) = {
+  private def hostTicks(): (Long, Long, Long) = {
     val line = firstLine("/proc/stat")
     require(line.startsWith("cpu "), s"unexpected /proc/stat head: $line")
     val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
     require(f.length == 8, "short /proc/stat cpu line")
     val total = f.sum
-    (total - f(3) - f(4), total)
+    (total - f(3) - f(4), f(4), total)
   }
 
   /** utime+stime jiffies of THIS process (all threads), /proc/self/stat

@@ -112,6 +112,56 @@ object Packing {
       "pad_seqs", "pad_waste", "pad_efficiency",
       "concat_seqs", "concat_waste", "concat_efficiency")
 
+  /** Deterministic epoch-shuffle + token-balanced shard plan — the
+    * dataloader manifest a REPRODUCIBLE training run reads: for each
+    * epoch, every document gets a fresh md5-drawn position (the
+    * n73/n76 zero-RNG-state policy — deterministic, engine-portable,
+    * identical at any parallelism or restart), the exclusive token
+    * prefix sum over that order, and a contiguous token-balanced
+    * shard (worker) assignment `start_off DIV ⌈total/W⌉`. Two runs of
+    * the same corpus produce byte-identical epoch orders — the
+    * property that makes a loss-curve diff between two training runs
+    * attributable to the MODEL change rather than data-order noise —
+    * and any worker can materialize ITS shard with a filter instead
+    * of coordinating through a shuffle service.
+    *
+    * Scale shape: the per-epoch orders ride ONE
+    * [[GlobalOrder.withRunningTotal]] prefix sum with epoch as the
+    * leading order key (range partition + per-partition totals +
+    * broadcast offsets — never a partition-less window); the only
+    * join is a one-row corpus-total scalar crossJoined back
+    * (broadcast by construction; PlanQualitySpec-whitelisted). Output:
+    * (epoch, doc_id, n_tokens, start_off, shard), start_off exclusive
+    * within its epoch.
+    */
+  def epochShufflePlan(docs: DataFrame, epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1, s"need epochs >= 1, got $epochs")
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
+    val drawn = base
+      .withColumn("epoch", explode(array((0 until epochs).map(lit): _*)))
+      .withColumn("draw",
+        md5(concat_ws(":", col("doc_id"), lit("shuffle"), col("epoch"))))
+    // one global prefix sum with epoch leading the order: offsets run
+    // continuously across epochs and every epoch's base is
+    // epoch × corpus total (the same docs repeat each epoch), so the
+    // per-epoch offset is a stateless subtraction
+    val off = GlobalOrder.withRunningTotal(drawn,
+      Seq(col("epoch"), col("draw"), col("doc_id")), col("n_tokens"))
+    val total = base.agg(sum(col("n_tokens")).as("epoch_total"))
+    off.crossJoin(broadcast(total))
+      .withColumn("start_off",
+        col("_start_offset") - col("epoch") * col("epoch_total"))
+      // shard size ⌈total/W⌉ ⇒ the last start_off (< total) lands in
+      // shard ≤ W−1 with no clamp needed
+      .withColumn("shard",
+        expr(s"start_off DIV ((epoch_total + ${shards - 1}) DIV $shards)")
+          .cast("int"))
+      .select("epoch", "doc_id", "n_tokens", "start_off", "shard")
+  }
+
   /** Boundary-exact context manifest — the chunk-side view of
     * [[packSequences]]: one row per `budget`-token context of the
     * concatenated stream with (n_docs, first_doc, last_doc, n_tokens),

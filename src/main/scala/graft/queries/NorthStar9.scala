@@ -256,5 +256,43 @@ object NorthStar9 extends QueryGroup {
             FROM pa JOIN da USING (split_a, split_b)
             ORDER BY split_a, split_b"""))
 
-  val all: Seq[Q] = Seq(retention, lengthSketch, packingSweep, splitLeak)
+  /** Reproducible dataloader plan: per-epoch md5 shuffle + exclusive
+    * token prefix sums + contiguous token-balanced shard assignment.
+    * Everything under the exact-hash oracle — the md5 draws, the
+    * integer prefix sums, and the ceil-division shard rule replay
+    * identically in DuckDB.
+    */
+  private val epochShuffle = Q(
+    "n131_epoch_shuffle_plan",
+    "deterministic dataloader plan: md5 epoch shuffle, token prefix sums, contiguous token-balanced shard of 8 workers, 2 epochs",
+    (s, dir) => graft.operators.Packing
+      .epochShufflePlan(Tables(s, dir).documents, epochs = 2, shards = 8)
+      .orderBy("epoch", "doc_id"),
+    Some("""WITH b AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+              WHERE len(string_split(text, ' ')) IS NOT NULL),
+            eps(epoch) AS (VALUES (CAST(0 AS INT)), (CAST(1 AS INT))),
+            d AS (
+              SELECT epoch, doc_id, n_tokens,
+                md5(CAST(doc_id AS VARCHAR) || ':shuffle:'
+                    || CAST(epoch AS VARCHAR)) AS draw
+              FROM b CROSS JOIN eps),
+            r AS (
+              SELECT epoch, doc_id, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY epoch
+                  ORDER BY draw, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS start_off
+              FROM d),
+            t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS epoch_total
+                  FROM b)
+            SELECT epoch, doc_id, n_tokens, start_off,
+              CAST(start_off // ((epoch_total + 7) // 8) AS INT) AS shard
+            FROM r CROSS JOIN t
+            ORDER BY epoch, doc_id"""))
+
+  val all: Seq[Q] = Seq(retention, lengthSketch, packingSweep, splitLeak,
+    epochShuffle)
 }

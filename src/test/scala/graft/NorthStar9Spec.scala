@@ -53,6 +53,39 @@ class NorthStar9Spec extends AnyFunSuite {
     assert(r(1).getDouble(6) == 5.0 / 16.0 && r(1).getDouble(9) == 5.0 / 8.0)
   }
 
+  test("epochShufflePlan: determinism, per-epoch permutations, shard balance") {
+    import spark.implicits._
+    val docs = (1L to 12L)
+      .map(id => (id, "s", ("w " * id.toInt).trim))
+      .toDF("doc_id", "source", "text")
+    def plan() = graft.operators.Packing
+      .epochShufflePlan(docs, epochs = 2, shards = 2)
+      .orderBy("epoch", "doc_id").collect().toSeq
+    val p = plan()
+    // byte-identical across runs — the reproducible-training property
+    assert(p == plan(), "two runs of the same corpus must agree exactly")
+    val total = (1L to 12L).sum // 78 tokens; shard size ceil(78/2) = 39
+    for (e <- 0 to 1) {
+      val rows = p.filter(_.getInt(0) == e)
+      assert(rows.map(_.getLong(2)).sum == total)
+      // offsets are an exact exclusive prefix sum of SOME permutation:
+      // sorted offsets + their tokens tile [0, total) with no gaps
+      val byOff = rows.sortBy(_.getLong(3))
+      assert(byOff.head.getLong(3) == 0L, s"epoch $e must start at 0")
+      byOff.sliding(2).foreach { case Seq(a, b) =>
+        assert(a.getLong(3) + a.getLong(2) == b.getLong(3),
+          s"epoch $e offsets must tile without gaps")
+      }
+      // contiguous token-balanced sharding: shard = start_off DIV 39
+      rows.foreach(r => assert(r.getInt(4) == (r.getLong(3) / 39L).toInt))
+      assert(rows.map(_.getInt(4)).distinct.sorted == Seq(0, 1))
+    }
+    // the two epochs are genuinely different permutations
+    val off0 = p.filter(_.getInt(0) == 0).map(r => r.getLong(1) -> r.getLong(3))
+    val off1 = p.filter(_.getInt(0) == 1).map(r => r.getLong(1) -> r.getLong(3))
+    assert(off0 != off1, "epoch draws must reshuffle the order")
+  }
+
   test("splitLeakage: planted twins land in md5-derived split groups exactly") {
     import spark.implicits._
     // 10 twin pairs (2i-1, 2i) with identical per-pair text — Jaccard 1,

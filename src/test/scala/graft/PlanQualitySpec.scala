@@ -141,7 +141,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "n120_ivf_nprobe_sweep",
       // the one-row broadcast codebook crossJoined onto the corpus —
       // the scan-stage occupancy argmax
-      "n123_embedding_occupancy_drift")
+      "n123_embedding_occupancy_drift",
+      // one-row corpus-token-total scalar crossJoined onto the
+      // shuffled-prefix-sum frame — the broadcast-scalar shape again
+      "n131_epoch_shuffle_plan")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
