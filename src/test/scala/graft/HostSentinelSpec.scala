@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins for the out-of-process host sentinel and the pinned
+  * bench sweep order — the two round-13 harness pieces whose
+  * misbehavior would corrupt EVERY committed bench artifact rather
+  * than one query.
+  */
+class HostSentinelSpec extends AnyFunSuite {
+
+  test("pressure reads both channels as fractions in [0, 1]") {
+    // this container is Linux — /proc must be readable and both
+    // channels must be normalized fractions; a tick-parsing slip
+    // (wrong column, missing self subtraction) shows up as a value
+    // outside the unit interval or an exception
+    val (ext, io) = HostSentinel.pressure(200)
+    assert(ext >= 0.0 && ext <= 1.0, s"external busy out of range: $ext")
+    assert(io >= 0.0 && io <= 1.0, s"iowait out of range: $io")
+  }
+
+  test("this process's own CPU burn does not read as external pressure") {
+    // burn ~half the cores from THIS process during the window; the
+    // self-subtraction must keep the external reading low even though
+    // host busy is high — the property that lets the sentinel read
+    // mid-sweep without the bench JVM polluting it
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to Runtime.getRuntime.availableProcessors() / 2)
+      .map { _ =>
+        val t = new Thread(() => {
+          var x = 0L
+          while (!stop.get()) x += 1
+        })
+        t.setDaemon(true); t.start(); t
+      }
+    try {
+      val (ext, _) = HostSentinel.pressure(500)
+      assert(ext < 0.35,
+        f"own CPU burn leaked into the external reading: $ext%.3f " +
+          "(would self-trigger storm detection)")
+    } finally {
+      stop.set(true)
+      threads.foreach(_.join(1000))
+    }
+  }
+
+  test("sweepOrder: pinned names keep their slots, unknown names run last by name") {
+    // Bench.sweepOrder reads sweep_order.json from the working
+    // directory; registered-but-unpinned names (a hypothetical fresh
+    // query) must sort AFTER every pinned one, alphabetically among
+    // themselves — the no-reshuffle growth contract
+    val pinnedFirst = Bench.sweepOrder(
+      Seq("zz_unpinned_b", "c01_map_project", "zz_unpinned_a",
+        "q01_pricing_summary"))
+    assert(pinnedFirst.take(2) ==
+      Seq("c01_map_project", "q01_pricing_summary"),
+      s"pinned slots must lead: $pinnedFirst")
+    assert(pinnedFirst.drop(2) == Seq("zz_unpinned_a", "zz_unpinned_b"),
+      s"unpinned names must trail in name order: $pinnedFirst")
+  }
+}
