@@ -413,4 +413,62 @@ object Mixture {
       col("alloc"),
       (col("supply") - col("alloc")).as("unspent_supply"))
   }
+
+  /** Repetition-exposure planning card (the data-constrained-scaling
+    * accounting of Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models", in exact integer form): per source, the UNIQUE
+    * token supply (tokens of one representative per exact-dup
+    * fingerprint group — training twice on a crawl copy is an epoch,
+    * not new data), the budget slice allocated proportionally to that
+    * unique supply (`budget·u_s DIV Σu` — floor division; the ≤S-token
+    * remainder stays unspent rather than invent fractional tokens),
+    * and what that allocation MEANS: epochs = ⌈alloc/unique⌉ and the
+    * repeated-token fraction of the allocation. This is the table
+    * read before committing a token budget to a mix — a source whose
+    * allocation implies 7 epochs is being memorized, not learned from,
+    * and the budget should move or the source should grow.
+    *
+    * Exactness: fingerprint groups are the n01/n122 md5 machinery;
+    * every count and the allocation/epoch rules are BIGINT arithmetic;
+    * the two fractions are single divisions of exact integers — fully
+    * under the hash oracle, no FP policy.
+    *
+    * Scale shape: one scan → (source, fp) hash aggregate → S-row
+    * per-source frame (persisted — it feeds the one-row total AND the
+    * final card; unpersisted, the corpus would rescan) → a one-row
+    * total scalar crossJoined back (broadcast by construction,
+    * PlanQualitySpec-whitelisted).
+    */
+  def repetitionExposure(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"need budgetTokens > 0, got $budgetTokens")
+    import graft.functions.TextFunctions.fingerprint
+    val base = docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        fingerprint(col("text")).as("fp"))
+      .filter(col("n_tok").isNotNull)
+    val perSource = base.groupBy("source", "fp")
+      .agg(count(lit(1)).as("copies"), min(col("n_tok")).as("u_tok"),
+        sum(col("n_tok")).as("t_tok"))
+      .groupBy("source")
+      .agg(sum(col("copies")).as("n_docs"),
+        sum(col("t_tok")).as("total_tokens"),
+        sum(col("u_tok")).as("unique_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = perSource.agg(sum(col("unique_tokens")).as("all_unique"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("dup_token_frac",
+        (col("total_tokens") - col("unique_tokens")).cast("double") /
+          col("total_tokens").cast("double"))
+      .withColumn("alloc_tokens",
+        expr(s"($budgetTokens * unique_tokens) DIV all_unique"))
+      .withColumn("epochs",
+        expr("(alloc_tokens + unique_tokens - 1) DIV unique_tokens"))
+      .withColumn("repeat_frac",
+        when(col("alloc_tokens") > col("unique_tokens"),
+          (col("alloc_tokens") - col("unique_tokens")).cast("double") /
+            col("alloc_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .select("source", "n_docs", "total_tokens", "unique_tokens",
+        "dup_token_frac", "alloc_tokens", "epochs", "repeat_frac")
+  }
 }

@@ -293,6 +293,53 @@ object NorthStar9 extends QueryGroup {
             FROM r CROSS JOIN t
             ORDER BY epoch, doc_id"""))
 
+  /** Data-constrained-scaling planning card: unique-token supply per
+    * source, proportional budget allocation, implied epochs and
+    * repeated-token exposure — all BIGINT arithmetic plus two single
+    * divisions, fully under the hash oracle.
+    */
+  private val repetition = Q(
+    "n132_repetition_exposure",
+    "data-constrained budget card: per-source unique tokens, proportional allocation of a 500k budget, implied epochs + repeated-token fraction",
+    (s, dir) => graft.operators.Mixture
+      .repetitionExposure(Tables(s, dir).documents, budgetTokens = 500000L)
+      .orderBy("source"),
+    Some("""WITH b AS (
+              SELECT source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+                  1, 16) AS fp
+              FROM documents
+              WHERE len(string_split(text, ' ')) IS NOT NULL),
+            g AS (
+              SELECT source, fp,
+                CAST(COUNT(*) AS BIGINT) AS copies,
+                CAST(MIN(n_tok) AS BIGINT) AS u_tok,
+                CAST(SUM(n_tok) AS BIGINT) AS t_tok
+              FROM b GROUP BY source, fp),
+            s AS (
+              SELECT source,
+                CAST(SUM(copies) AS BIGINT) AS n_docs,
+                CAST(SUM(t_tok) AS BIGINT) AS total_tokens,
+                CAST(SUM(u_tok) AS BIGINT) AS unique_tokens
+              FROM g GROUP BY source),
+            tot AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS all_unique
+                    FROM s),
+            a AS (
+              SELECT source, n_docs, total_tokens, unique_tokens,
+                (500000 * unique_tokens) // all_unique AS alloc_tokens
+              FROM s CROSS JOIN tot)
+            SELECT source, n_docs, total_tokens, unique_tokens,
+              CAST(total_tokens - unique_tokens AS DOUBLE)
+                / CAST(total_tokens AS DOUBLE) AS dup_token_frac,
+              alloc_tokens,
+              (alloc_tokens + unique_tokens - 1) // unique_tokens AS epochs,
+              CASE WHEN alloc_tokens > unique_tokens THEN
+                CAST(alloc_tokens - unique_tokens AS DOUBLE)
+                  / CAST(alloc_tokens AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS repeat_frac
+            FROM a ORDER BY source"""))
+
   val all: Seq[Q] = Seq(retention, lengthSketch, packingSweep, splitLeak,
-    epochShuffle)
+    epochShuffle, repetition)
 }

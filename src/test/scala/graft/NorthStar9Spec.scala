@@ -86,6 +86,36 @@ class NorthStar9Spec extends AnyFunSuite {
     assert(off0 != off1, "epoch draws must reshuffle the order")
   }
 
+  test("repetitionExposure: hand-computed dup supply, allocation, epochs") {
+    import spark.implicits._
+    // src a: "x y z" twice (one fingerprint group) + "p q" →
+    //   total 8 tokens, unique 5; src b: "m n o p" → 4/4; Σunique = 9
+    // budget 18: alloc_a = 18·5 DIV 9 = 10 → epochs ⌈10/5⌉ = 2,
+    //   repeat (10−5)/10 = 0.5; alloc_b = 18·4 DIV 9 = 8 → epochs 2,
+    //   repeat 0.5
+    val docs = Seq(
+      (1L, "a", "x y z"), (2L, "a", "x y z"), (3L, "a", "p q"),
+      (4L, "b", "m n o p"))
+      .toDF("doc_id", "source", "text")
+    val r = graft.operators.Mixture.repetitionExposure(docs, 18L)
+      .orderBy("source").collect()
+    assert(r.length == 2)
+    val a = r(0); val b = r(1)
+    assert((a.getString(0), a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ("a", 3L, 8L, 5L))
+    assert(a.getDouble(4) == 3.0 / 8.0, "dup_token_frac")
+    assert((a.getLong(5), a.getLong(6)) == (10L, 2L), "alloc/epochs")
+    assert(a.getDouble(7) == 0.5, "repeat_frac")
+    assert((b.getString(0), b.getLong(3), b.getLong(5), b.getLong(6),
+      b.getDouble(7)) == ("b", 4L, 8L, 2L, 0.5))
+    // under-allocated regime: a huge unique supply relative to budget
+    // must read epochs ≤ 1 and repeat 0
+    val r2 = graft.operators.Mixture.repetitionExposure(docs, 9L)
+      .orderBy("source").collect()
+    assert(r2.forall(_.getLong(6) == 1L))
+    assert(r2.forall(_.getDouble(7) == 0.0))
+  }
+
   test("splitLeakage: planted twins land in md5-derived split groups exactly") {
     import spark.implicits._
     // 10 twin pairs (2i-1, 2i) with identical per-pair text — Jaccard 1,

@@ -144,7 +144,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "n123_embedding_occupancy_drift",
       // one-row corpus-token-total scalar crossJoined onto the
       // shuffled-prefix-sum frame — the broadcast-scalar shape again
-      "n131_epoch_shuffle_plan")
+      "n131_epoch_shuffle_plan",
+      // one-row all-sources unique-token total onto the S-row card
+      "n132_repetition_exposure")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
