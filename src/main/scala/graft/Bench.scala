@@ -25,14 +25,24 @@ object Bench {
 
   /** Receipts for one surviving ceiling breach's host-vs-code
     * adjudication: every sentinel reading taken while the breach stood
-    * (first entry = the reading that decided storm vs real), how many
-    * 10 s back-off waits ran, and the post-storm re-time if one ran.
-    * r11's n58 "108.7 s first pass during a storm" and n112 "sentinel
-    * 8× baseline" calls lived only in prose — these make every such
-    * adjudication replayable from the artifact alone.
+    * (first entry = the reading that decided storm vs real), the
+    * matching host-iowait readings (proc kind only — the channel that
+    * separates disk pressure from CPU steal), how many 10 s back-off
+    * waits ran, and the post-storm re-time if one ran. r11's n58
+    * "108.7 s first pass during a storm" and n112 "sentinel 8×
+    * baseline" calls lived only in prose — these make every such
+    * adjudication replayable from the artifact alone. A third
+    * environmental mode carries NO kernel signal this container can
+    * read — co-tenant MEMORY pressure, visible only as the query's own
+    * gc_ms running 10–20× its healthy profile with both channels
+    * quiet (the r13 n89 episode: 5.3 s GC on a 48 s run vs ~0.3 s
+    * typical) — which is why the retimed entries carry gc fields and
+    * why a breach with that signature is adjudicated by re-running
+    * the sweep, not by loosening the ceiling.
     */
   final case class StormEvidence(
-      readings: Seq[Double], waits: Int, postStorm: Option[Double])
+      readings: Seq[Double], waits: Int, postStorm: Option[Double],
+      ioReadings: Seq[Double] = Seq.empty)
 
   /** Sweep-level host-health evidence: which sentinel KIND this run
     * used ("proc_external_busy" = out-of-JVM /proc reading, external
@@ -238,8 +248,17 @@ object Bench {
           // storm object (r11's adjudications lived only in prose).
           var storm: Option[StormEvidence] = None
           if (math.min(t, r) > ceil(n)) {
-            val s = try sentinelRead() catch { case _: Throwable => 0.0 }
+            // read BOTH channels at breach time (proc kind): external
+            // CPU gates, iowait is recorded evidence
+            def readBoth(): (Double, Double) =
+              try {
+                if (sentinelKind == "proc_external_busy")
+                  HostSentinel.pressure(500)
+                else (sentinelRead(), -1.0)
+              } catch { case _: Throwable => (0.0, -1.0) }
+            val (s, sIo) = readBoth()
             val readings = scala.collection.mutable.ArrayBuffer(s)
+            val ioReadings = scala.collection.mutable.ArrayBuffer(sIo)
             var waits = 0
             var post: Option[Double] = None
             if (stormy(s)) {
@@ -249,8 +268,10 @@ object Bench {
               var cur = s
               while (waits < 6 && stormy(cur)) {
                 Thread.sleep(10000L); waits += 1
-                cur = try sentinelRead() catch { case _: Throwable => 0.0 }
+                val (c2, io2) = readBoth()
+                cur = c2
                 readings += cur
+                ioReadings += io2
               }
               val (r2, rp2) = try retime(spark, sfDir, n)
                 catch { case _: Throwable => (r, rp) }
@@ -258,7 +279,8 @@ object Bench {
               post = Some(r2)
               if (r2 < r) { r = r2; rp = rp2 }
             }
-            storm = Some(StormEvidence(readings.toSeq, waits, post))
+            storm = Some(StormEvidence(readings.toSeq, waits, post,
+              ioReadings.toSeq.filter(_ >= 0)))
           }
           Timing(n, math.min(t, r), firstPass = Some(t), retry = Some(r),
             gc = tm.gc, retryGc = rp, storm = storm)
@@ -415,6 +437,7 @@ object Bench {
           val se = t.storm.get
           "\"" + t.name + "\":{\"sentinel\":" +
             se.readings.map(fmt).mkString("[", ",", "]") +
+            ",\"io\":" + se.ioReadings.map(fmt).mkString("[", ",", "]") +
             ",\"waits\":" + se.waits +
             ",\"post_storm\":" + se.postStorm.map(fmt).getOrElse("null") + "}"
       }.mkString("{", ",", "}")

@@ -83,6 +83,72 @@ object AsOfJoin {
           col("m.right_id")).as("right_id"))
   }
 
+  /** NEAREST as-of with a symmetric horizon — the sensor-fusion /
+    * feature-alignment join (pandas `merge_asof(direction="nearest")`):
+    * for each left row, the right row minimizing |right.ts − left.ts|
+    * within ±`horizonSeconds` on the same key. Distance ties between
+    * the two directions go BACKWARD (at-or-before — the causal side;
+    * a right row at exactly left.ts is a 0-distance backward match),
+    * and within a direction the family's established tie rules hold
+    * ([[perKey]]: max right_id at equal ts; [[forwardPerKey]]: min).
+    * `direction` names which side won (NULL = no match in the band) —
+    * the column an alignment audit reads to see whether a feed is
+    * systematically lagging its labels.
+    *
+    * Plan shape: ONE union, ONE shuffle on the key, TWO in-partition
+    * window sorts (ascending carry of the latest past right, the
+    * [[perKey]] scan; descending carry of the earliest future right,
+    * the [[forwardPerKey]] scan) and a stateless per-row choice —
+    * never a join against the right side, so a hot key costs two
+    * sorts of its own rows and the bucketed scale path applies
+    * symmetrically if one ever needs it.
+    *
+    * left: (key, ts, left_id); right: (key, ts, right_id).
+    * Output: (left_id, key, right_id nullable, direction nullable).
+    */
+  def nearestPerKey(
+      left: DataFrame, right: DataFrame, horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0, s"horizon must be >= 0, got $horizonSeconds")
+    val horizonUs = horizonSeconds * 1000000L
+    val nullMark =
+      lit(null).cast("struct<rts:timestamp,right_id:bigint>")
+    val l = left.select(col("key"), col("ts"), col("left_id"),
+      nullMark.as("rmark"), lit(1).as("side"))
+    val r = right.select(col("key"), col("ts"),
+      lit(null).cast("long").as("left_id"),
+      struct(col("ts").as("rts"), col("right_id")).as("rmark"),
+      lit(0).as("side"))
+    val u = r.union(l)
+    // backward scan (the perKey order): rights at equal ts precede the
+    // left row, ascending right_id puts the max last under last()
+    val wb = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("side"), col("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward scan (the forwardPerKey order): reverse time, descending
+    // right_id puts the min last
+    val wf = Window.partitionBy(col("key"))
+      .orderBy(desc("ts"), col("side"), desc("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("bm", last(col("rmark"), ignoreNulls = true).over(wb))
+      .withColumn("fm", last(col("rmark"), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+      .withColumn("bdist",
+        unix_micros(col("ts")) - unix_micros(col("bm.rts")))
+      .withColumn("fdist",
+        unix_micros(col("fm.rts")) - unix_micros(col("ts")))
+      .withColumn("bok", col("bm").isNotNull && col("bdist") <= horizonUs)
+      .withColumn("fok", col("fm").isNotNull && col("fdist") <= horizonUs)
+      .withColumn("direction",
+        when(col("bok") && (!col("fok") || col("bdist") <= col("fdist")),
+          lit("backward"))
+          .when(col("fok"), lit("forward")))
+      .select(col("left_id"), col("key"),
+        when(col("direction") === "backward", col("bm.right_id"))
+          .when(col("direction") === "forward", col("fm.right_id"))
+          .as("right_id"),
+        col("direction"))
+  }
+
   def bucketed(left: DataFrame, right: DataFrame, bucketSeconds: Long): DataFrame = {
     val bucket = (ts: org.apache.spark.sql.Column) =>
       floor(ts.cast("double") / bucketSeconds).cast("long")

@@ -250,6 +250,52 @@ object TimeWindows extends QueryGroup {
             FROM events v WHERE v.event_type = 'view'
             ORDER BY view_id"""))
 
+  /** NEAREST as-of within ±2 h: the alignment join completing the
+    * family (w04 backward, w07 forward) — per view, the purchase
+    * closest in time either direction, distance ties to the causal
+    * (backward) side; the direction column rides the oracle so the
+    * tie logic itself is hash-checked.
+    */
+  private val asofNearest = Q(
+    "w08_asof_nearest",
+    "nearest as-of join: view -> closest purchase within +-2h, ties backward, direction under the oracle",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"))
+      graft.operators.AsOfJoin.nearestPerKey(left, right, 2L * 3600L)
+        .select(col("left_id").as("view_id"), col("key").as("user_id"),
+          col("right_id").as("purchase_id"), col("direction"))
+        .orderBy("view_id")
+    },
+    Some("""SELECT v.event_id AS view_id, v.user_id,
+              (SELECT p.event_id FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 7200000000
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+                 (p.ts > v.ts) ASC,
+                 CASE WHEN p.ts <= v.ts THEN -p.event_id
+                      ELSE p.event_id END ASC
+               LIMIT 1) AS purchase_id,
+              (SELECT CASE WHEN p.ts <= v.ts THEN 'backward'
+                           ELSE 'forward' END
+               FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 7200000000
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+                 (p.ts > v.ts) ASC,
+                 CASE WHEN p.ts <= v.ts THEN -p.event_id
+                      ELSE p.event_id END ASC
+               LIMIT 1) AS direction
+            FROM events v WHERE v.event_type = 'view'
+            ORDER BY view_id"""))
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
-    punctuated, asofForward)
+    punctuated, asofForward, asofNearest)
 }

@@ -128,4 +128,34 @@ class AsOfJoinSpec extends AnyFunSuite {
       (200L, 2L, None))
     assert(got == expected, s"got $got")
   }
+
+  test("nearestPerKey: closer side wins, distance ties backward, band excludes") {
+    // key 1 rights at ts 10 (ids 11,12) and 20 (id 13):
+    //   left at 13 -> backward dist 3 vs forward dist 7 -> backward,
+    //     two rights tie at ts=10 -> backward rule = MAX id (12)
+    //   left at 16 -> backward dist 6 vs forward dist 4 -> forward (13)
+    //   left at 15 -> dist 5 both sides -> tie goes BACKWARD (12)
+    //   left at 10 -> same-ts right = 0-distance backward match (12)
+    //   left at 40 -> nearest right dist 20, beyond horizon 10 -> null
+    // key 2: no rights -> null
+    val left = df(Seq(
+      (1L, 13L, 100L), (1L, 16L, 101L), (1L, 15L, 102L),
+      (1L, 10L, 103L), (1L, 40L, 104L), (2L, 50L, 200L)),
+      "left_id")
+    val right = df(Seq(
+      (1L, 10L, 11L), (1L, 10L, 12L), (1L, 20L, 13L)),
+      "right_id")
+    val got = AsOfJoin.nearestPerKey(left, right, horizonSeconds = 10L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
+    val expected = Set(
+      (100L, Some(12L), Some("backward")),
+      (101L, Some(13L), Some("forward")),
+      (102L, Some(12L), Some("backward")),
+      (103L, Some(12L), Some("backward")),
+      (104L, None, None),
+      (200L, None, None))
+    assert(got == expected, s"got $got")
+  }
 }
