@@ -27,22 +27,34 @@ object Bench {
     * adjudication: every sentinel reading taken while the breach stood
     * (first entry = the reading that decided storm vs real), the
     * matching host-iowait readings (proc kind only — the channel that
-    * separates disk pressure from CPU steal), how many 10 s back-off
-    * waits ran, and the post-storm re-time if one ran. r11's n58
-    * "108.7 s first pass during a storm" and n112 "sentinel 8×
-    * baseline" calls lived only in prose — these make every such
-    * adjudication replayable from the artifact alone. A third
-    * environmental mode carries NO kernel signal this container can
-    * read — co-tenant MEMORY pressure, visible only as the query's own
-    * gc_ms running 10–20× its healthy profile with both channels
-    * quiet (the r13 n89 episode: 5.3 s GC on a 48 s run vs ~0.3 s
-    * typical) — which is why the retimed entries carry gc fields and
-    * why a breach with that signature is adjudicated by re-running
-    * the sweep, not by loosening the ceiling.
+    * separates disk pressure from CPU steal), the kernel memory-PSI
+    * readings (avg10 %, −1 entries dropped), how many 10 s back-off
+    * waits ran, the post-storm re-time if one ran, and — for a QUIET-
+    * sentinel breach — the spaced second isolated retry plus its GC
+    * probe. r11's n58 "108.7 s first pass during a storm" and n112
+    * "sentinel 8× baseline" calls lived only in prose — these make
+    * every such adjudication replayable from the artifact alone.
+    *
+    * The third environmental mode (co-tenant MEMORY pressure) blinded
+    * both CPU channels in the r13 record: n57's 33.7 s first pass and
+    * 45.6 s retry both landed inside one pressure window with ext/io
+    * at 0.000, so the committed round artifact failed its gate with no
+    * on-artifact answer. Three additions close that: the PSI channel
+    * (the kernel signal for exactly this mode), the spaced second
+    * retry (a cool-down long enough to exit the window the first retry
+    * died in), and `verdict`/`evidence` — a machine-readable
+    * adjudication ([[Bench.adjudicateBreach]]) emitted for any breach
+    * that STILL survives, so a replay can distinguish "gate defect"
+    * from "host defect" without re-running anything.
     */
   final case class StormEvidence(
       readings: Seq[Double], waits: Int, postStorm: Option[Double],
-      ioReadings: Seq[Double] = Seq.empty)
+      ioReadings: Seq[Double] = Seq.empty,
+      psiReadings: Seq[Double] = Seq.empty,
+      retry2: Option[Double] = None,
+      retry2Gc: Option[GcProbe] = None,
+      verdict: Option[String] = None,
+      evidence: Option[String] = None)
 
   /** Sweep-level host-health evidence: which sentinel KIND this run
     * used ("proc_external_busy" = out-of-JVM /proc reading, external
@@ -70,6 +82,56 @@ object Bench {
     * numbers instead of prose inference.
     */
   final case class GcProbe(gcMs: Long, heapGb: Double)
+
+  /** Machine-readable host-vs-code call for a breach that survived
+    * every retry, from evidence the artifact already carries. Rules,
+    * in order (first hit wins; the evidence string names it):
+    *
+    *   1. external CPU storm observed at any reading → environmental
+    *      (the r11 n58 mode: co-tenant steal, sentinel well over 0.35);
+    *   2. kernel memory PSI avg10 ≥ 1 % at any reading → environmental
+    *      (the r13 n57/n89 mode: co-tenant memory pressure, both CPU
+    *      channels quiet — PSI is the signal they were blind to);
+    *   3. GC-bound best retry (gc ≥ 2 s AND ≥ 10 % of wall) →
+    *      environmental (the same mode's JVM-side fingerprint: n89
+    *      retimed at 43 s with 5.65 s GC vs a ~0.3 s healthy profile);
+    *   4. retries disagree ≥ 1.8× under quiet sentinels →
+    *      environmental (a genuine plan regression reproduces stably
+    *      in isolation; wild spread with no host signal = a contention
+    *      window the channels cannot see);
+    *   5. otherwise → regression_suspected: quiet host, stable
+    *      timings, healthy GC — the query's own plan is the cause
+    *      until a code read says otherwise.
+    *
+    * The verdict LABELS; it never changes an exit code. BenchGuard
+    * still fails the artifact — but the failure now carries its own
+    * adjudication instead of demanding a human re-run.
+    */
+  private[graft] def adjudicateBreach(
+      wallSecs: Seq[Double], bestGcMs: Long, bestWallSecs: Double,
+      maxExt: Double, maxPsi: Double, stormed: Boolean): (String, String) = {
+    val times = wallSecs.filter(_ >= 0)
+    val spread =
+      if (times.isEmpty || times.min <= 0) 1.0 else times.max / times.min
+    if (stormed)
+      ("environmental_suspected",
+        f"external CPU storm observed (max ext ${maxExt}%.3f)")
+    else if (maxPsi >= 1.0)
+      ("environmental_suspected",
+        f"kernel memory PSI avg10 ${maxPsi}%.2f%% during breach")
+    else if (bestGcMs >= 2000 && bestGcMs >= 100.0 * bestWallSecs)
+      ("environmental_suspected",
+        f"gc-bound retry: ${bestGcMs}ms GC on ${bestWallSecs}%.2fs wall " +
+          "(memory-pressure fingerprint)")
+    else if (spread >= 1.8)
+      ("environmental_suspected",
+        f"retries disagree ${spread}%.1fx under quiet sentinels " +
+          f"(ext ${maxExt}%.3f, psi ${maxPsi}%.2f) — contention window")
+    else
+      ("regression_suspected",
+        f"no environmental signal: ext ${maxExt}%.3f, psi ${maxPsi}%.2f, " +
+          f"gc ${bestGcMs}ms on ${bestWallSecs}%.2fs, spread ${spread}%.1fx")
+  }
 
   private def gcTotalMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -189,12 +251,19 @@ object Bench {
     // (an r13 sweep slowed its documents-heavy tail 1.5–3× while
     // external CPU read ~0.03; the io series makes that mode readable
     // from the artifact). The jvm fallback has no io channel.
+    // "<label>_mem" = kernel memory PSI avg10 (%): the channel for the
+    // third environmental mode (co-tenant memory pressure — r13's n57/
+    // n89 episodes ran with ext and io BOTH 0.000). Only emitted when
+    // /proc/pressure/memory is readable, so its absence in an artifact
+    // means "channel unavailable", never "quiet".
     def checkpoint(label: String): Unit =
       try {
         if (sentinelKind == "proc_external_busy") {
           val (ext, io) = HostSentinel.pressure(500)
           checkpoints += (label -> ext)
           checkpoints += (s"${label}_io" -> io)
+          try checkpoints += (s"${label}_mem" -> HostSentinel.memoryPsiAvg10())
+          catch { case _: Throwable => () }
         } else checkpoints += (label -> sentinelRead())
       } catch { case _: Throwable => () }
     val names = sweepOrder(SparkEntry.queries.keySet.toSeq)
@@ -256,12 +325,20 @@ object Bench {
                   HostSentinel.pressure(500)
                 else (sentinelRead(), -1.0)
               } catch { case _: Throwable => (0.0, -1.0) }
+            def readPsi(): Double =
+              try HostSentinel.memoryPsiAvg10()
+              catch { case _: Throwable => -1.0 }
+            val firstRetry = r // before the rescue paths fold minima into r
             val (s, sIo) = readBoth()
             val readings = scala.collection.mutable.ArrayBuffer(s)
             val ioReadings = scala.collection.mutable.ArrayBuffer(sIo)
+            val psiReadings = scala.collection.mutable.ArrayBuffer(readPsi())
             var waits = 0
             var post: Option[Double] = None
-            if (stormy(s)) {
+            var retry2: Option[Double] = None
+            var retry2Gc: Option[GcProbe] = None
+            val stormed = stormy(s)
+            if (stormed) {
               println(f"Bench: $n still over with sentinel ${s}%.3f vs " +
                 f"baseline ${sentinel0}%.3f ($sentinelKind) — host stall " +
                 "storm; backing off")
@@ -272,15 +349,58 @@ object Bench {
                 cur = c2
                 readings += cur
                 ioReadings += io2
+                psiReadings += readPsi()
               }
               val (r2, rp2) = try retime(spark, sfDir, n)
                 catch { case _: Throwable => (r, rp) }
               println(f"Bench: $n post-storm re-time ${r2}%.2fs")
               post = Some(r2)
               if (r2 < r) { r = r2; rp = rp2 }
+            } else {
+              // QUIET-sentinel breach: both CPU channels say the host is
+              // idle, yet two isolated timings are over ceiling. The r13
+              // n57 record shows why one retry is not enough — its 45.6 s
+              // retry landed inside the SAME co-tenant memory-pressure
+              // window as the 33.7 s first pass, and the sweep shipped a
+              // failing artifact with no on-artifact answer. A spaced
+              // second retry exits the window when the pressure is
+              // transient (the observed windows inflate whole blocks for
+              // tens of seconds, then the very next pass is clean), and
+              // when it does NOT rescue, its reading strengthens the
+              // verdict below.
+              println(f"Bench: $n still over with QUIET sentinels (ext " +
+                f"${s}%.3f, io ${sIo}%.3f, psi ${psiReadings.head}%.2f) — " +
+                "spaced second isolated retry after 20s cool-down")
+              Thread.sleep(20000L)
+              val (c2, io2) = readBoth()
+              readings += c2; ioReadings += io2; psiReadings += readPsi()
+              val (r2, rp2) = try retime(spark, sfDir, n)
+                catch { case _: Throwable => (r, rp) }
+              println(f"Bench: $n spaced re-time ${r2}%.2fs")
+              retry2 = Some(r2)
+              retry2Gc = rp2
+              if (r2 < r) { r = r2; rp = rp2 }
             }
+            // a breach that STILL survives gets a machine-readable
+            // host-vs-code verdict on the artifact (never an exit-code
+            // change): a replay can then distinguish "gate defect" from
+            // "host defect" without re-running the sweep
+            val verdict =
+              if (math.min(t, r) > ceil(n)) {
+                val bestGc =
+                  (if (r <= t) rp else tm.gc).map(_.gcMs).getOrElse(0L)
+                val v = adjudicateBreach(
+                  Seq(t, firstRetry) ++ retry2.toSeq ++ post.toSeq,
+                  bestGc, math.min(t, r),
+                  readings.max, psiReadings.filter(_ >= 0)
+                    .foldLeft(-1.0)(math.max), stormed)
+                println(s"Bench: $n SURVIVING breach verdict ${v._1} (${v._2})")
+                Some(v)
+              } else None
             storm = Some(StormEvidence(readings.toSeq, waits, post,
-              ioReadings.toSeq.filter(_ >= 0)))
+              ioReadings.toSeq.filter(_ >= 0),
+              psiReadings.toSeq.filter(_ >= 0),
+              retry2, retry2Gc, verdict.map(_._1), verdict.map(_._2)))
           }
           Timing(n, math.min(t, r), firstPass = Some(t), retry = Some(r),
             gc = tm.gc, retryGc = rp, storm = storm)
@@ -435,11 +555,21 @@ object Bench {
       val breaches = results.collect {
         case t if t.storm.isDefined =>
           val se = t.storm.get
+          // verdict/evidence stay LAST in the breach object: BenchGuard's
+          // replay regex anchors on "sentinel":[ then scans to "verdict"
+          // within the same (nesting-free) object
           "\"" + t.name + "\":{\"sentinel\":" +
             se.readings.map(fmt).mkString("[", ",", "]") +
             ",\"io\":" + se.ioReadings.map(fmt).mkString("[", ",", "]") +
+            ",\"psi\":" + se.psiReadings.map(fmt).mkString("[", ",", "]") +
             ",\"waits\":" + se.waits +
-            ",\"post_storm\":" + se.postStorm.map(fmt).getOrElse("null") + "}"
+            ",\"post_storm\":" + se.postStorm.map(fmt).getOrElse("null") +
+            se.retry2.map(v => ",\"retry2\":" + fmt(v)).getOrElse("") +
+            se.retry2Gc.map(p => ",\"retry2_gc_ms\":" + p.gcMs +
+              ",\"retry2_heap_gb\":" + fmt(p.heapGb)).getOrElse("") +
+            se.verdict.map(v => ",\"verdict\":\"" + esc(v) +
+              "\",\"evidence\":\"" + esc(se.evidence.getOrElse("")) + "\"")
+              .getOrElse("") + "}"
       }.mkString("{", ",", "}")
       "\"storm\":{\"kind\":\"" + esc(m.kind) + "\"" +
         ",\"baseline\":" + fmt(m.baseline) +
@@ -458,16 +588,21 @@ object Bench {
     // KEY ORDER IS LOAD-BEARING. The driver's log capture keeps only
     // the final ~2 kB of stdout, so the end of this line is the only
     // part guaranteed to survive into the committed BENCH_r*.json:
-    //   - "queries" goes SECOND-TO-LAST, after every other object.
-    //     r12 emitted it before "retimed"/"storm", whose grown receipts
-    //     pushed the whole map out of the tail and crashed BenchGuard's
-    //     replay ("no per-query timings found"); with the map at the
-    //     end, any clip lands either inside it (the surviving pairs
-    //     get a partial check) or before it only when the line fits.
+    //   - "queries" goes as close to the end as a big object can,
+    //     after every other OBJECT. r12 emitted it before
+    //     "retimed"/"storm", whose grown receipts pushed the whole map
+    //     out of the tail and crashed BenchGuard's replay ("no
+    //     per-query timings found"); with the map at the end, any clip
+    //     lands either inside it (the surviving pairs get a partial
+    //     check) or before it only when the line fits.
+    //   - "n_queries" (the registry size this run timed) sits AFTER
+    //     the map in the fixed-size suffix, so a replayer of a clipped
+    //     artifact can label its coverage (PARTIAL: k/n) without the
+    //     registry — any clip that keeps the line's tail keeps it.
     //   - "value" (the headline total) stays absolutely LAST so the
     //     driver's metric read survives the same clip.
     // BenchGuardSpec round-trips a 241-query line through a 2 kB tail
     // clip to pin this contract.
-    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"errors":$errs,"retimed":$retimed,$stormObj"queries":$qs,"value":${fmt(total)}}"""
+    s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env"gc":$gcs,"errors":$errs,"retimed":$retimed,$stormObj"queries":$qs,"n_queries":${results.size},"value":${fmt(total)}}"""
   }
 }

@@ -56,6 +56,27 @@ object HostSentinel {
       math.max(0.0, (io1 - io0) / dTotal))
   }
 
+  /** Kernel memory-pressure stall fraction: the `some avg10` field of
+    * `/proc/pressure/memory` (PSI), as a percentage in [0, 100] — the
+    * share of the last 10 s in which at least one task stalled on
+    * memory (reclaim, refault, swap). This is the kernel channel for
+    * the THIRD environmental mode the r13 record documents (co-tenant
+    * memory pressure: queries inflate 2–5× with gc_ms 10–20× healthy
+    * while external-CPU and iowait both read ~0 — the n57/n89
+    * episodes). A quiet host reads 0.00; the mode that blinded both
+    * CPU channels is exactly what PSI counts. Throws when the file is
+    * absent (pre-4.20 kernels, psi=0 boot) or malformed — callers
+    * record −1 and the artifact shows the channel was unavailable
+    * rather than quiet.
+    */
+  def memoryPsiAvg10(): Double = {
+    val line = firstLine("/proc/pressure/memory")
+    require(line.startsWith("some "), s"unexpected PSI head: $line")
+    val f = line.split("\\s+").find(_.startsWith("avg10="))
+      .getOrElse(sys.error(s"no avg10 field in PSI line: $line"))
+    f.stripPrefix("avg10=").toDouble
+  }
+
   /** (busy, iowait, total) jiffies from the aggregate cpu line of
     * /proc/stat. busy excludes idle+iowait; total sums the first 8
     * fields (through steal — guest time is already folded into user

@@ -50,8 +50,8 @@ object AsOfJoin {
     * time: one union, one per-key window scanned in DESCENDING ts
     * order carrying the nearest future right row, then the horizon
     * applied as a stateless filter on the carried timestamp. Same
-    * one-shuffle, key-parallel shape as [[perKey]]; the bucketed
-    * scale path applies symmetrically if a key ever gets hot.
+    * one-shuffle, key-parallel shape as [[perKey]]; a genuinely hot
+    * key takes [[bucketedForward]], the keys × time-buckets form.
     *
     * left: (key, ts, left_id); right: (key, ts, right_id).
     * Output: (left_id, key, right_id nullable).
@@ -99,9 +99,9 @@ object AsOfJoin {
     * window sorts (ascending carry of the latest past right, the
     * [[perKey]] scan; descending carry of the earliest future right,
     * the [[forwardPerKey]] scan) and a stateless per-row choice —
-    * never a join against the right side, so a hot key costs two
-    * sorts of its own rows and the bucketed scale path applies
-    * symmetrically if one ever needs it.
+    * never a join against the right side. A hot key still pays two
+    * whole-key in-partition sorts here; [[bucketedNearest]] is the
+    * keys × time-buckets form that spreads those sorts over buckets.
     *
     * left: (key, ts, left_id); right: (key, ts, right_id).
     * Output: (left_id, key, right_id nullable, direction nullable).
@@ -197,5 +197,138 @@ object AsOfJoin {
       .join(bucketCarry, Seq("key", "bucket"), "left")
       .select(col("left_id"), col("key"),
         coalesce(col("local_match"), col("carry_in")).as("right_id"))
+  }
+
+  /** Both directional marks per left row, bucketed — the shared carry
+    * machinery behind [[bucketedForward]] and [[bucketedNearest]]
+    * (the forward/nearest analog of [[bucketed]]'s three stages,
+    * closing the r13 gap where only BACKWARD had a hot-key path).
+    *
+    * Parallelism is keys × time-buckets: events partition by
+    * (key, ⌊ts/bucket⌋); each bucket resolves its local backward and
+    * forward candidates with two in-partition window scans (the
+    * [[perKey]] ascending order and the [[forwardPerKey]] descending
+    * order over the SAME exchange), and the only cross-bucket state is
+    * one (last_mark, first_mark) summary row per (key, bucket) —
+    * windowed per key over bucket summaries (buckets per key, not
+    * events) in both directions on one tiny frame, then joined back.
+    * A hot key with a billion events pays per-bucket sorts instead of
+    * two whole-key sorts.
+    *
+    * Tie rules are the family's, preserved bucket-locally and in the
+    * carries: backward = latest ts then MAX right_id (max(struct)),
+    * forward = earliest ts then MIN right_id (min(struct)).
+    *
+    * Returns one row per left row: (left_id, key, ts, bm, fm) where
+    * bm/fm are nullable struct<rts, right_id> marks with no horizon
+    * applied — callers own the band filter.
+    */
+  private def bucketedMarks(
+      left: DataFrame, right: DataFrame, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucket must be > 0, got $bucketSeconds")
+    val bucket = (ts: org.apache.spark.sql.Column) =>
+      floor(ts.cast("double") / bucketSeconds).cast("long")
+    val mark = struct(col("ts").as("rts"), col("right_id"))
+    val nullMark = lit(null).cast("struct<rts:timestamp,right_id:bigint>")
+
+    // stage 1: one summary row per (key, bucket) — lexicographic
+    // struct min/max encode the family tie rules exactly
+    val rB = right.withColumn("bucket", bucket(col("ts")))
+    // persisted: summary feeds BOTH the carry windows and the
+    // allBuckets union — unpersisted it recomputes, re-scanning the
+    // right input (ScanAudit read 5 scans; the summary is
+    // buckets-per-key-sized, so the persist is model-sized, never
+    // corpus-sized). The remaining 2-scans-per-input (one structure
+    // pass, one event pass) are inherent: caching the corpus-sized
+    // inputs to merge them is exactly what doesn't scale.
+    val summary = rB.groupBy(col("key"), col("bucket"))
+      .agg(max(mark).as("last_mark"), min(mark).as("first_mark"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // stage 2: carries for every TOUCHED bucket (lefts included — a
+    // left in a right-free bucket still needs both carries), both
+    // directions windowed on the one summary-sized frame. Absent
+    // buckets hold no rights, so lag over present buckets is exact.
+    val lB = left.withColumn("bucket", bucket(col("ts")))
+    val allBuckets = lB.select("key", "bucket")
+      .union(summary.select("key", "bucket")).distinct()
+    val asc = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc0 = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carries = allBuckets
+      .join(summary, Seq("key", "bucket"), "left")
+      // latest right mark at end-of-bucket, shifted one bucket forward
+      .withColumn("eob", last(col("last_mark"), ignoreNulls = true).over(asc))
+      .withColumn("carry_b", lag(col("eob"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("bucket"))))
+      // earliest right mark at-or-after bucket start, shifted one back
+      .withColumn("fob", last(col("first_mark"), ignoreNulls = true).over(desc0))
+      .withColumn("carry_f", lag(col("fob"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("bucket").desc)))
+      .select(col("key"), col("bucket"), col("carry_b"), col("carry_f"))
+
+    // stage 3: local resolution within each (key, bucket) partition —
+    // two window scans over ONE exchange, then the tiny carry join
+    val l = lB.select(col("key"), col("bucket"), col("ts"), col("left_id"),
+      nullMark.as("rmark"), lit(1).as("side"))
+    val r = rB.select(col("key"), col("bucket"), col("ts"),
+      lit(null).cast("long").as("left_id"), mark.as("rmark"),
+      lit(0).as("side"))
+    val wb = Window.partitionBy(col("key"), col("bucket"))
+      .orderBy(col("ts"), col("side"), col("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("key"), col("bucket"))
+      .orderBy(desc("ts"), col("side"), desc("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.union(l)
+      .withColumn("local_b", last(col("rmark"), ignoreNulls = true).over(wb))
+      .withColumn("local_f", last(col("rmark"), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+      .join(carries, Seq("key", "bucket"), "left")
+      .select(col("left_id"), col("key"), col("ts"),
+        coalesce(col("local_b"), col("carry_b")).as("bm"),
+        coalesce(col("local_f"), col("carry_f")).as("fm"))
+  }
+
+  /** [[forwardPerKey]]'s hot-key scale path: identical results
+    * (AsOfJoinSpec pins equality on edge fixtures and random rounds),
+    * keys × time-buckets parallelism via [[bucketedMarks]].
+    */
+  def bucketedForward(left: DataFrame, right: DataFrame,
+      horizonSeconds: Long, bucketSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0, s"horizon must be >= 0, got $horizonSeconds")
+    bucketedMarks(left, right, bucketSeconds)
+      .select(col("left_id"), col("key"),
+        when(unix_micros(col("fm.rts")) <=
+            unix_micros(col("ts")) + horizonSeconds * 1000000L,
+          col("fm.right_id")).as("right_id"))
+  }
+
+  /** [[nearestPerKey]]'s hot-key scale path: identical results and the
+    * identical stateless choice (distance ties backward, within-side
+    * family tie rules), over [[bucketedMarks]] instead of two
+    * whole-key window sorts.
+    */
+  def bucketedNearest(left: DataFrame, right: DataFrame,
+      horizonSeconds: Long, bucketSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0, s"horizon must be >= 0, got $horizonSeconds")
+    val horizonUs = horizonSeconds * 1000000L
+    bucketedMarks(left, right, bucketSeconds)
+      .withColumn("bdist",
+        unix_micros(col("ts")) - unix_micros(col("bm.rts")))
+      .withColumn("fdist",
+        unix_micros(col("fm.rts")) - unix_micros(col("ts")))
+      .withColumn("bok", col("bm").isNotNull && col("bdist") <= horizonUs)
+      .withColumn("fok", col("fm").isNotNull && col("fdist") <= horizonUs)
+      .withColumn("direction",
+        when(col("bok") && (!col("fok") || col("bdist") <= col("fdist")),
+          lit("backward"))
+          .when(col("fok"), lit("forward")))
+      .select(col("left_id"), col("key"),
+        when(col("direction") === "backward", col("bm.right_id"))
+          .when(col("direction") === "forward", col("fm.right_id"))
+          .as("right_id"),
+        col("direction"))
   }
 }

@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   * SimpleStreamProcessor/Node.scala:162-199`) — a model version is a
   * resource acquired at apply time, not ambient state.
   *
+  * Retention vs a RUNNING reader (the contract ArtifactRetentionSpec's
+  * mid-stream race pins): the apply side resolves a version ONCE at
+  * job start and collects the model-sized frame to the driver (the
+  * s34 pattern), so [[pruneVersions]] deleting that version mid-run
+  * cannot affect the running job — no disk dependency survives the
+  * load. Latest advances (a retrain landing v N+1 between
+  * micro-batches) are likewise invisible until a RESTART re-resolves
+  * [[loadLatest]]; a reader that pinned the pruned version fails
+  * loudly at [[loadVersion]]'s existence check on restart. Readers
+  * that keep LINEAGE to the store (no collect) would instead race the
+  * delete at file-read time — which is why the apply-side queries
+  * (s34/s38, n127) all collect before streaming starts.
+  *
   * Layout: one parquet directory per artifact, partitioned by
   * `version=N` — so a reader of version N prunes to one partition
   * (directory-level partition pruning, no data read from other

@@ -296,6 +296,55 @@ object TimeWindows extends QueryGroup {
             FROM events v WHERE v.event_type = 'view'
             ORDER BY view_id"""))
 
+  /** The nearest as-of HOT-KEY scale path under the SAME oracle as
+    * w08: [[graft.operators.AsOfJoin.bucketedNearest]] partitions by
+    * (key, hour-bucket) instead of two whole-key sorts, and must
+    * produce byte-identical results — including the direction column's
+    * full tie order — against the correlated-subquery oracle. w05 is
+    * the backward family's same receipt; this closes the r13 gap
+    * where forward/nearest merely CLAIMED the bucketed path applies.
+    */
+  private val asofNearestBucketed = Q(
+    "w09_asof_nearest_bucketed",
+    "bucketed nearest as-of (keys x time-buckets scale path), same oracle as w08",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"))
+      graft.operators.AsOfJoin
+        .bucketedNearest(left, right, 2L * 3600L, 3600L)
+        .select(col("left_id").as("view_id"), col("key").as("user_id"),
+          col("right_id").as("purchase_id"), col("direction"))
+        .orderBy("view_id")
+    },
+    Some("""SELECT v.event_id AS view_id, v.user_id,
+              (SELECT p.event_id FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 7200000000
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+                 (p.ts > v.ts) ASC,
+                 CASE WHEN p.ts <= v.ts THEN -p.event_id
+                      ELSE p.event_id END ASC
+               LIMIT 1) AS purchase_id,
+              (SELECT CASE WHEN p.ts <= v.ts THEN 'backward'
+                           ELSE 'forward' END
+               FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 7200000000
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)) ASC,
+                 (p.ts > v.ts) ASC,
+                 CASE WHEN p.ts <= v.ts THEN -p.event_id
+                      ELSE p.event_id END ASC
+               LIMIT 1) AS direction
+            FROM events v WHERE v.event_type = 'view'
+            ORDER BY view_id"""))
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
-    punctuated, asofForward, asofNearest)
+    punctuated, asofForward, asofNearest, asofNearestBucketed)
 }

@@ -52,6 +52,47 @@ object BenchGuard {
     */
   private[graft] val queryName = """^[cnqsw]\d+_""".r
 
+  /** Per-breach verdict shape inside the storm object's breaches map:
+    * `"name":{"sentinel":[…]…,"verdict":"…","evidence":"…"}`. Breach
+    * objects are nesting-free and keep verdict/evidence last
+    * (Bench.jsonLine pins that order), so scanning to the next
+    * `"verdict"` without crossing a closing brace is exact. A replay
+    * that finds a surviving breach over budget reports the artifact's
+    * own adjudication beside the failure — the round record then
+    * distinguishes "gate defect" from "host defect" by itself.
+    */
+  private val breachVerdict =
+    """"([A-Za-z0-9_]+)":\{"sentinel":\[[^{}]*"verdict":"([a-z_]+)"""".r
+
+  private[graft] def extractVerdicts(content: String): Map[String, String] =
+    breachVerdict.findAllMatchIn(content.replace("\\\"", "\""))
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** The registry size the artifact's run timed (`"n_queries":N`,
+    * emitted in the fixed-size suffix after the queries map so tail
+    * clips keep it). −1 when absent (pre-r14 artifacts).
+    */
+  private val nQueriesField = """"n_queries":(\d+)""".r
+
+  private[graft] def extractNQueries(content: String): Int =
+    nQueriesField.findFirstMatchIn(content.replace("\\\"", "\""))
+      .map(_.group(1).toInt).getOrElse(-1)
+
+  /** The one PASS line, factored so BenchGuardSpec pins the wording: a
+    * replay that recovered only part of a clipped artifact must SAY so
+    * — r13's `BenchGuard BENCH_r13.json` printed `PASS: 61 queries
+    * within budget` (24 % coverage) while the full-file twin FAILED,
+    * and nothing in the line warned the reader.
+    */
+  private[graft] def passLine(
+      checked: Int, total: Int, replayed: Option[String]): String =
+    if (replayed.isDefined && total > 0 && checked < total)
+      s"BenchGuard PASS (PARTIAL: $checked/$total recoverable — clipped " +
+        "artifact; replay bench_last.json for the full verdict)"
+    else
+      s"BenchGuard PASS: $checked queries within budget" +
+        replayed.map(a => s" (replayed $a)").getOrElse("")
+
   /** Retimed-entry shape: `"name":{"first":X,"retry":Y…}`. The final
     * fallback when a clip leaves no flat query pair at all (r12's
     * committed artifact: the clip landed INSIDE "retimed" back when
@@ -124,9 +165,10 @@ object BenchGuard {
     require(budgets.nonEmpty, s"$budgetFile parsed empty")
     val registry = SparkEntry.queries.keySet
 
-    val (times, errors, replay) = args.headOption match {
+    val (times, errors, replay, verdicts, nQueries) = args.headOption match {
       case Some(artifact) =>
-        val qs = extractQueries(Files.readString(Paths.get(artifact)))
+        val content = Files.readString(Paths.get(artifact))
+        val qs = extractQueries(content)
         if (qs.isEmpty) {
           // a clean verdict, never a stack trace: the clipped round
           // artifact carries no timings in any recoverable shape — the
@@ -136,7 +178,8 @@ object BenchGuard {
             "bench_last.json instead")
           sys.exit(1)
         }
-        (qs, Map.empty[String, String], true)
+        (qs, Map.empty[String, String], true, extractVerdicts(content),
+          extractNQueries(content))
       case None =>
         val sfDir =
           sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,7 +200,11 @@ object BenchGuard {
         Bench.writeArtifact(line)
         (results.map(r => r.name -> r.secs).toMap,
           results.collect { case t if t.err.isDefined => t.name -> t.err.get }
-            .toMap, false)
+            .toMap, false,
+          results.collect {
+            case t if t.storm.exists(_.verdict.isDefined) =>
+              t.name -> t.storm.get.verdict.get
+          }.toMap, results.size)
     }
 
     val problems = Seq.newBuilder[String]
@@ -174,15 +221,23 @@ object BenchGuard {
     times.toSeq.sorted.foreach { case (n, t) =>
       budgets.get(n).foreach { b =>
         if (t < 0) problems += s"$n recorded -1 (failed)"
-        else if (t > b) problems += f"$n OVER BUDGET: ${t}%.2fs > ceiling ${b}%.2fs"
+        else if (t > b)
+          problems += f"$n OVER BUDGET: ${t}%.2fs > ceiling ${b}%.2fs" +
+            verdicts.get(n).map(v =>
+              s" — artifact verdict: $v").getOrElse("")
       }
     }
 
     val out = problems.result()
     val checked = times.keySet.intersect(budgets.keySet).size
+    // coverage denominator: the artifact's own n_queries when it
+    // carries one (post-r14 lines), the registry otherwise — an old
+    // full-file artifact may legitimately predate new queries, so the
+    // registry is only a fallback label, never a drift failure here
+    val total = if (nQueries > 0) nQueries else registry.size
     if (out.isEmpty) {
-      println(s"BenchGuard PASS: $checked queries within budget" +
-        (if (replay) s" (replayed ${args.head})" else ""))
+      println(passLine(checked, total,
+        if (replay) Some(args.head) else None))
     } else {
       out.foreach(p => println(s"BenchGuard FAIL: $p"))
       println(s"BenchGuard: ${out.size} problem(s) across $checked checked queries")

@@ -82,7 +82,9 @@ object ScaleProbe {
     "bt_reward_train", "doc_influence", "bm25_retrieval",
     "bm25_nopersist", "length_tvd", "minhash_est_eval",
     "ivf_probe_sweep", "cent_occupancy", "containment_dedup",
-    "punctuated_windows", "cc_chain_rounds")
+    "punctuated_windows", "cc_chain_rounds",
+    "asof_nearest_bucketed", "epoch_shuffle_plan", "split_leakage",
+    "repetition_exposure")
 
   private val defaultScales = Seq(1, 4, 8)
   /** The CC/dedup family gets a 32× row: its pointer-jumping round
@@ -101,14 +103,30 @@ object ScaleProbe {
     val gate = flags.contains("--gate")
     val write = flags.contains("--write")
     require(!(gate && write), "--gate and --write are exclusive")
-    val sfDir =
-      if (gate || write)
-        positional.headOption.filter(_.contains("/")).getOrElse(gateSf)
-      else positional.headOption.getOrElse("/root/testdata/sf0.1")
+    // data dir comes via an explicit --sf=<dir> flag, or as a first
+    // positional that IS an existing directory. The old contains-slash
+    // heuristic silently treated a relative dir without a slash (e.g.
+    // `testdata`) as a probe-name filter and measured the DEFAULT
+    // dataset with no warning; now a positional naming a directory is
+    // used as one, and anything else is a probe filter — with a loud
+    // failure when it LOOKS like a path but doesn't exist.
+    val sfFlag = flags.find(_.startsWith("--sf="))
+      .map(_.stripPrefix("--sf="))
+    require(flags.subsetOf(Set("--gate", "--write") ++ sfFlag.map(s =>
+      s"--sf=$s")), s"unknown flag(s): ${(flags -- Set("--gate",
+        "--write") -- sfFlag.map(s => s"--sf=$s")).mkString(", ")}")
+    def isDir(p: String): Boolean = new java.io.File(p).isDirectory
+    sfFlag.foreach(p => require(isDir(p), s"--sf=$p is not a directory"))
+    val headIsDir = sfFlag.isEmpty && positional.headOption.exists(isDir)
+    positional.headOption.filter(p => sfFlag.isEmpty && !isDir(p) &&
+        p.contains("/")).foreach { p =>
+      sys.error(s"first argument '$p' looks like a data dir but does " +
+        "not exist — pass --sf=<dir> or an existing directory")
+    }
+    val sfDir = sfFlag.orElse(positional.headOption.filter(_ => headIsDir))
+      .getOrElse(if (gate || write) gateSf else "/root/testdata/sf0.1")
     val only: Seq[String] =
-      (if (positional.headOption.exists(_.contains("/")))
-        positional.drop(1) else if (gate || write) positional
-      else positional.drop(1))
+      if (headIsDir) positional.drop(1) else positional
     def wanted(name: String): Boolean =
       only.isEmpty || only.exists(name.contains)
     val spark = GraftSession.build("graft-scale-probe")
@@ -733,6 +751,55 @@ object ScaleProbe {
           .select(col("id").as("id_a"), (col("id") + 1L).as("id_b")))
         .count()
     })
+
+    // ---- round-14 rows -------------------------------------------------
+
+    // The HOT-KEY axis for the as-of family's new scale path: events
+    // collapse onto 8 keys, so replicas grow per-key density 8× — the
+    // regime where nearestPerKey pays two whole-key sorts through one
+    // task each. bucketedNearest's work is per-(key, bucket) sorts +
+    // a buckets-per-key carry frame; time should track rows.
+    probe("asof_nearest_bucketed", c => {
+      val ev = replicate(
+        t.events.select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type")), "event_id", c)
+      graft.operators.AsOfJoin.bucketedNearest(
+        ev.filter(col("event_type") === "view")
+          .select((col("user_id") % 8).as("key"), col("ts"),
+            col("event_id").as("left_id")),
+        ev.filter(col("event_type") === "purchase")
+          .select((col("user_id") % 8).as("key"), col("ts"),
+            col("event_id").as("right_id")),
+        horizonSeconds = 7200L, bucketSeconds = 3600L).count()
+    })
+
+    // n131's dataloader plan: ONE GlobalOrder prefix sum with epoch
+    // leading the range partition + bounded chunk explode — time
+    // should track tokens; a regression to per-epoch sorts or a
+    // global single-partition window shows up as super-linear growth
+    probe("epoch_shuffle_plan", c =>
+      graft.operators.Packing
+        .epochShufflePlan(replicate(t.documents, "doc_id", c),
+          epochs = 2, shards = 8)
+        .count())
+
+    // n130's pair frame: candidate-bounded jaccardPairs with
+    // scan-stage split labels — replicas form their own near-dup
+    // structure, so pairs grow with copies while shingle passes grow
+    // linearly (the dedup regime)
+    probe("split_leakage", c =>
+      graft.operators.Dedup
+        .splitLeakage(replicate(t.documents, "doc_id", c), 3, 0.8)
+        .count())
+
+    // n132's budget card: fingerprint-group token supply + an S-row
+    // allocation — one corpus scan into hash aggs, then model-sized
+    // arithmetic; should be near-flat past the scan
+    probe("repetition_exposure", c =>
+      graft.operators.Mixture
+        .repetitionExposure(replicate(t.documents, "doc_id", c),
+          budgetTokens = 500000L)
+        .count())
 
     // ---- execution ---------------------------------------------------
     require(defs.keys.toSeq == probeNames,

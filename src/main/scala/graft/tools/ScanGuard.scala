@@ -72,6 +72,11 @@ object ScanGuard {
     // bucketed staging: the bucketed copy is WRITTEN then read — the
     // write's scan plus the two join sides
     "w05_asof_join_bucketed",
+    // bucketed nearest as-of: two scans per input (the per-bucket
+    // summary pass and the event pass) with the summary itself
+    // persisted — merging the passes means caching the corpus-sized
+    // inputs, which is the materialization that doesn't scale
+    "w09_asof_nearest_bucketed",
     // temperature mixture / snapshot merge: per-branch realization over
     // a D-row broadcast plan, branch count fixed by the mixture
     "n61_temperature_mixture",

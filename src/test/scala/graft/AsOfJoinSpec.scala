@@ -129,6 +129,89 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("bucketedForward == forwardPerKey on edge fixtures and random rounds") {
+    // the r13 gap: only BACKWARD had a hot-key bucketed path — forward
+    // and nearest claimed symmetry without code. Equality must hold
+    // across bucket sizes straddling the fixture's ts domain (per-event
+    // buckets, mid-size, one giant bucket) and horizons including 0.
+    def toSet(out: org.apache.spark.sql.DataFrame) =
+      out.select("left_id", "key", "right_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    val left = df(Seq(
+      (1L, 5L, 100L), (1L, 10L, 101L), (1L, 95L, 102L),
+      (2L, 50L, 200L), (3L, 7L, 300L)),
+      "left_id")
+    val right = df(Seq(
+      (1L, 10L, 12L), (1L, 10L, 11L), (1L, 200L, 13L), (3L, 3L, 31L)),
+      "right_id")
+    for (h <- Seq(0L, 10L, 500L); bucket <- Seq(1L, 7L, 30L, 1000L)) {
+      val want = toSet(AsOfJoin.forwardPerKey(left, right, h))
+      val got = toSet(AsOfJoin.bucketedForward(left, right, h, bucket))
+      assert(got == want, s"horizon=$h bucket=$bucket")
+    }
+    val rng = new scala.util.Random(1014)
+    for (round <- 1 to 2) {
+      val l = df(Seq.tabulate(100)(i =>
+        (rng.nextInt(5).toLong + 1, rng.nextInt(20).toLong, 100L + i)),
+        "left_id")
+      val r = df(Seq.tabulate(100)(i =>
+        (rng.nextInt(5).toLong + 1, rng.nextInt(20).toLong, 500L + i)),
+        "right_id")
+      for (h <- Seq(0L, 5L); bucket <- Seq(1L, 3L, 100L))
+        assert(toSet(AsOfJoin.bucketedForward(l, r, h, bucket)) ==
+          toSet(AsOfJoin.forwardPerKey(l, r, h)),
+          s"round=$round horizon=$h bucket=$bucket")
+    }
+  }
+
+  test("bucketedNearest == nearestPerKey incl. direction, on fixtures, random rounds, and events") {
+    def toSet(out: org.apache.spark.sql.DataFrame) =
+      out.select("left_id", "key", "right_id", "direction")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getString(3)))).toSet
+    // the nearestPerKey fixture: distance ties, same-ts 0-distance
+    // backward, band exclusion — now ALSO across bucket boundaries
+    val left = df(Seq(
+      (1L, 13L, 100L), (1L, 16L, 101L), (1L, 15L, 102L),
+      (1L, 10L, 103L), (1L, 40L, 104L), (2L, 50L, 200L)),
+      "left_id")
+    val right = df(Seq(
+      (1L, 10L, 11L), (1L, 10L, 12L), (1L, 20L, 13L)),
+      "right_id")
+    for (h <- Seq(0L, 10L, 100L); bucket <- Seq(1L, 4L, 13L, 1000L)) {
+      val want = toSet(AsOfJoin.nearestPerKey(left, right, h))
+      val got = toSet(AsOfJoin.bucketedNearest(left, right, h, bucket))
+      assert(got == want, s"horizon=$h bucket=$bucket")
+    }
+    val rng = new scala.util.Random(2718)
+    for (round <- 1 to 2) {
+      val l = df(Seq.tabulate(100)(i =>
+        (rng.nextInt(5).toLong + 1, rng.nextInt(20).toLong, 100L + i)),
+        "left_id")
+      val r = df(Seq.tabulate(100)(i =>
+        (rng.nextInt(5).toLong + 1, rng.nextInt(20).toLong, 500L + i)),
+        "right_id")
+      for (h <- Seq(0L, 5L); bucket <- Seq(1L, 3L, 100L))
+        assert(toSet(AsOfJoin.bucketedNearest(l, r, h, bucket)) ==
+          toSet(AsOfJoin.nearestPerKey(l, r, h)),
+          s"round=$round horizon=$h bucket=$bucket")
+    }
+    // real data: views->purchases ±2h, the w08 shape
+    val ev = Tables(spark, "/root/testdata/sf0.001").events
+    val lv = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("left_id"))
+    val rp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts"),
+        col("event_id").as("right_id"))
+    val a = toSet(AsOfJoin.nearestPerKey(lv, rp, 7200L))
+    val b = toSet(AsOfJoin.bucketedNearest(lv, rp, 7200L, 3600L))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("nearestPerKey: closer side wins, distance ties backward, band excludes") {
     // key 1 rights at ts 10 (ids 11,12) and 20 (id 13):
     //   left at 13 -> backward dist 3 vs forward dist 7 -> backward,

@@ -94,6 +94,80 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(clipped.contains("\"value\":"))
   }
 
+  test("n_queries survives any tail clip and labels partial replays") {
+    val results = (1 to 50).map(i =>
+      Bench.Timing(f"n$i%03d_synthetic_query_name", i / 10.0))
+    val line = Bench.jsonLine(results, "/sf", None)
+    // the fixed-size suffix after the queries map: n_queries then value
+    assert(line.takeRight(40).contains("\"n_queries\":50"))
+    assert(BenchGuard.extractNQueries(line) == 50)
+    assert(BenchGuard.extractNQueries(line.takeRight(60)) == 50,
+      "a 60-char tail clip must still carry the registry size")
+    // pre-r14 artifacts have no field — the replayer falls back
+    assert(BenchGuard.extractNQueries("""{"queries":{"n01_x":1.0}}""") == -1)
+    // and n_queries itself must never read as a query timing
+    assert(!BenchGuard.extractQueries(line).contains("n_queries"))
+  }
+
+  test("passLine labels partial clipped replays as PARTIAL — pinned wording") {
+    assert(BenchGuard.passLine(249, 249, Some("bench_last.json")) ==
+      "BenchGuard PASS: 249 queries within budget (replayed bench_last.json)")
+    assert(BenchGuard.passLine(61, 249, Some("BENCH_r13.json")) ==
+      "BenchGuard PASS (PARTIAL: 61/249 recoverable — clipped artifact; " +
+        "replay bench_last.json for the full verdict)")
+    // live runs never carry the PARTIAL label — coverage drift there is
+    // a registry/budget failure, not a clip
+    assert(BenchGuard.passLine(249, 249, None) ==
+      "BenchGuard PASS: 249 queries within budget")
+  }
+
+  test("extractVerdicts reads per-breach adjudications out of the storm object") {
+    val flapped = Bench.Timing("n57_dedup_keep_best", 33.66,
+      firstPass = Some(33.66), retry = Some(45.64),
+      gc = Some(Bench.GcProbe(210, 4.1)),
+      retryGc = Some(Bench.GcProbe(5310, 9.8)),
+      storm = Some(Bench.StormEvidence(
+        Seq(0.0, 0.001), 0, None, Seq(0.0, 0.0), Seq(4.2, 0.1),
+        retry2 = Some(41.2), retry2Gc = Some(Bench.GcProbe(4900, 9.1)),
+        verdict = Some("environmental_suspected"),
+        evidence = Some("kernel memory PSI avg10 4.20% during breach"))))
+    val quiet = Bench.Timing("n22_ok", 2.0, firstPass = Some(9.0),
+      retry = Some(2.0), storm = Some(Bench.StormEvidence(
+        Seq(0.0), 0, None, Seq(0.0), Seq(0.0), retry2 = Some(2.0))))
+    val line = Bench.jsonLine(Seq(flapped, quiet), "/sf",
+      Some(Bench.SweepMeta("proc_external_busy", 0.0, Seq(0.0),
+        Seq("start" -> 0.0, "start_io" -> 0.0, "start_mem" -> 0.0))))
+    assert(BenchGuard.extractVerdicts(line) ==
+      Map("n57_dedup_keep_best" -> "environmental_suspected"),
+      "only the surviving breach carries a verdict; the rescued flap " +
+        "must not inherit its neighbor's")
+    // the verdict fields must not corrupt timing extraction
+    assert(BenchGuard.extractQueries(line) ==
+      Map("n57_dedup_keep_best" -> 33.66, "n22_ok" -> 2.0))
+  }
+
+  test("adjudicateBreach: the four environmental signals and the regression default") {
+    def verdict(times: Seq[Double] = Seq(10.0, 10.5), gcMs: Long = 300,
+        wall: Double = 10.0, ext: Double = 0.01, psi: Double = 0.0,
+        stormed: Boolean = false): String =
+      Bench.adjudicateBreach(times, gcMs, wall, ext, psi, stormed)._1
+    // 1. CPU storm observed
+    assert(verdict(ext = 0.82, stormed = true) == "environmental_suspected")
+    // 2. kernel memory PSI — the r13 n57 mode's missing signal
+    assert(verdict(psi = 4.2) == "environmental_suspected")
+    // 3. gc-bound retry — the n89 fingerprint (5.65s GC on 43s wall)
+    assert(verdict(times = Seq(48.0, 43.1), gcMs = 5651, wall = 43.1)
+      == "environmental_suspected")
+    // 4. unstable retries under quiet sentinels
+    assert(verdict(times = Seq(33.7, 45.6, 12.1)) ==
+      "environmental_suspected")
+    // default: quiet host, stable timings, healthy gc → the code owns it
+    assert(verdict() == "regression_suspected")
+    // small-but-real gc on a short query is NOT the memory fingerprint
+    assert(verdict(times = Seq(4.0, 4.1), gcMs = 900, wall = 4.0) ==
+      "regression_suspected")
+  }
+
   test("a clip with no flat query pair falls back to retimed first/retry minima") {
     // the r12 committed-artifact shape: the tail window held only the
     // retimed object — name:{...} entries the flat-pair regex correctly

@@ -24,6 +24,14 @@ class HostSentinelSpec extends AnyFunSuite {
     // self-subtraction must keep the external reading low even though
     // host busy is high — the property that lets the sentinel read
     // mid-sweep without the bench JVM polluting it
+    // precondition: a host already under genuine co-tenant load (the
+    // exact storm mode the sentinel exists to DETECT) would fail the
+    // assertion below even though HostSentinel is correct — skip with
+    // assume() rather than make `sbt test` environment-flaky
+    val (pre, _) = HostSentinel.pressure(300)
+    assume(pre < 0.20,
+      f"host already $pre%.3f externally busy — self-burn test " +
+        "unmeasurable under real external load; skipping")
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val threads = (1 to Runtime.getRuntime.availableProcessors() / 2)
       .map { _ =>
@@ -35,13 +43,23 @@ class HostSentinelSpec extends AnyFunSuite {
       }
     try {
       val (ext, _) = HostSentinel.pressure(500)
-      assert(ext < 0.35,
+      assert(ext < pre + 0.35,
         f"own CPU burn leaked into the external reading: $ext%.3f " +
-          "(would self-trigger storm detection)")
+          f"(quiet-host precondition read $pre%.3f — the burn would " +
+          "self-trigger storm detection)")
     } finally {
       stop.set(true)
       threads.foreach(_.join(1000))
     }
+  }
+
+  test("memoryPsiAvg10 reads the kernel memory-pressure channel") {
+    // this container's kernel exposes PSI (verified at round 14) — the
+    // channel for the co-tenant memory-pressure mode that blinded both
+    // CPU channels in the r13 n57/n89 episodes. A percentage in
+    // [0, 100]; a parse slip (wrong field, wrong line) leaves range.
+    val psi = HostSentinel.memoryPsiAvg10()
+    assert(psi >= 0.0 && psi <= 100.0, s"PSI avg10 out of range: $psi")
   }
 
   test("sweepOrder: pinned names keep their slots, unknown names run last by name") {
