@@ -402,4 +402,44 @@ object Packing {
         concat_ws(" ", slice(col("ts"), col("start") + 1, lit(chunkTokens)))
           .as("chunk_text"))
   }
+
+  /** Shard-stability card: what fraction of the corpus MOVES when the
+    * worker count changes from `fromShards` to `toShards`, under
+    * rendezvous (highest-random-weight) hashing vs naive `id MOD W`.
+    * Rendezvous moves only ~1/toShards of docs (each doc re-homes only
+    * if the NEW shard's draw beats all old ones); mod reshuffles
+    * almost everything — the difference is what a growing training
+    * fleet pays in cache/locality churn every resize. Draws are
+    * md5-derived (the n131 epoch-draw idiom), so the card replays
+    * exactly in DuckDB; the argmax is a per-row fold over W struct
+    * draws (scan-stage, no join, no shuffle beyond the final S-row
+    * aggregate), and every output ratio divides AFTER exact counts.
+    */
+  def shardStability(docs: DataFrame, fromShards: Int,
+      toShards: Int): DataFrame = {
+    require(fromShards > 0 && toShards > fromShards,
+      s"need 0 < fromShards < toShards, got $fromShards, $toShards")
+    def draw(sh: Int) = conv(substring(
+      md5(concat_ws(":", col("doc_id"), lit("shard"), lit(sh))), 1, 8),
+      16, 10).cast("long")
+    def rdv(w: Int) = array_max(array((0 until w).map(sh =>
+      struct(draw(sh).as("d"), lit(sh).as("s"))): _*)).getField("s")
+    docs
+      .select(col("doc_id"),
+        rdv(fromShards).as("rdv_from"), rdv(toShards).as("rdv_to"),
+        (col("doc_id") % fromShards).cast("int").as("mod_from"),
+        (col("doc_id") % toShards).cast("int").as("mod_to"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rdv_from") =!= col("rdv_to"), 1L).otherwise(0L))
+          .as("moved_rdv"),
+        sum(when(col("mod_from") =!= col("mod_to"), 1L).otherwise(0L))
+          .as("moved_mod"))
+      .select(lit(fromShards).as("from_shards"),
+        lit(toShards).as("to_shards"),
+        col("n_docs"), col("moved_rdv"), col("moved_mod"),
+        (col("moved_rdv").cast("double") / col("n_docs"))
+          .as("frac_rdv"),
+        (col("moved_mod").cast("double") / col("n_docs"))
+          .as("frac_mod"))
+  }
 }

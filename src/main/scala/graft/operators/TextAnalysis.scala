@@ -949,4 +949,51 @@ object TextAnalysis {
         lit(1.0) - col("f1").cast("double") /
           col("n_tokens").cast("double"))
   }
+
+  /** Tokenizer fertility card, per (source, lang): how many tokens the
+    * BPE-ish regex tokenizer ([[TokenPattern]] — the n07 scheme)
+    * spends per unit of text, beside the whitespace baseline — the
+    * per-corpus-slice compression accounting that decides whether a
+    * tokenizer (or a source's script/formatting) is inflating the
+    * token budget. One scan into a hash agg of exact BIGINT sums;
+    * every ratio divides AFTER the sums, so the card is hash-exact.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    fertilityReportFromCounts(fertilityCounts(docs))
+
+  /** The counting half of [[tokenizerFertility]] — one scan into a
+    * hash agg of exact BIGINT sums per (source, lang). Shared with the
+    * s41 streaming monitor, where the SAME aggregation runs in update
+    * mode (every sum is a monotone integer, so max-per-key over the
+    * emitted state is the latest value — the s37/s39 collapse).
+    */
+  def fertilityCounts(docs: DataFrame): DataFrame = {
+    val bpe = size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+    docs
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        bpe.cast("long").as("bpe"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("bytes")).as("n_bytes"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"))
+  }
+
+  /** The report half of [[tokenizerFertility]]: every ratio divides
+    * AFTER the exact sums (engine-identical IEEE on exact inputs).
+    */
+  def fertilityReportFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        col("n_bytes"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") * 100.0 /
+          col("n_chars").cast("double")).as("bpe_per_100_chars"),
+        (col("n_bpe_tokens").cast("double") /
+          col("n_ws_tokens").cast("double")).as("fertility_vs_words"),
+        (col("n_bytes").cast("double") /
+          col("n_bpe_tokens").cast("double")).as("bytes_per_token"))
 }

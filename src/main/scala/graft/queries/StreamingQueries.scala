@@ -608,6 +608,47 @@ object StreamingQueries extends QueryGroup {
         docsSource(s, dir, stream),
         graft.operators.Packing.defaultContexts)
 
+    /** s40: the prototype-outlier gate — n133's scoring at streaming
+      * ingest shape. The per-label mean-embedding prototypes are the
+      * offline model (an L-row lazy frame over the STATIC table —
+      * building the plan runs no job), broadcast into a stream-static
+      * equi-join on label; scoring is one scan-stage cosine per row
+      * and the gate is a stateless filter (append mode, no state
+      * store). Vectors anti-aligned with their own label's prototype
+      * (proto_sim < 0) are the mislabeled/outlier review queue —
+      * caught at ingest, before they dilute a class prototype that
+      * downstream pruning (n133) trusts.
+      */
+    def s40(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      val physicalSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val raw =
+        if (stream)
+          s.readStream.schema(physicalSchema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        else
+          s.read.schema(physicalSchema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val protos =
+        graft.operators.Geometry.labelPrototypes(Tables(s, dir).embeddings)
+      raw.join(broadcast(protos), "label")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFunctions
+            .cosine(col("embedding"), col("proto")).as("proto_sim"))
+        .filter(col("proto_sim") < 0.0)
+    }
+
+    /** s41: n139's fertility counting half on the stream — ONE
+      * update-mode aggregation of monotone BIGINT sums per (source,
+      * lang); the ratio half runs batch-side over the collapsed state
+      * through the SAME report function (the s39 split). A slice whose
+      * bytes-per-token climbs mid-ingest just switched script or
+      * encoding — caught while the feed streams, not at the next
+      * tokenizer audit.
+      */
+    def s41(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      graft.operators.TextAnalysis
+        .fertilityCounts(docsSource(s, dir, stream))
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -853,7 +894,9 @@ object StreamingQueries extends QueryGroup {
         Frames.s36(s, dir, stream = false))),
     "s37_stream_dup_card" -> Seq(Frames.s37(s, dir, stream = false)),
     "s38_stream_shadow_eval" -> Seq(Frames.s38(s, dir, stream = false)),
-    "s39_stream_packing_monitor" -> Seq(Frames.s39(s, dir, stream = false)))
+    "s39_stream_packing_monitor" -> Seq(Frames.s39(s, dir, stream = false)),
+    "s40_stream_prototype_gate" -> Seq(Frames.s40(s, dir, stream = false)),
+    "s41_stream_fertility_monitor" -> Seq(Frames.s41(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2309,6 +2352,46 @@ object StreamingQueries extends QueryGroup {
     (s, dir) => runToTable(Frames.s38(s, dir), "update").orderBy("event_type"),
     Some(NorthStar8.shadowOracleSql))
 
+  /** Streaming prototype-outlier gate — n133's prototype scoring as a
+    * continuous ingest screen: an L-row broadcast model, one cosine
+    * per row, a stateless filter in append mode (the s19/s21/s24
+    * batch-model → streaming-apply family's cheapest member). The
+    * oracle replays the same scoring over the whole table through the
+    * SHARED [[NorthStar10.protoSimSql]] CTEs, so the streaming gate
+    * and the batch pruning card can never drift apart.
+    */
+  private val streamPrototypeGate = Q(
+    "s40_stream_prototype_gate",
+    "streaming prototype-outlier gate: broadcast label prototypes flag anti-aligned vectors (stateless, shares n133's scoring)",
+    (s, dir) => runToTable(Frames.s40(s, dir), "append").orderBy("vec_id"),
+    Some(s"""${NorthStar10.protoSimSql}
+            SELECT vec_id, label, proto_sim FROM sc
+            WHERE proto_sim < 0.0 ORDER BY vec_id"""))
+
+  /** Streaming tokenizer-fertility monitor — n139 maintained over
+    * continuous ingest: one update-mode agg of monotone integer sums
+    * per (source, lang) (the s37/s39 collapse — max per key over the
+    * emitted state IS the latest value), ratios through the SAME
+    * report half the n139 card composes. The ORACLE IS n139's SQL
+    * verbatim.
+    */
+  private val streamFertilityMonitor = Q(
+    "s41_stream_fertility_monitor",
+    "streaming tokenizer-fertility monitor per (source, lang) (converges to the n139 batch closed form)",
+    (s, dir) => {
+      val finalState = runToTable(Frames.s41(s, dir), "update")
+        .groupBy("source", "lang")
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("n_chars")).as("n_chars"),
+          max(col("n_bytes")).as("n_bytes"),
+          max(col("n_ws_tokens")).as("n_ws_tokens"),
+          max(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      graft.operators.TextAnalysis
+        .fertilityReportFromCounts(finalState)
+        .orderBy("source", "lang")
+    },
+    Some(NorthStar10.fertilityOracleSql))
+
   val all: Seq[Q] = Seq(
     completeMode, appendMode, streamDedup, streamStaticJoin, streamFromQueue,
     streamStreamJoin, streamSessions, streamStreamOuter, streamStateful,
@@ -2320,5 +2403,6 @@ object StreamingQueries extends QueryGroup {
     streamOovMonitor, streamDriftMonitor, streamClipMonitor,
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
-    streamShadowEval, streamPackingMonitor)
+    streamShadowEval, streamPackingMonitor, streamPrototypeGate,
+    streamFertilityMonitor)
 }

@@ -345,6 +345,41 @@ object TimeWindows extends QueryGroup {
             FROM events v WHERE v.event_type = 'view'
             ORDER BY view_id"""))
 
+  /** The forward as-of HOT-KEY scale path under the SAME oracle as
+    * w07 — completing the direction × path matrix (backward w04/w05,
+    * forward w07/here, nearest w08/w09): [[graft.operators.AsOfJoin
+    * .bucketedForward]] resolves per (key, hour-bucket) with one
+    * reverse carry frame, and must produce byte-identical labels
+    * against the correlated-subquery oracle.
+    */
+  private val asofForwardBucketed = Q(
+    "w10_asof_forward_bucketed",
+    "bucketed forward as-of (keys x time-buckets scale path), same oracle as w07",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"))
+      graft.operators.AsOfJoin
+        .bucketedForward(left, right, 12L * 3600L, 3600L)
+        .select(col("left_id").as("view_id"), col("key").as("user_id"),
+          col("right_id").as("purchase_id"))
+        .orderBy("view_id")
+    },
+    Some("""SELECT v.event_id AS view_id, v.user_id,
+              (SELECT p.event_id FROM events p
+               WHERE p.event_type = 'purchase'
+                 AND p.user_id = v.user_id
+                 AND p.ts >= v.ts
+                 AND p.ts <= v.ts + INTERVAL 12 HOUR
+               ORDER BY p.ts, p.event_id LIMIT 1) AS purchase_id
+            FROM events v WHERE v.event_type = 'view'
+            ORDER BY view_id"""))
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
-    punctuated, asofForward, asofNearest, asofNearestBucketed)
+    punctuated, asofForward, asofNearest, asofNearestBucketed,
+    asofForwardBucketed)
 }

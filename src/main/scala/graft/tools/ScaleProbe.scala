@@ -84,7 +84,8 @@ object ScaleProbe {
     "ivf_probe_sweep", "cent_occupancy", "containment_dedup",
     "punctuated_windows", "cc_chain_rounds",
     "asof_nearest_bucketed", "epoch_shuffle_plan", "split_leakage",
-    "repetition_exposure")
+    "repetition_exposure", "prototype_pruning", "embedding_covariance",
+    "centroid_silhouette")
 
   private val defaultScales = Seq(1, 4, 8)
   /** The CC/dedup family gets a 32× row: its pointer-jumping round
@@ -799,6 +800,32 @@ object ScaleProbe {
       graft.operators.Mixture
         .repetitionExposure(replicate(t.documents, "doc_id", c),
           budgetTokens = 500000L)
+        .count())
+
+    // ---- round-14 (geometry family) rows -------------------------------
+
+    // n133's plan: L-row broadcast prototype join + ONE range-
+    // partitioned global index — time should track rows; a regression
+    // to a per-label single-task window shows up as super-linear
+    // growth on the rank exchange
+    probe("prototype_pruning", c =>
+      graft.operators.Geometry
+        .prototypePruning(
+          replicate(t.embeddings, "vec_id", c), keepFraction = 0.7)
+        .count())
+
+    // n134's moment card: the ×D(D+1)/2 pair explode into a hash agg
+    // with map-side partials — rows grow linearly, cells stay D²/2
+    probe("embedding_covariance", c =>
+      graft.operators.Geometry
+        .covarianceMoments(replicate(t.embeddings, "vec_id", c))
+        .count())
+
+    // n135's card: scan-stage codebook fold + an L-cell hash agg —
+    // the cent_occupancy regime over label prototypes
+    probe("centroid_silhouette", c =>
+      graft.operators.Geometry
+        .centroidSilhouette(replicate(t.embeddings, "vec_id", c))
         .count())
 
     // ---- execution ---------------------------------------------------

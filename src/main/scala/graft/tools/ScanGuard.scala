@@ -77,6 +77,9 @@ object ScanGuard {
     // persisted — merging the passes means caching the corpus-sized
     // inputs, which is the materialization that doesn't scale
     "w09_asof_nearest_bucketed",
+    // same bucketedMarks machinery as w09 — the identical inherent
+    // 2-scans-per-input profile over the forward direction
+    "w10_asof_forward_bucketed",
     // temperature mixture / snapshot merge: per-branch realization over
     // a D-row broadcast plan, branch count fixed by the mixture
     "n61_temperature_mixture",

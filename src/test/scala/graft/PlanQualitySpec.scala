@@ -146,7 +146,13 @@ class PlanQualitySpec extends AnyFunSuite {
       // shuffled-prefix-sum frame — the broadcast-scalar shape again
       "n131_epoch_shuffle_plan",
       // one-row all-sources unique-token total onto the S-row card
-      "n132_repetition_exposure")
+      "n132_repetition_exposure",
+      // the L-row broadcast prototype codebook folded per row — the
+      // n123 occupancy shape over label prototypes
+      "n135_centroid_silhouette",
+      // the bounded JL pair sample (32 vectors) under the < inequality
+      // self-join — sample², never corpus²
+      "n137_jl_distortion")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
