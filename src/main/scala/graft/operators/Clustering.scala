@@ -247,6 +247,72 @@ object Clustering {
     cents
   }
 
+  /** Silhouette-vs-k tuning curve (the fifth tuning curve, beside
+    * n120/n125/n126/n129): for each candidate k, train the
+    * deterministic Lloyd codebook, then score every vector's euclidean
+    * silhouette against that codebook — cohesion a = distance to the
+    * assigned centroid, separation b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) (a distance tie with another
+    * centroid gives s = 0) — summarized per (k, cluster). The curve's
+    * shape across k is the "choose k" evidence a clustering-dependent
+    * pipeline stage (SemDeDup n31, cluster-cap n82, IVF n120) should
+    * record before trusting its k.
+    *
+    * Exactness: distances are the assign fold's strict left-to-right
+    * squared-L2 (bit-identical to the oracle's unrolled-Lloyd replay,
+    * the n30 guarantee), `sqrt` correctly rounded, means through
+    * DECIMAL(38,12). Scale shape: per k, ONE pass over the corpus
+    * computing all k distances in the scan stage (the codebook is
+    * driver-held literals), one hash agg of k cells; the k sweep is a
+    * union of independent passes.
+    */
+  def silhouetteKSweep(embeddings: DataFrame, ks: Seq[Int],
+      iters: Int): DataFrame = {
+    require(ks.nonEmpty, "need at least one k")
+    val e = embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sum12 = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double")
+    val perK = ks.map { k =>
+      val cents = lloydCents(e, k, iters)
+      val ds = cents.zipWithIndex.map { case (c, i) =>
+        aggregate(
+          zip_with(col("emb"), typedLit(c), (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (a, x) => a + x).as(s"d$i")
+      }
+      val withD = e.select(col("vec_id") +: col("emb") +: ds: _*)
+      val best = least(cents.indices.map(i => col(s"d$i")): _*)
+      val cluster = cents.indices.foldRight(lit(-1)) { (i, els) =>
+        when(col(s"d$i") === best, lit(i)).otherwise(els)
+      }
+      // nearest OTHER centroid: the per-column min with the assigned
+      // slot masked out (null never wins least())
+      val othersMin = least(cents.indices.map(i =>
+        when(col("cluster") === i, lit(null).cast("double"))
+          .otherwise(col(s"d$i"))): _*)
+      withD
+        .withColumn("cluster", cluster)
+        .withColumn("a", sqrt(best))
+        .withColumn("b", sqrt(othersMin))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) > 0.0,
+            (col("b") - col("a")) / greatest(col("a"), col("b")))
+            .otherwise(lit(0.0)))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (sum12(col("a")) / count(lit(1))).as("mean_cohesion"),
+          (sum12(col("b")) / count(lit(1))).as("mean_separation"),
+          (sum12(col("sil")) / count(lit(1))).as("mean_silhouette"))
+        .select(lit(k).as("k"), col("cluster"), col("n"),
+          col("mean_cohesion"), col("mean_separation"),
+          col("mean_silhouette"))
+    }
+    perK.reduce(_ unionByName _)
+  }
+
   /** Quality-aware near-dup cluster representative selection: the
     * production refinement of [[dupClusters]]' keep-the-minimum-id rule —
     * when a cluster of near-duplicates collapses to one survivor, keep

@@ -154,6 +154,51 @@ object Preference {
       .select("group_id", "doc_id", "score", "is_best")
   }
 
+  /** Group-relative advantage normalization (the GRPO/rejection-
+    * sampling baseline move): candidates group by prompt
+    * (`doc_id DIV groupSize`), every candidate is scored by the
+    * trained reward model, and each score is centered and scaled by
+    * its OWN group's mean and population std —
+    * `A = (s − μ_g) / σ_g` — the per-prompt baseline that replaces a
+    * learned value model. Degenerate groups (σ = 0, including
+    * singletons) take advantage 0.
+    *
+    * Exactness: μ and the second moment route through DECIMAL(38,12)
+    * window sums over the group partition (order-free), σ =
+    * `sqrt(max(m2 − μ², 0))` and the final division are fixed-shape
+    * IEEE on exact inputs — every column hash-matches the oracle.
+    *
+    * Scale shape: scoring is one doc-keyed aggregation; the stats are
+    * ONE window partitioned by group (corpus/groupSize groups — no
+    * join-back diamond, no second scan, no global order).
+    */
+  def groupAdvantages(
+      docs: DataFrame,
+      groupSize: Int = 8,
+      iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    val w = btTrain(docs, iters, lr)
+    val scored = scoreWith(docs, w)
+      .withColumn("group_id", expr(s"doc_id DIV $groupSize"))
+    val wg = Window.partitionBy(col("group_id"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val n = count(lit(1)).over(wg)
+    val mu = sum(col("score").cast(dec)).over(wg).cast("double") / n
+    val m2 = sum((col("score") * col("score")).cast(dec)).over(wg)
+      .cast("double") / n
+    scored
+      .withColumn("n_group", n)
+      .withColumn("group_mean", mu)
+      .withColumn("group_std", sqrt(greatest(m2 - mu * mu, lit(0.0))))
+      .withColumn("advantage",
+        when(col("group_std") > 0.0,
+          (col("score") - col("group_mean")) / col("group_std"))
+          .otherwise(lit(0.0)))
+      .select("group_id", "doc_id", "score", "n_group", "group_mean",
+        "group_std", "advantage")
+  }
+
   /** The shared training loop: mined pairs, the persisted pair-token
     * frame, and the weight vector after EVERY round (codebook-bounded
     * driver state). `ptk` is returned still persisted — callers that

@@ -329,6 +329,89 @@ object NorthStar10 extends QueryGroup {
       .orderBy("source", "lang"),
     Some(fertilityOracleSql))
 
+  /** Group-relative advantage normalization (GRPO baseline): the
+    * trained n81 reward scores, centered and scaled per synthetic
+    * 8-candidate prompt group — the per-prompt baseline that replaces
+    * a learned value model. μ and the second moment are DECIMAL(38,12)
+    * window sums (order-free), σ and the division fixed-shape IEEE —
+    * the whole card under the exact-hash oracle, training replay
+    * included ([[NorthStar6.btCtes]] verbatim).
+    */
+  private val grpo = Q(
+    "n140_group_advantage",
+    "GRPO-style group-relative advantage: trained-reward scores centered/scaled per 8-candidate prompt group",
+    (s, dir) => graft.operators.Preference
+      .groupAdvantages(Tables(s, dir).documents, groupSize = 8, iters = 3)
+      .orderBy("group_id", "doc_id"),
+    Some(s"""${NorthStar6.btCtes},
+            ${NorthStar6.btScoreCte},
+            g AS (
+              SELECT doc_id // 8 AS group_id, doc_id, score,
+                CAST(COUNT(*) OVER w AS BIGINT) AS n_group,
+                ${Sql.oSum12Over("score", "w")}
+                  / COUNT(*) OVER w AS mu,
+                ${Sql.oSum12Over("score * score", "w")}
+                  / COUNT(*) OVER w AS m2
+              FROM sc
+              WINDOW w AS (PARTITION BY doc_id // 8))
+            SELECT group_id, doc_id, score, n_group,
+              mu AS group_mean,
+              sqrt(GREATEST(m2 - mu * mu, 0.0)) AS group_std,
+              CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) > 0.0
+                THEN (score - mu) / sqrt(GREATEST(m2 - mu * mu, 0.0))
+                ELSE 0.0 END AS advantage
+            FROM g ORDER BY group_id, doc_id"""))
+
+  /** Silhouette-vs-k tuning curve — the fifth tuning curve (n120 index
+    * recall, n125 dedup threshold, n126 gate threshold, n129 context
+    * length, here the cluster count). Each k's oracle chain is the
+    * n30 unrolled-Lloyd replay ([[NorthStar.kmeansCteList]] with a
+    * per-k suffix) extended with the all-centroid distance pass and
+    * the silhouette algebra — three independent chains UNION ALLed.
+    */
+  private val silKSweep = {
+    val ks = Seq(2, 4, 8)
+    val iters = 2
+    def chain(k: Int): String = {
+      val s = s"_$k"
+      s"""${NorthStar.kmeansCteList(k, iters, sfx = s)},
+            d$s AS (
+              SELECT e.vec_id, c.cid,
+                list_reduce(list_transform(range(len(e.emb)),
+                  i -> (e.emb[i+1] - c.cent[i+1]) *
+                       (e.emb[i+1] - c.cent[i+1])),
+                  (a, b) -> a + b) AS dist
+              FROM e$s e CROSS JOIN c${iters - 1}$s c),
+            o$s AS (
+              SELECT d.vec_id, MIN(d.dist) AS od
+              FROM d$s d JOIN a$iters$s a2
+                ON d.vec_id = a2.vec_id AND d.cid <> a2.cid
+              GROUP BY d.vec_id),
+            sv$s AS (
+              SELECT a2.cid AS cluster, sqrt(a2.dist) AS ca, sqrt(o.od) AS cb
+              FROM a$iters$s a2 JOIN o$s o USING (vec_id)),
+            r$s AS (
+              SELECT CAST($k AS INT) AS k, CAST(cluster AS INT) AS cluster,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                ${Sql.oSum12("ca")} / COUNT(*) AS mean_cohesion,
+                ${Sql.oSum12("cb")} / COUNT(*) AS mean_separation,
+                ${Sql.oSum12("""CASE WHEN GREATEST(ca, cb) > 0
+                    THEN (cb - ca) / GREATEST(ca, cb)
+                    ELSE 0.0 END""")} / COUNT(*) AS mean_silhouette
+              FROM sv$s GROUP BY cluster)"""
+    }
+    Q(
+      "n141_silhouette_k_sweep",
+      "choose-k tuning curve: euclidean centroid silhouette per (k, cluster) for k in {2,4,8} under deterministic Lloyd",
+      (s, dir) => graft.operators.Clustering
+        .silhouetteKSweep(Tables(s, dir).embeddings, ks, iters)
+        .orderBy("k", "cluster"),
+      Some(s"""WITH ${ks.map(chain).mkString(",\n")}
+            ${ks.map(k => s"SELECT * FROM r_$k").mkString(
+          "\nUNION ALL\n")}
+            ORDER BY k, cluster"""))
+  }
+
   val all: Seq[Q] = Seq(pruning, covariance, silhouette, quantFidelity, jl,
-    shardStab, fertility)
+    shardStab, fertility, grpo, silKSweep)
 }

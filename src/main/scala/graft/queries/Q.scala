@@ -77,6 +77,13 @@ object Sql {
     s"""CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR)
           AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"""
 
+  /** [[oSum12]] as a window aggregate over a named WINDOW clause —
+    * the order-free exact sum per partition (n140's group moments).
+    */
+  def oSum12Over(expr: String, window: String): String =
+    s"""CAST(CAST(SUM(CAST(CAST(($expr) AS VARCHAR)
+          AS DECIMAL(38,12))) OVER $window AS VARCHAR) AS DOUBLE)"""
+
   /** DuckDB cosine between two list columns — the same strict
     * left-to-right double accumulation as VectorFunctions.cosine, so
     * values are bit-identical. Shared by every ANN oracle (n05/n12/n46

@@ -47,6 +47,30 @@ class NorthStar10Spec extends AnyFunSuite {
     }
   }
 
+  test("groupAdvantages: zero-mean unit-variance within groups, degenerate group -> 0") {
+    import spark.implicits._
+    // enough docs for pair mining; group size 4 over 24 docs
+    val docs = (0L until 24L).map(i =>
+        (i, s"w$i x y z common tokens ${"pad " * (i % 5).toInt}", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Preference
+      .groupAdvantages(docs, groupSize = 4, iters = 1)
+      .collect()
+    assert(r.length == 24)
+    r.groupBy(_.getLong(0)).foreach { case (g, rows) =>
+      assert(rows.length == 4)
+      val adv = rows.map(_.getDouble(6))
+      val std = rows.head.getDouble(5)
+      if (std > 0) {
+        // normalized: mean ~0, population variance ~1 (the moments are
+        // DECIMAL(38,12)-rounded, so the error scales with 1e-12/σ²)
+        assert(math.abs(adv.sum / 4) < 1e-6, s"group $g mean")
+        assert(math.abs(adv.map(a => a * a).sum / 4 - 1.0) < 1e-6,
+          s"group $g variance")
+      } else adv.foreach(a => assert(a == 0.0, s"group $g degenerate"))
+    }
+  }
+
   test("tokenizerFertility: exact sums on an ASCII vs multibyte fixture") {
     import spark.implicits._
     val docs = Seq(
