@@ -199,6 +199,66 @@ object AsOfJoin {
         coalesce(col("local_match"), col("carry_in")).as("right_id"))
   }
 
+  /** Linear time-interpolation join — the continuous completion of the
+    * as-of family (pandas `interpolate` after `merge_asof` both ways):
+    * for each left row, carry the latest right VALUE at-or-before and
+    * the earliest at-or-after, and emit
+    * `v = v_b + (v_f − v_b)·(t − t_b)/(t_f − t_b)` — with the
+    * boundary modes a sensor-fusion pipeline needs spelled out:
+    * `exact` (a right row at exactly t — both marks are the same row,
+    * no 0/0), `hold` (only a past right: last-value-carried-forward),
+    * `backfill` (only a future right), NULL mode when the key has no
+    * rights at all. Within-ts ties follow the family rules
+    * ([[perKey]] max right_id backward, [[forwardPerKey]] min
+    * forward).
+    *
+    * Plan shape: [[nearestPerKey]]'s exactly — ONE union, ONE key
+    * shuffle, TWO in-partition window carries over the same exchange,
+    * then stateless per-row IEEE arithmetic (micros deltas cast to
+    * double only at the final ratio, so the algebra replays
+    * bit-identically in the oracle).
+    *
+    * left: (key, ts, left_id); right: (key, ts, right_id, value).
+    * Output: (left_id, key, v_before, v_after, mode, value_interp).
+    */
+  def interpolatePerKey(left: DataFrame, right: DataFrame): DataFrame = {
+    val nullMark = lit(null)
+      .cast("struct<rts:timestamp,right_id:bigint,v:double>")
+    val l = left.select(col("key"), col("ts"), col("left_id"),
+      nullMark.as("rmark"), lit(1).as("side"))
+    val r = right.select(col("key"), col("ts"),
+      lit(null).cast("long").as("left_id"),
+      struct(col("ts").as("rts"), col("right_id"),
+        col("value").cast("double").as("v")).as("rmark"),
+      lit(0).as("side"))
+    val wb = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("side"), col("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("key"))
+      .orderBy(desc("ts"), col("side"), desc("rmark.right_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = r.union(l)
+      .withColumn("bm", last(col("rmark"), ignoreNulls = true).over(wb))
+      .withColumn("fm", last(col("rmark"), ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+    val tsu = unix_micros(col("ts"))
+    val tbu = unix_micros(col("bm.rts"))
+    val tfu = unix_micros(col("fm.rts"))
+    val mode = when(col("bm").isNotNull && col("fm").isNotNull,
+        when(tfu > tbu, lit("interp")).otherwise(lit("exact")))
+      .when(col("bm").isNotNull, lit("hold"))
+      .when(col("fm").isNotNull, lit("backfill"))
+    val interp = col("bm.v") + (col("fm.v") - col("bm.v")) *
+      ((tsu - tbu).cast("double") / (tfu - tbu).cast("double"))
+    marked.select(col("left_id"), col("key"),
+      col("bm.v").as("v_before"), col("fm.v").as("v_after"),
+      mode.as("mode"),
+      when(mode === "interp", interp)
+        .when(mode === "exact" || mode === "hold", col("bm.v"))
+        .when(mode === "backfill", col("fm.v"))
+        .as("value_interp"))
+  }
+
   /** Both directional marks per left row, bucketed — the shared carry
     * machinery behind [[bucketedForward]] and [[bucketedNearest]]
     * (the forward/nearest analog of [[bucketed]]'s three stages,

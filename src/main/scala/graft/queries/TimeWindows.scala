@@ -379,7 +379,72 @@ object TimeWindows extends QueryGroup {
             FROM events v WHERE v.event_type = 'view'
             ORDER BY view_id"""))
 
+  /** Linear interpolation join: per view, the purchase VALUE
+    * interpolated at the view's timestamp from the latest
+    * at-or-before and earliest at-or-after purchases — with the
+    * `exact`/`hold`/`backfill` boundary modes under the oracle (four
+    * correlated subqueries replay the two carries; the interpolation
+    * algebra is micros-exact integers divided once at the end).
+    */
+  private val asofInterpolate = Q(
+    "w11_asof_interpolate",
+    "time-interpolation join: purchase value linearly interpolated at each view's timestamp, boundary modes exact/hold/backfill",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"), col("value"))
+      graft.operators.AsOfJoin.interpolatePerKey(left, right)
+        .select(col("left_id").as("view_id"), col("key").as("user_id"),
+          col("v_before"), col("v_after"), col("mode"),
+          col("value_interp"))
+        .orderBy("view_id")
+    },
+    Some("""WITH v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+            b AS (
+              SELECT v.event_id,
+                (SELECT p.value FROM events p
+                 WHERE p.event_type = 'purchase'
+                   AND p.user_id = v.user_id AND p.ts <= v.ts
+                 ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS vb,
+                (SELECT epoch_us(p.ts) FROM events p
+                 WHERE p.event_type = 'purchase'
+                   AND p.user_id = v.user_id AND p.ts <= v.ts
+                 ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS tb,
+                (SELECT p.value FROM events p
+                 WHERE p.event_type = 'purchase'
+                   AND p.user_id = v.user_id AND p.ts >= v.ts
+                 ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS vf,
+                (SELECT epoch_us(p.ts) FROM events p
+                 WHERE p.event_type = 'purchase'
+                   AND p.user_id = v.user_id AND p.ts >= v.ts
+                 ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS tf
+              FROM v)
+            SELECT v.event_id AS view_id, v.user_id,
+              vb AS v_before, vf AS v_after,
+              CASE
+                WHEN tb IS NOT NULL AND tf IS NOT NULL AND tf > tb
+                  THEN 'interp'
+                WHEN tb IS NOT NULL AND tf IS NOT NULL THEN 'exact'
+                WHEN tb IS NOT NULL THEN 'hold'
+                WHEN tf IS NOT NULL THEN 'backfill'
+              END AS mode,
+              CASE
+                WHEN tb IS NOT NULL AND tf IS NOT NULL AND tf > tb
+                  THEN vb + (vf - vb) *
+                    (CAST(epoch_us(v.ts) - tb AS DOUBLE)
+                     / CAST(tf - tb AS DOUBLE))
+                WHEN tb IS NOT NULL THEN vb
+                WHEN tf IS NOT NULL THEN vf
+              END AS value_interp
+            FROM v JOIN b USING (event_id)
+            ORDER BY view_id"""))
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
     punctuated, asofForward, asofNearest, asofNearestBucketed,
-    asofForwardBucketed)
+    asofForwardBucketed, asofInterpolate)
 }

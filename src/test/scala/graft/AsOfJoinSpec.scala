@@ -241,4 +241,52 @@ class AsOfJoinSpec extends AnyFunSuite {
       (200L, None, None))
     assert(got == expected, s"got $got")
   }
+
+  test("interpolatePerKey: linear value, exact hit, hold, backfill, empty key") {
+    // key 1 rights: (ts 10, v 1.0), (ts 20, v 3.0)
+    //   left at 15 -> interp: 1 + 2*(5/10) = 2.0
+    //   left at 12 -> interp: 1 + 2*(2/10) = 1.4
+    //   left at 10 -> exact hit -> 1.0
+    //   left at 25 -> hold -> 3.0
+    //   left at  5 -> backfill -> 1.0
+    // key 2: no rights -> null mode, null value
+    val left = df(Seq(
+      (1L, 15L, 100L), (1L, 12L, 101L), (1L, 10L, 102L),
+      (1L, 25L, 103L), (1L, 5L, 104L), (2L, 50L, 200L)),
+      "left_id")
+    val right = df(Seq((1L, 10L, 11L), (1L, 20L, 12L)), "right_id")
+      .withColumn("value",
+        when(col("right_id") === 11L, 1.0).otherwise(3.0))
+    val got = AsOfJoin.interpolatePerKey(left, right)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getString(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+    val expected = Set(
+      (100L, Some("interp"), Some(2.0)),
+      (101L, Some("interp"), Some(1.4)),
+      (102L, Some("exact"), Some(1.0)),
+      (103L, Some("hold"), Some(3.0)),
+      (104L, Some("backfill"), Some(1.0)),
+      (200L, None, None))
+    assert(got == expected, s"got $got")
+  }
+
+  test("interpolatePerKey: within-ts ties follow the family rules") {
+    // two rights at ts=10 (ids 11 v=1, 12 v=9) and two at ts=20
+    // (ids 13 v=5, 14 v=7): backward carry takes MAX id (12, v=9),
+    // forward carry takes MIN id (13, v=5) -> interp at 15 = 9 + (5-9)/2
+    val left = df(Seq((1L, 15L, 100L)), "left_id")
+    val right = df(Seq(
+      (1L, 10L, 11L), (1L, 10L, 12L), (1L, 20L, 13L), (1L, 20L, 14L)),
+      "right_id")
+      .withColumn("value",
+        when(col("right_id") === 11L, 1.0)
+          .when(col("right_id") === 12L, 9.0)
+          .when(col("right_id") === 13L, 5.0)
+          .otherwise(7.0))
+    val r = AsOfJoin.interpolatePerKey(left, right).collect().head
+    assert(r.getDouble(2) == 9.0, "backward tie -> max right_id's value")
+    assert(r.getDouble(3) == 5.0, "forward tie -> min right_id's value")
+    assert(r.getDouble(5) == 7.0, "9 + (5-9)*0.5")
+  }
 }
