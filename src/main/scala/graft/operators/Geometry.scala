@@ -349,6 +349,121 @@ object Geometry {
     }
   }
 
+  /** ZCA whitening: the applied half of the covariance card. The
+    * whitening matrix `W = V·diag(1/√(λ+eps))·Vᵀ` comes from a
+    * driver-side Jacobi eigendecomposition of the D×D covariance
+    * (model-sized, like [[effectiveRank]]); application is one
+    * scan-stage per-row transform against the broadcast literal
+    * matrix — zero shuffle beyond the moment pass that built the
+    * covariance. Output tall (vec_id, dim, v_white): mean-centered,
+    * decorrelated, unit-variance coordinates — the standard
+    * preprocessing before PQ codebooks or euclidean ANN when the
+    * embedding space is anisotropic (n134's card is the diagnosis;
+    * this is the treatment).
+    *
+    * NO cross-engine-exact SQL form exists (the eigensolve), so the
+    * n142 query takes the rows-only check; WhiteningSpec carries the
+    * replacement guarantee — the whitened covariance IS the identity
+    * (off-diagonals < 1e-9, diagonals 1 ± 1e-6 for well-conditioned
+    * eigenvalues) and the transform is the symmetric PSD inverse
+    * square root (W·Σ·Wᵀ = I).
+    */
+  def zcaWhiten(embeddings: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val covTall = covarianceMoments(embeddings)
+    val rows = covTall.select("dim_i", "dim_j", "mean_i", "cov").collect()
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    val mean = Array.ofDim[Double](d)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      cov(i)(j) = c
+      cov(j)(i) = c
+      if (i == j) mean(i) = r.getDouble(2)
+    }
+    val (eigs, vecs) = jacobiEigenvectors(cov)
+    // W = V diag(1/sqrt(max(lambda,0)+eps)) V^T
+    val w = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0
+      var k = 0
+      while (k < d) {
+        s += vecs(i)(k) * vecs(j)(k) /
+          math.sqrt(math.max(eigs(k), 0.0) + eps)
+        k += 1
+      }
+      s
+    }
+    val wCol = array(w.map(row => array(row.map(lit): _*)): _*)
+    val meanCol = array(mean.map(lit): _*)
+    val centered = zip_with(
+      transform(col("embedding"), x => x.cast("double")), meanCol,
+      (x, m) => x - m)
+    embeddings
+      .select(col("vec_id"), centered.as("c"), wCol.as("w"))
+      .select(col("vec_id"),
+        posexplode(transform(col("w"), wrow =>
+          aggregate(zip_with(wrow, col("c"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x)))
+          .as(Seq("dim", "v_white")))
+  }
+
+  /** Cyclic Jacobi with eigenvector accumulation — (eigenvalues,
+    * column-eigenvectors V with `sym = V·diag(λ)·Vᵀ`).
+    */
+  private[graft] def jacobiEigenvectors(
+      sym: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = Array.tabulate(d, d)((i, j) => sym(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (offDiag(a) > 1e-12 && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) rotateWithVecs(a, v, p, q)
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def rotateWithVecs(a: Array[Array[Double]],
+      v: Array[Array[Double]], p: Int, q: Int): Unit = {
+    val d = a.length
+    val apq = a(p)(q)
+    val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+    val t = {
+      val s = math.signum(theta) match { case 0.0 => 1.0; case x => x }
+      s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+    }
+    val c = 1.0 / math.sqrt(t * t + 1.0)
+    val s = t * c
+    var k = 0
+    while (k < d) {
+      val akp = a(k)(p); val akq = a(k)(q)
+      a(k)(p) = c * akp - s * akq
+      a(k)(q) = s * akp + c * akq
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val apk = a(p)(k); val aqk = a(q)(k)
+      a(p)(k) = c * apk - s * aqk
+      a(q)(k) = s * apk + c * aqk
+      k += 1
+    }
+    k = 0
+    while (k < d) {
+      val vkp = v(k)(p); val vkq = v(k)(q)
+      v(k)(p) = c * vkp - s * vkq
+      v(k)(q) = s * vkp + c * vkq
+      k += 1
+    }
+  }
+
   /** Int8-quantization fidelity card, per label: how much cosine the
     * per-vector min/max int8 scheme ([[Similarity.quantizeInt8Tall]]'s
     * exact arithmetic, re-derived per row without the tall explode)

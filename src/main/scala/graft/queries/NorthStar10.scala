@@ -412,6 +412,21 @@ object NorthStar10 extends QueryGroup {
             ORDER BY k, cluster"""))
   }
 
+  /** ZCA whitening applied — n134's diagnosis turned into treatment.
+    * Rows-only BY DESIGN (the fourth member, beside n04/q30/n128):
+    * the whitening matrix needs the eigensolve, which has no
+    * cross-engine-exact SQL form; WhiteningSpec carries the
+    * replacement guarantee (whitened covariance == identity, W is the
+    * symmetric inverse square root), pinned by RegistryInvariantsSpec.
+    */
+  private val whiten = Q(
+    "n142_zca_whitening",
+    "ZCA-whitened embeddings in tall form (driver-side eigensolve, scan-stage apply); rows-only by design",
+    (s, dir) => Geometry
+      .zcaWhiten(Tables(s, dir).embeddings)
+      .orderBy("vec_id", "dim"),
+    None)
+
   val all: Seq[Q] = Seq(pruning, covariance, silhouette, quantFidelity, jl,
-    shardStab, fertility, grpo, silKSweep)
+    shardStab, fertility, grpo, silKSweep, whiten)
 }

@@ -8,12 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *   - every query carries a DuckDB oracle unless it is on the PINNED
   *     rows-only list (n04's xxhash64 SimHash bits, q30's
-  *     approx_count_distinct, and n128's GK quantile sketches have no
-  *     cross-engine-exact SQL form — all documented in COVERAGE.md;
-  *     n128's replacement guarantee is TextAnalysisSketchSpec's
-  *     rank-band pin). Set equality, so a pin that GAINS an oracle is
-  *     flagged as stale exactly like a new query that silently ships
-  *     without one.
+  *     approx_count_distinct, n128's GK quantile sketches, and n142's
+  *     eigensolve-derived whitening have no cross-engine-exact SQL
+  *     form — all documented in COVERAGE.md; the replacement
+  *     guarantees are TextAnalysisSketchSpec's rank-band pin and
+  *     WhiteningSpec's identity-covariance pin). Set equality, so a
+  *     pin that GAINS an oracle is flagged as stale exactly like a
+  *     new query that silently ships without one.
   *   - every registered query has a committed bench ceiling, and every
   *     ceiling names a registered query (same parser the gate uses).
   *   - names follow the family_snake convention the driver artifacts
@@ -23,7 +24,7 @@ class RegistryInvariantsSpec extends AnyFunSuite {
 
   test("every query has an oracle unless pinned rows-only") {
     val rowsOnly = Set("n04_dedup_simhash", "q30_approx_distinct",
-      "n128_length_percentiles_sketch")
+      "n128_length_percentiles_sketch", "n142_zca_whitening")
     val missing = queries.Registry.all
       .filter(_.oracle.isEmpty).map(_.name).toSet
     assert(missing == rowsOnly,
