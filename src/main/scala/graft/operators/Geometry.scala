@@ -349,6 +349,35 @@ object Geometry {
     }
   }
 
+  /** One-row anisotropy summary — the oracle-able face of the n134
+    * card (Ethayarajh 2019's diagnosis without the eigensolve): the
+    * corpus mean-vector energy `‖μ‖²` against the mean squared norm
+    * `E‖x‖²`, their ratio (≈ the expected cosine between two random
+    * embeddings after normalization — 0 for an isotropic cloud, →1
+    * as the space collapses onto its mean), and the total centered
+    * variance (trace of the covariance, by `E‖x‖² − ‖μ‖²`). Two
+    * decimal-exact reductions — a per-row ‖x‖² fold summed at scale
+    * 12, and the D-cell mean frame squared and summed at scale 12 —
+    * then fixed-shape IEEE; one corpus pass + one D-row pass.
+    */
+  def anisotropyCard(embeddings: DataFrame): DataFrame = {
+    val sqNorm = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val totals = embeddings
+      .agg(count(lit(1)).as("n"),
+        (sum12(sqNorm) / count(lit(1))).as("avg_sq_norm"),
+        max(size(col("embedding"))).as("d"))
+    val meanNorm = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg((sum12(col("v").cast("double")) / count(lit(1))).as("m"))
+      .agg(sum12(col("m") * col("m")).as("mean_norm2"))
+    totals.crossJoin(broadcast(meanNorm))
+      .select(col("n"), col("d"), col("avg_sq_norm"), col("mean_norm2"),
+        (col("avg_sq_norm") - col("mean_norm2")).as("trace_cov"),
+        (col("mean_norm2") / col("avg_sq_norm")).as("anisotropy"))
+  }
+
   /** ZCA whitening: the applied half of the covariance card. The
     * whitening matrix `W = V·diag(1/√(λ+eps))·Vᵀ` comes from a
     * driver-side Jacobi eigendecomposition of the D×D covariance

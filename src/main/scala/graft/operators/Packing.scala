@@ -415,15 +415,25 @@ object Packing {
     * draws (scan-stage, no join, no shuffle beyond the final S-row
     * aggregate), and every output ratio divides AFTER exact counts.
     */
+  /** Rendezvous (highest-random-weight) shard assignment as a per-row
+    * Column: argmax over `w` md5 struct draws, ties to the larger
+    * shard id. Shared by [[shardStability]] and the s42 streaming
+    * router — one definition of the draw and the tie rule.
+    */
+  def rendezvousShard(id: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column = {
+    def draw(sh: Int) = conv(substring(
+      md5(concat_ws(":", id, lit("shard"), lit(sh))), 1, 8),
+      16, 10).cast("long")
+    array_max(array((0 until w).map(sh =>
+      struct(draw(sh).as("d"), lit(sh).as("s"))): _*)).getField("s")
+  }
+
   def shardStability(docs: DataFrame, fromShards: Int,
       toShards: Int): DataFrame = {
     require(fromShards > 0 && toShards > fromShards,
       s"need 0 < fromShards < toShards, got $fromShards, $toShards")
-    def draw(sh: Int) = conv(substring(
-      md5(concat_ws(":", col("doc_id"), lit("shard"), lit(sh))), 1, 8),
-      16, 10).cast("long")
-    def rdv(w: Int) = array_max(array((0 until w).map(sh =>
-      struct(draw(sh).as("d"), lit(sh).as("s"))): _*)).getField("s")
+    def rdv(w: Int) = rendezvousShard(col("doc_id"), w)
     docs
       .select(col("doc_id"),
         rdv(fromShards).as("rdv_from"), rdv(toShards).as("rdv_to"),

@@ -427,6 +427,37 @@ object NorthStar10 extends QueryGroup {
       .orderBy("vec_id", "dim"),
     None)
 
+  /** One-row anisotropy card — n134's oracle-able summary face: mean
+    * squared norm, mean-vector energy, their ratio, the covariance
+    * trace. The n143/n134/n142 triple is diagnosis-summary / full
+    * structure / treatment.
+    */
+  private val anisotropy = Q(
+    "n143_embedding_anisotropy",
+    "embedding anisotropy card: E||x||^2, ||mu||^2, their ratio, covariance trace (one row)",
+    (s, dir) => Geometry
+      .anisotropyCard(Tables(s, dir).embeddings),
+    Some(s"""WITH t AS (
+              SELECT vec_id,
+                CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                ${Sql.oSum12("""list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (acc, x) -> acc + x)""")} / COUNT(*) AS avg_sq_norm,
+                CAST(MAX(len(embedding)) AS INT) AS d
+              FROM embeddings),
+            m AS (
+              SELECT dim, ${Sql.oSum12("v")} / COUNT(*) AS m
+              FROM t GROUP BY dim),
+            mn AS (SELECT ${Sql.oSum12("m * m")} AS mean_norm2 FROM m)
+            SELECT n, d, avg_sq_norm, mean_norm2,
+              avg_sq_norm - mean_norm2 AS trace_cov,
+              mean_norm2 / avg_sq_norm AS anisotropy
+            FROM tot CROSS JOIN mn"""))
+
   val all: Seq[Q] = Seq(pruning, covariance, silhouette, quantFidelity, jl,
-    shardStab, fertility, grpo, silKSweep, whiten)
+    shardStab, fertility, grpo, silKSweep, whiten, anisotropy)
 }

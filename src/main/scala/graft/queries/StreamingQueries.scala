@@ -649,6 +649,20 @@ object StreamingQueries extends QueryGroup {
       graft.operators.TextAnalysis
         .fertilityCounts(docsSource(s, dir, stream))
 
+    /** s42: n138's rendezvous assignment as the continuous ingest
+      * router — a stateless scan-stage projection (the HRW argmax is
+      * a per-row fold over W md5 draws), append mode, no state store.
+      * This is the property n138's card prices: the SAME deterministic
+      * draw routes a doc identically whether it arrives in a batch
+      * backfill or on the live stream, so a worker-count resize
+      * re-homes only the ~1/W the card predicts.
+      */
+    def s42(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      docsSource(s, dir, stream)
+        .select(col("doc_id"),
+          graft.operators.Packing.rendezvousShard(col("doc_id"), 9)
+            .as("shard"))
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -896,7 +910,8 @@ object StreamingQueries extends QueryGroup {
     "s38_stream_shadow_eval" -> Seq(Frames.s38(s, dir, stream = false)),
     "s39_stream_packing_monitor" -> Seq(Frames.s39(s, dir, stream = false)),
     "s40_stream_prototype_gate" -> Seq(Frames.s40(s, dir, stream = false)),
-    "s41_stream_fertility_monitor" -> Seq(Frames.s41(s, dir, stream = false)))
+    "s41_stream_fertility_monitor" -> Seq(Frames.s41(s, dir, stream = false)),
+    "s42_stream_shard_router" -> Seq(Frames.s42(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2375,6 +2390,27 @@ object StreamingQueries extends QueryGroup {
     * report half the n139 card composes. The ORACLE IS n139's SQL
     * verbatim.
     */
+  /** Streaming rendezvous shard router — n138's assignment applied at
+    * ingest: stateless append-mode projection; the oracle replays the
+    * HRW argmax relationally, so the stream's routing converges
+    * bit-for-bit to the batch plan's.
+    */
+  private val streamShardRouter = Q(
+    "s42_stream_shard_router",
+    "streaming rendezvous shard router: stateless HRW assignment at ingest (converges to n138's draw)",
+    (s, dir) => runToTable(Frames.s42(s, dir), "append").orderBy("doc_id"),
+    Some("""WITH sh AS (
+              SELECT doc_id, s,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                  || ':shard:' || CAST(s AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS draw
+              FROM (SELECT doc_id FROM documents) d CROSS JOIN
+                (SELECT CAST(unnest(range(9)) AS INT) AS s))
+            SELECT doc_id, s AS shard FROM (
+              SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                ORDER BY draw DESC, s DESC) AS rn
+              FROM sh) WHERE rn = 1 ORDER BY doc_id"""))
+
   private val streamFertilityMonitor = Q(
     "s41_stream_fertility_monitor",
     "streaming tokenizer-fertility monitor per (source, lang) (converges to the n139 batch closed form)",
@@ -2404,5 +2440,5 @@ object StreamingQueries extends QueryGroup {
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
     streamShadowEval, streamPackingMonitor, streamPrototypeGate,
-    streamFertilityMonitor)
+    streamFertilityMonitor, streamShardRouter)
 }

@@ -152,7 +152,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "n135_centroid_silhouette",
       // the bounded JL pair sample (32 vectors) under the < inequality
       // self-join — sample², never corpus²
-      "n137_jl_distortion")
+      "n137_jl_distortion",
+      // the one-row mean-vector-energy scalar crossJoined onto the
+      // one-row totals — the broadcast-scalar shape
+      "n143_embedding_anisotropy")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
