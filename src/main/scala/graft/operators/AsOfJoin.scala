@@ -241,6 +241,14 @@ object AsOfJoin {
       .withColumn("bm", last(col("rmark"), ignoreNulls = true).over(wb))
       .withColumn("fm", last(col("rmark"), ignoreNulls = true).over(wf))
       .filter(col("side") === 1)
+    interpolateFromMarks(marked)
+  }
+
+  /** The interpolation algebra over a (left_id, key, ts, bm, fm)
+    * marked frame — ONE definition shared by [[interpolatePerKey]] and
+    * [[bucketedInterpolate]], so the two paths cannot drift.
+    */
+  private def interpolateFromMarks(marked: DataFrame): DataFrame = {
     val tsu = unix_micros(col("ts"))
     val tbu = unix_micros(col("bm.rts"))
     val tfu = unix_micros(col("fm.rts"))
@@ -258,6 +266,18 @@ object AsOfJoin {
         .when(mode === "backfill", col("fm.v"))
         .as("value_interp"))
   }
+
+  /** [[interpolatePerKey]]'s hot-key scale path: identical results
+    * (the marks now carry the value through [[bucketedMarks]]; the
+    * algebra is the SAME [[interpolateFromMarks]]), keys × time-buckets
+    * parallelism instead of two whole-key sorts — completing the
+    * bucketed matrix across ALL four family members (backward /
+    * forward / nearest / interpolate).
+    */
+  def bucketedInterpolate(left: DataFrame, right: DataFrame,
+      bucketSeconds: Long): DataFrame =
+    interpolateFromMarks(
+      bucketedMarks(left, right, bucketSeconds, withValue = true))
 
   /** Both directional marks per left row, bucketed — the shared carry
     * machinery behind [[bucketedForward]] and [[bucketedNearest]]
@@ -280,16 +300,26 @@ object AsOfJoin {
     * forward = earliest ts then MIN right_id (min(struct)).
     *
     * Returns one row per left row: (left_id, key, ts, bm, fm) where
-    * bm/fm are nullable struct<rts, right_id> marks with no horizon
-    * applied — callers own the band filter.
+    * bm/fm are nullable struct<rts, right_id[, v]> marks with no
+    * horizon applied — callers own the band filter. `withValue` adds
+    * the right's `value` column as a trailing `v` field for
+    * [[bucketedInterpolate]] — trailing, so the lexicographic
+    * min/max tie order is untouched (right_id is unique per row; the
+    * comparison never reaches v).
     */
-  private def bucketedMarks(
-      left: DataFrame, right: DataFrame, bucketSeconds: Long): DataFrame = {
+  private def bucketedMarks(left: DataFrame, right: DataFrame,
+      bucketSeconds: Long, withValue: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, s"bucket must be > 0, got $bucketSeconds")
     val bucket = (ts: org.apache.spark.sql.Column) =>
       floor(ts.cast("double") / bucketSeconds).cast("long")
-    val mark = struct(col("ts").as("rts"), col("right_id"))
-    val nullMark = lit(null).cast("struct<rts:timestamp,right_id:bigint>")
+    val mark =
+      if (withValue)
+        struct(col("ts").as("rts"), col("right_id"),
+          col("value").cast("double").as("v"))
+      else struct(col("ts").as("rts"), col("right_id"))
+    val nullMark = lit(null).cast(
+      if (withValue) "struct<rts:timestamp,right_id:bigint,v:double>"
+      else "struct<rts:timestamp,right_id:bigint>")
 
     // stage 1: one summary row per (key, bucket) — lexicographic
     // struct min/max encode the family tie rules exactly

@@ -444,7 +444,32 @@ object TimeWindows extends QueryGroup {
             FROM v JOIN b USING (event_id)
             ORDER BY view_id"""))
 
+  /** w11's hot-key scale path under the SAME oracle: the marks carry
+    * the value through the shared bucketed machinery, the algebra is
+    * the same shared definition — byte-identical output required,
+    * modes included. Completes the bucketed matrix across all four
+    * as-of members (w05/w10/w09/here).
+    */
+  private val asofInterpolateBucketed = Q(
+    "w12_asof_interpolate_bucketed",
+    "bucketed time-interpolation join (keys x time-buckets scale path), same oracle as w11",
+    (s, dir) => {
+      val ev = Tables(s, dir).events
+      val left = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("left_id"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("right_id"), col("value"))
+      graft.operators.AsOfJoin.bucketedInterpolate(left, right, 3600L)
+        .select(col("left_id").as("view_id"), col("key").as("user_id"),
+          col("v_before"), col("v_after"), col("mode"),
+          col("value_interp"))
+        .orderBy("view_id")
+    },
+    asofInterpolate.oracle)
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
     punctuated, asofForward, asofNearest, asofNearestBucketed,
-    asofForwardBucketed, asofInterpolate)
+    asofForwardBucketed, asofInterpolate, asofInterpolateBucketed)
 }

@@ -80,6 +80,8 @@ object ScanGuard {
     // same bucketedMarks machinery as w09 — the identical inherent
     // 2-scans-per-input profile over the forward direction
     "w10_asof_forward_bucketed",
+    // same machinery again, marks carrying the value (interpolate)
+    "w12_asof_interpolate_bucketed",
     // temperature mixture / snapshot merge: per-branch realization over
     // a D-row broadcast plan, branch count fixed by the mixture
     "n61_temperature_mixture",

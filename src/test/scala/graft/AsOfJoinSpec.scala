@@ -271,6 +271,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("bucketedInterpolate == interpolatePerKey on fixtures and random rounds") {
+    def valued(rows: Seq[(Long, Long, Long)]) =
+      df(rows, "right_id").withColumn("value",
+        (col("right_id") % 7 + 1).cast("double"))
+    def run(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, b: Long) = {
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(x => (x.getLong(0),
+          if (x.isNullAt(2)) None else Some(x.getDouble(2)),
+          if (x.isNullAt(3)) None else Some(x.getDouble(3)),
+          if (x.isNullAt(4)) None else Some(x.getString(4)),
+          if (x.isNullAt(5)) None else Some(x.getDouble(5)))).toSet
+      assert(canon(AsOfJoin.bucketedInterpolate(l, r, b)) ==
+        canon(AsOfJoin.interpolatePerKey(l, r)), s"bucket=$b")
+    }
+    // the interpolate fixture, across bucket widths incl. degenerate 1s
+    val left = df(Seq(
+      (1L, 15L, 100L), (1L, 12L, 101L), (1L, 10L, 102L),
+      (1L, 25L, 103L), (1L, 5L, 104L), (2L, 50L, 200L)),
+      "left_id")
+    val right = valued(Seq((1L, 10L, 11L), (1L, 20L, 12L)))
+    Seq(1L, 7L, 100L).foreach(b => run(left, right, b))
+    // random rounds: clustered ts so carries cross buckets
+    val rng = new scala.util.Random(5)
+    (1 to 3).foreach { round =>
+      val l = df((1 to 60).map(i =>
+        (rng.nextInt(3).toLong + 1, rng.nextInt(40).toLong,
+          1000L + i)), "left_id")
+      val r = valued((1 to 40).map(i =>
+        (rng.nextInt(3).toLong + 1, rng.nextInt(40).toLong,
+          2000L + i)))
+      run(l, r, 5L + round * 7L)
+    }
+  }
+
   test("interpolatePerKey: within-ts ties follow the family rules") {
     // two rights at ts=10 (ids 11 v=1, 12 v=9) and two at ts=20
     // (ids 13 v=5, 14 v=7): backward carry takes MAX id (12, v=9),
