@@ -247,6 +247,25 @@ object Clustering {
     cents
   }
 
+  /** Dup-cluster size histogram — the dedup REPORT card: per cluster
+    * size, how many clusters, how many documents they hold, and how
+    * many a keep-one-per-cluster dedup would remove. Whether the
+    * duplicate mass sits in millions of pairs or a few mega-clusters
+    * decides which dedup machinery to spend on (pair joins vs CC
+    * rounds) and what the corpus actually shrinks by. Two hash aggs
+    * over the [[dupClusters]] output: corpus-keyed (component), then
+    * size-keyed (bounded by the largest cluster) — no window, no
+    * global order.
+    */
+  def dupClusterSizeHistogram(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame =
+    dupClusters(docs, n, threshold)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1L) * col("n_clusters")).as("n_removable"))
+
   /** Silhouette-vs-k tuning curve (the fifth tuning curve, beside
     * n120/n125/n126/n129): for each candidate k, train the
     * deterministic Lloyd codebook, then score every vector's euclidean

@@ -458,6 +458,30 @@ object NorthStar10 extends QueryGroup {
               mean_norm2 / avg_sq_norm AS anisotropy
             FROM tot CROSS JOIN mn"""))
 
+  /** Dup-cluster size histogram — the dedup report card over n22's
+    * components: whether the duplicate mass sits in pairs or
+    * mega-clusters, and what keep-one dedup removes.
+    */
+  private val dupHistogram = Q(
+    "n144_dup_size_histogram",
+    "dup-cluster size histogram: clusters, docs, and keep-one removable count per cluster size",
+    (s, dir) => graft.operators.Clustering
+      .dupClusterSizeHistogram(Tables(s, dir).documents, 3, 0.8)
+      .orderBy("size"),
+    Some(s"""${NorthStar.ccCtes},
+            allc AS (
+              SELECT d.doc_id,
+                COALESCE(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+            cs AS (
+              SELECT component, CAST(COUNT(*) AS BIGINT) AS size
+              FROM allc GROUP BY component)
+            SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+              CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+            FROM cs GROUP BY size ORDER BY size"""))
+
   val all: Seq[Q] = Seq(pruning, covariance, silhouette, quantFidelity, jl,
-    shardStab, fertility, grpo, silKSweep, whiten, anisotropy)
+    shardStab, fertility, grpo, silKSweep, whiten, anisotropy,
+    dupHistogram)
 }
