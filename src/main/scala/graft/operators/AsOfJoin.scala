@@ -205,8 +205,12 @@ object AsOfJoin {
     * the earliest at-or-after, and emit
     * `v = v_b + (v_f − v_b)·(t − t_b)/(t_f − t_b)` — with the
     * boundary modes a sensor-fusion pipeline needs spelled out:
-    * `exact` (a right row at exactly t — both marks are the same row,
-    * no 0/0), `hold` (only a past right: last-value-carried-forward),
+    * `exact` (a right row at exactly t — value_interp takes the
+    * BACKWARD mark's value; with multiple right rows at exactly t the
+    * two marks are different rows under the tie rules, bm = max
+    * right_id and fm = min right_id, so v_before may differ from
+    * v_after — the mode guard keeps the 0/0 ratio out either way),
+    * `hold` (only a past right: last-value-carried-forward),
     * `backfill` (only a future right), NULL mode when the key has no
     * rights at all. Within-ts ties follow the family rules
     * ([[perKey]] max right_id backward, [[forwardPerKey]] min

@@ -96,6 +96,42 @@ object Dedup {
     jaccardPairsOn(tok, threshold)
   }
 
+  /** Cross-doc n-gram novelty card — duplication exposure at SHINGLE
+    * granularity, the signal doc-level dedup (n01/n02) is blind to:
+    * per document, the fraction of its distinct word n-grams that
+    * appear in NO other document. A low-novelty doc that survives
+    * doc dedup is template/boilerplate mass — each of its n-grams
+    * trains again elsewhere (the memorization-exposure accounting of
+    * data-constrained scaling, at the n-gram level where repetition
+    * actually bites). Output per doc: distinct-shingle count, novel
+    * count (corpus document frequency = 1), and their ratio.
+    *
+    * Exactness: counts are exact integers on the 64-bit shingle
+    * hashes; the oracle counts STRING shingles — identical modulo a
+    * 64-bit collision across the corpus's distinct shingles (the
+    * n02/n03 precedent, ~1e-7 at these scales and hash-checked by the
+    * driver each round). The ratio is one division of exact counts.
+    *
+    * Scale shape: per-row shingle hashing inside the scan (strings
+    * never shuffle — the n03 plan note); one hash-keyed document-
+    * frequency aggregation with map-side partials; one equi-join back
+    * (shingle-keyed, AQE-skew-splittable); one doc-keyed count. All
+    * joins on 64-bit keys; nothing is corpus².
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    val inv = shingled(docs, n)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("sh_hash"))
+    val df = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+    inv.join(df, "sh_hash")
+      .groupBy("doc_id", "n_shingles")
+      .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Cross-source duplicate leakage: the near-dup pair set of
     * [[jaccardPairs]] aggregated by (source, source) — which source
     * pairs share instances, the mirror detector. n110's affinity says

@@ -119,6 +119,13 @@ object Geometry {
         (col("d_other") - col("d_own")) /
           greatest(col("d_own"), col("d_other")))
       .withColumn("misassigned", col("d_other") < col("d_own"))
+      // Single-label contract: with one label in the corpus there is no
+      // "other" prototype, d_other stays null, and silhouette is
+      // undefined — drop those rows, matching the n135 oracle's inner
+      // join of own-vs-other distances (which drops such vectors
+      // entirely). Unreachable on multi-label corpora; pinned by
+      // EmbeddingGeometrySpec's degenerate-corpus case.
+      .filter(col("d_other").isNotNull)
     scored.groupBy("label")
       .agg(count(lit(1)).as("n"),
         (sum12(col("d_own")) / count(lit(1))).as("mean_cohesion"),
@@ -378,6 +385,108 @@ object Geometry {
         (col("mean_norm2") / col("avg_sq_norm")).as("anisotropy"))
   }
 
+  /** Streaming-legal moment half of [[anisotropyCard]] (the s39/s41
+    * counting-half split): ONE aggregation keyed by dim, where dim −1
+    * carries the per-row squared-norm fold (cast to DECIMAL(38,12) per
+    * row — exactly the route the batch card and the n143 oracle take)
+    * and dims 0..D−1 carry the coordinate sums as a MONOTONE
+    * positive/negative split (two decimal sums of non-negative terms),
+    * so an update-mode memory sink collapses to final state with MAX
+    * per dim whatever the trigger slicing. `s_pos − s_neg` equals the
+    * signed decimal sum exactly: Spark's double→decimal cast rounds
+    * half away from zero, so dec(−v) == −dec(v) term by term.
+    * State is D+1 rows — model-sized, never corpus.
+    */
+  def anisotropyMoments(embeddings: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val sqNorm = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val coords = transform(sequence(lit(0), size(col("embedding")) - 1),
+      i => struct(i.cast("int").as("dim"),
+        element_at(col("embedding"), i + 1).cast("double").as("v")))
+    val channels = concat(
+      array(struct(lit(-1).cast("int").as("dim"), sqNorm.as("v"))), coords)
+    embeddings
+      .select(explode(channels).as("c"))
+      .select(col("c.dim").as("dim"), col("c.v").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") >= 0, col("v")).otherwise(lit(0.0)).cast(dec))
+          .as("s_pos"),
+        sum(when(col("v") < 0, -col("v")).otherwise(lit(0.0)).cast(dec))
+          .as("s_neg"))
+  }
+
+  /** Report half over [[anisotropyMoments]] final state — emits the
+    * SAME six columns as [[anisotropyCard]], so the streaming monitor
+    * (s43) rides n143's oracle verbatim.
+    */
+  def anisotropyFromMoments(moments: DataFrame): DataFrame = {
+    // subtracting two DECIMAL(38,12) sums would overflow precision 38
+    // and Spark's allowPrecisionLoss coercion silently re-rounds the
+    // result to scale 11 — a 5e-12 drift off the oracle. Down-cast to
+    // (26,12) first (exact: same scale, 14 integer digits ≈ sums to
+    // 1e14 — plenty above any per-dim coordinate mass this engine
+    // feeds) so the difference fits (27,12) with no loss.
+    val d26 = DecimalType(26, 12)
+    def signed(pos: Column, neg: Column): Column =
+      (pos.cast(d26) - neg.cast(d26)).cast("double")
+    val tot = moments.filter(col("dim") === -1)
+      .select(col("n"),
+        (signed(col("s_pos"), col("s_neg")) / col("n")).as("avg_sq_norm"))
+    val dims = moments.filter(col("dim") >= 0)
+      .select(col("dim"),
+        (signed(col("s_pos"), col("s_neg")) / col("n")).as("m"))
+    val mean2 = dims.agg(sum12(col("m") * col("m")).as("mean_norm2"),
+      (max(col("dim")) + 1).as("d"))
+    tot.crossJoin(broadcast(mean2))
+      .select(col("n"), col("d"), col("avg_sq_norm"), col("mean_norm2"),
+        (col("avg_sq_norm") - col("mean_norm2")).as("trace_cov"),
+        (col("mean_norm2") / col("avg_sq_norm")).as("anisotropy"))
+  }
+
+  /** Two-NN intrinsic-dimension ratio card (Facco et al. 2017,
+    * "Estimating the intrinsic dimension of datasets by a minimal
+    * neighborhood information"): for each vector in a FIXED bounded
+    * query sample (vec_id < sampleMaxId — the n137 sampling contract),
+    * the euclidean distances to its 1st and 2nd nearest OTHER sample
+    * vectors and the ratio μ = d₂/d₁. Under the TwoNN model μ is
+    * Pareto(ID)-distributed, so the MLE is `ID = n / Σ ln μ` — but ln
+    * is not cross-engine bit-exact (the no-transcendentals policy,
+    * n42/n61/Mixture), so the CARD emits the exact per-vector ratios
+    * (selection + per-row IEEE only) and EmbeddingGeometrySpec carries
+    * the estimator on a closed-form fixture. Duplicate vectors
+    * (d₁ = 0) take a null μ, mirroring the estimator's exclusion rule.
+    *
+    * Scale shape: sample² distances over a LITERAL-bounded sample
+    * (BNLJ whitelisted with the n137 justification), then one
+    * rank-2 selection per sample row — never corpus². The production
+    * path at 100 TB samples ~1k vectors; ID estimates converge at
+    * O(100) samples (the paper's point).
+    */
+  def twoNnRatios(embeddings: DataFrame, sampleMaxId: Long): DataFrame = {
+    val sample = embeddings
+      .filter(col("vec_id") < sampleMaxId)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val a = sample.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = sample.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    val sq = aggregate(zip_with(col("emb_a"), col("emb_b"),
+        (u, v) => (u - v) * (u - v)),
+      lit(0.0), (acc, t) => acc + t)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("sq"), col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), sq.as("sq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(min(when(col("rn") === 1, sqrt(col("sq")))).as("d_nn1"),
+        min(when(col("rn") === 2, sqrt(col("sq")))).as("d_nn2"))
+      .withColumn("mu",
+        when(col("d_nn1") > 0.0, col("d_nn2") / col("d_nn1")))
+  }
+
   /** ZCA whitening: the applied half of the covariance card. The
     * whitening matrix `W = V·diag(1/√(λ+eps))·Vᵀ` comes from a
     * driver-side Jacobi eigendecomposition of the D×D covariance
@@ -396,9 +505,18 @@ object Geometry {
     * (off-diagonals < 1e-9, diagonals 1 ± 1e-6 for well-conditioned
     * eigenvalues) and the transform is the symmetric PSD inverse
     * square root (W·Σ·Wᵀ = I).
+    *
+    * Because no hash oracle constrains the moment pass, it rides the
+    * no-explode [[covarianceMomentsAgg]] (the 100 TB path) rather than
+    * the ×D(D+1)/2 decimal explode that [[covarianceMoments]] keeps
+    * for n134's cross-engine oracle — the r14 verdict flagged the
+    * treatment pass paying the oracle form's constant for nothing.
+    * The dim probe is one first-row read, driver-sized.
     */
   def zcaWhiten(embeddings: DataFrame, eps: Double = 1e-6): DataFrame = {
-    val covTall = covarianceMoments(embeddings)
+    val d0 = embeddings.select(size(col("embedding")).as("d"))
+      .head().getInt(0)
+    val covTall = covarianceMomentsAgg(embeddings, d0)
     val rows = covTall.select("dim_i", "dim_j", "mean_i", "cov").collect()
     val d = rows.iterator.map(_.getInt(1)).max + 1
     val cov = Array.ofDim[Double](d, d)

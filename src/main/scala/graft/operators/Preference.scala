@@ -199,6 +199,58 @@ object Preference {
         "group_std", "advantage")
   }
 
+  /** Best-of-k uplift card — what rejection sampling actually buys per
+    * prompt group: candidates group by prompt (`doc_id DIV groupSize`,
+    * the n140 grouping), each is scored by the trained reward model,
+    * and for every k in `ks` the card reports the mean of the TOP-k
+    * rewards (rank by score DESC, ties by doc_id — the [[bestOfN]]
+    * rule) against the group mean, and the uplift between them. k = 1
+    * is the classic best-of-n selection value; the k > 1 rows price
+    * keep-several distillation. Deterministic top-k-by-rank (not the
+    * order-statistic expectation, which needs binomial coefficients no
+    * gate would ship).
+    *
+    * Exactness: group mean and top-k sums route through DECIMAL(38,12)
+    * (order-free); rank selection is exact; final divisions are
+    * fixed-shape IEEE on exact inputs.
+    *
+    * Scale shape: scoring is one doc-keyed aggregation; ONE window
+    * pass partitioned by group (corpus/groupSize groups) yields rank,
+    * size, and mean; the k-explode multiplies ROWS |ks|× but only into
+    * a groups-sized hash aggregation — no join-back, no second corpus
+    * scan.
+    */
+  def bestOfKUplift(
+      docs: DataFrame,
+      groupSize: Int = 8,
+      ks: Seq[Int] = Seq(1, 2, 4),
+      iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val w = btTrain(docs, iters, lr)
+    val scored = scoreWith(docs, w)
+      .withColumn("group_id", expr(s"doc_id DIV $groupSize"))
+    val wg = Window.partitionBy(col("group_id"))
+    val win = wg.orderBy(desc("score"), asc("doc_id"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    scored
+      .withColumn("rn", row_number().over(win))
+      .withColumn("n_group", count(lit(1)).over(wg))
+      .withColumn("group_mean",
+        sum(col("score").cast(dec)).over(wg).cast("double") / col("n_group"))
+      .withColumn("k", explode(array(ks.map(k => lit(k)): _*)))
+      .groupBy("group_id", "k", "n_group", "group_mean")
+      .agg(
+        sum(when(col("rn") <= col("k"), col("score")).cast(dec))
+          .cast("double").as("top_sum"),
+        sum(when(col("rn") <= col("k"), 1L).otherwise(0L)).as("n_top"))
+      .select(col("group_id"), col("k"), col("n_group"), col("n_top"),
+        col("group_mean"),
+        (col("top_sum") / col("n_top")).as("top_k_mean"),
+        (col("top_sum") / col("n_top") - col("group_mean")).as("uplift"))
+  }
+
   /** The shared training loop: mined pairs, the persisted pair-token
     * frame, and the weight vector after EVERY round (codebook-bounded
     * driver state). `ptk` is returned still persisted — callers that

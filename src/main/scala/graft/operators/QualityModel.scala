@@ -272,6 +272,66 @@ object QualityModel {
         col("n_pos").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Split-conformal gate threshold (Vovk et al.; the Angelopoulos &
+    * Bates 2021 tutorial form): instead of a hand-picked cut (n126's
+    * operating points) or a rank decile ([[calibrationBins]]), derive
+    * the score threshold that keeps ≥ (1 − α) of TRUE positives with a
+    * finite-sample guarantee — t = the k-th smallest calibration-
+    * positive score with k = ⌊(n_cal + 1)·α⌋ — then report the gate's
+    * realized recall/precision/pass-rate on the held-out split. The
+    * split is deterministic (even doc_id calibrates, odd tests); α is
+    * taken in per-mille so k is EXACT integer arithmetic. With fewer
+    * than 1000/alphaPm calibration positives the bound is vacuous and
+    * k clamps to 1 (the smallest score — keep-everything-ish), stated
+    * rather than hidden. One output row.
+    *
+    * Exactness: the threshold is an order-statistic SELECTION on
+    * hash-exact scores (ties by doc_id); every reported rate is a
+    * single division of exact BIGINT counts.
+    *
+    * Scale shape: training as [[trainedQualityScores]]; the k-th
+    * order statistic rides [[GlobalOrder]]'s range-partitioned sort
+    * (never a single-task window); the threshold row broadcasts to
+    * the test-split scan; one final one-row aggregation.
+    */
+  def conformalGate(
+      docs: DataFrame,
+      positiveSources: Seq[String],
+      iters: Int = 3,
+      alphaPm: Int = 100): DataFrame = {
+    require(alphaPm >= 1 && alphaPm < 1000,
+      s"alphaPm must be in [1, 999], got $alphaPm")
+    val scored = trainedQualityScores(docs, positiveSources, iters)
+    val cal = scored
+      .filter(col("doc_id") % 2 === 0 && col("label") === 1)
+    val nCal = cal.agg(count(lit(1)).as("n_cal_pos"))
+    val thr = GlobalOrder
+      .withGlobalIndexCols(cal, Seq(asc("score"), asc("doc_id")))
+      .crossJoin(broadcast(nCal))
+      .withColumn("k",
+        greatest(expr(s"((n_cal_pos + 1) * $alphaPm) DIV 1000"), lit(1L)))
+      .filter(col("_global_rank") === col("k"))
+      .select(col("n_cal_pos"), col("k"), col("score").as("threshold"))
+    scored
+      .filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(thr))
+      .groupBy("n_cal_pos", "k", "threshold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(col("label").cast("long")).as("n_test_pos"),
+        sum(when(col("score") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("score") >= col("threshold") && col("label") === 1, 1L)
+          .otherwise(0L)).as("n_kept_pos"))
+      .select(col("n_cal_pos"), col("k"), col("threshold"), col("n_test"),
+        col("n_test_pos"), col("n_kept"), col("n_kept_pos"),
+        (col("n_kept_pos").cast("double") / col("n_test_pos").cast("double"))
+          .as("recall_test"),
+        (col("n_kept_pos").cast("double") / col("n_kept").cast("double"))
+          .as("precision_test"),
+        (col("n_kept").cast("double") / col("n_test").cast("double"))
+          .as("pass_rate"))
+  }
+
   private def labels(docs: DataFrame, positiveSources: Seq[String]) =
     docs.select(col("doc_id"),
       when(col("source").isin(positiveSources: _*), lit(1.0))

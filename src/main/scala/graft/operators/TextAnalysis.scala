@@ -950,6 +950,43 @@ object TextAnalysis {
           col("n_tokens").cast("double"))
   }
 
+  /** Zipf rank-octave spectrum — the corpus's frequency-rank shape as
+    * an EXACT card: the global term-frequency table ranked by
+    * (count DESC, term), ranks bucketed into octaves
+    * o = ⌊log₂(rank)⌋ — computed as the binary-string length of the
+    * rank minus one (both engines' `bin()`), never a transcendental —
+    * and per octave the term count and token-mass share. Under Zipf
+    * s ≈ 1 the mass per octave is near-constant (Σ 1/r over an octave
+    * ≈ ln 2), so a head-heavy spectrum (boilerplate/template mass) or
+    * a fat tail (OCR noise, concatenation junk) reads directly off the
+    * share column — the doubling diagnostic a full log-log regression
+    * would need `ln` for (the no-transcendentals policy keeps the fit
+    * itself out of the oracle; [[vocabRichness]] carries the tail via
+    * f1/f2).
+    *
+    * Scale shape: one explode → vocab-bounded hash agg with map-side
+    * partials; the rank is [[GlobalOrder]]'s range-partitioned
+    * distributed sort (never a single-task window); the final
+    * aggregation is ≤ ~40 octave rows.
+    */
+  def zipfOctaves(docs: DataFrame): DataFrame = {
+    val tc = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val total = tc.agg(sum(col("c")).as("n_total"))
+    GlobalOrder.withGlobalIndexCols(tc, Seq(desc("c"), asc("t")))
+      .withColumnRenamed("_global_rank", "rank")
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("int"))
+      .groupBy("octave")
+      .agg(min(col("rank")).as("rank_lo"), max(col("rank")).as("rank_hi"),
+        count(lit(1)).as("n_terms"), sum(col("c")).as("octave_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("octave"), col("rank_lo"), col("rank_hi"), col("n_terms"),
+        col("octave_tokens"),
+        (col("octave_tokens").cast("double") / col("n_total").cast("double"))
+          .as("token_share"))
+  }
+
   /** Tokenizer fertility card, per (source, lang): how many tokens the
     * BPE-ish regex tokenizer ([[TokenPattern]] — the n07 scheme)
     * spends per unit of text, beside the whitespace baseline — the

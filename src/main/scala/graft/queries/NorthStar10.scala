@@ -193,6 +193,12 @@ object NorthStar10 extends QueryGroup {
   private val jl = {
     val k = 16
     val planes = graft.operators.Similarity.hyperplanes(k, 64, 7L)
+    // 1/√k projection scale, interpolated from k through the same
+    // quoted-string DOUBLE cast as the plane literals — a hardcoded
+    // `* 0.25` would silently desync the oracle if k ever moved
+    // (r14 advice item)
+    val jlScale =
+      s"CAST('${java.lang.Double.toString(1.0 / math.sqrt(k))}' AS DOUBLE)"
     val planeRows = planes.zipWithIndex.map { case (p, j) =>
       s"($j, [${p.map(v =>
         s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)")
@@ -214,7 +220,7 @@ object NorthStar10 extends QueryGroup {
                 SELECT s.vec_id, p.plane_id,
                   list_reduce(list_transform(list_zip(s.embedding, p.pv),
                       x -> CAST(x[1] AS DOUBLE) * x[2]),
-                    (acc, x) -> acc + x) * 0.25 AS dot
+                    (acc, x) -> acc + x) * $jlScale AS dot
                 FROM s CROSS JOIN planes p)
               GROUP BY vec_id),
             pairs AS (
@@ -432,12 +438,12 @@ object NorthStar10 extends QueryGroup {
     * trace. The n143/n134/n142 triple is diagnosis-summary / full
     * structure / treatment.
     */
-  private val anisotropy = Q(
-    "n143_embedding_anisotropy",
-    "embedding anisotropy card: E||x||^2, ||mu||^2, their ratio, covariance trace (one row)",
-    (s, dir) => Geometry
-      .anisotropyCard(Tables(s, dir).embeddings),
-    Some(s"""WITH t AS (
+  /** The n143 oracle, shared verbatim with the s43 streaming
+    * anisotropy monitor (the s41/n139 shared-report-half rule: one
+    * SQL, two faces).
+    */
+  private[queries] lazy val anisotropyOracleSql: String =
+    s"""WITH t AS (
               SELECT vec_id,
                 CAST(unnest(range(len(embedding))) AS INT) AS dim,
                 CAST(unnest(embedding) AS DOUBLE) AS v
@@ -456,7 +462,14 @@ object NorthStar10 extends QueryGroup {
             SELECT n, d, avg_sq_norm, mean_norm2,
               avg_sq_norm - mean_norm2 AS trace_cov,
               mean_norm2 / avg_sq_norm AS anisotropy
-            FROM tot CROSS JOIN mn"""))
+            FROM tot CROSS JOIN mn"""
+
+  private val anisotropy = Q(
+    "n143_embedding_anisotropy",
+    "embedding anisotropy card: E||x||^2, ||mu||^2, their ratio, covariance trace (one row)",
+    (s, dir) => Geometry
+      .anisotropyCard(Tables(s, dir).embeddings),
+    Some(anisotropyOracleSql))
 
   /** Dup-cluster size histogram — the dedup report card over n22's
     * components: whether the duplicate mass sits in pairs or

@@ -8,7 +8,7 @@ object Registry {
     Seq(CoreOps, Relational, Relational2, Relational3, Relational4,
       TimeWindows, StreamingQueries, NorthStar, NorthStar2, NorthStar3,
       NorthStar4, NorthStar5, NorthStar6, NorthStar7, NorthStar8,
-      NorthStar9, NorthStar10)
+      NorthStar9, NorthStar10, NorthStar11)
 
   lazy val all: Seq[Q] = {
     val qs = groups.flatMap(_.all)

@@ -663,6 +663,30 @@ object StreamingQueries extends QueryGroup {
           graft.operators.Packing.rendezvousShard(col("doc_id"), 9)
             .as("shard"))
 
+    /** s43: n143's anisotropy diagnosis at ingest — the moment half
+      * ([[graft.operators.Geometry.anisotropyMoments]]) as ONE
+      * update-mode aggregation keyed by dim (D+1 state rows, decimal
+      * sums split into monotone positive/negative channels so the
+      * memory-sink collapse is trigger-slicing-safe); the report half
+      * runs batch-side over the collapsed state and emits n143's six
+      * columns under its oracle verbatim. Completes the
+      * diagnosis-at-ingest panel beside s36 (codebook occupancy) and
+      * s40 (prototype outliers): a representation collapsing onto its
+      * mean is caught while the feed streams, not at the next offline
+      * geometry audit.
+      */
+    def s43(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      val physicalSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val raw =
+        if (stream)
+          s.readStream.schema(physicalSchema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        else
+          s.read.schema(physicalSchema)
+            .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      graft.operators.Geometry.anisotropyMoments(raw)
+    }
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -911,7 +935,9 @@ object StreamingQueries extends QueryGroup {
     "s39_stream_packing_monitor" -> Seq(Frames.s39(s, dir, stream = false)),
     "s40_stream_prototype_gate" -> Seq(Frames.s40(s, dir, stream = false)),
     "s41_stream_fertility_monitor" -> Seq(Frames.s41(s, dir, stream = false)),
-    "s42_stream_shard_router" -> Seq(Frames.s42(s, dir, stream = false)))
+    "s42_stream_shard_router" -> Seq(Frames.s42(s, dir, stream = false)),
+    "s43_stream_anisotropy_monitor" ->
+      Seq(Frames.s43(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2411,6 +2437,19 @@ object StreamingQueries extends QueryGroup {
                 ORDER BY draw DESC, s DESC) AS rn
               FROM sh) WHERE rn = 1 ORDER BY doc_id"""))
 
+  private val streamAnisotropyMonitor = Q(
+    "s43_stream_anisotropy_monitor",
+    "streaming embedding-anisotropy monitor (converges to the n143 batch card)",
+    (s, dir) => {
+      val finalState = runToTable(Frames.s43(s, dir), "update")
+        .groupBy("dim")
+        .agg(max(col("n")).as("n"),
+          max(col("s_pos")).as("s_pos"),
+          max(col("s_neg")).as("s_neg"))
+      graft.operators.Geometry.anisotropyFromMoments(finalState)
+    },
+    Some(NorthStar10.anisotropyOracleSql))
+
   private val streamFertilityMonitor = Q(
     "s41_stream_fertility_monitor",
     "streaming tokenizer-fertility monitor per (source, lang) (converges to the n139 batch closed form)",
@@ -2440,5 +2479,5 @@ object StreamingQueries extends QueryGroup {
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
     streamShadowEval, streamPackingMonitor, streamPrototypeGate,
-    streamFertilityMonitor, streamShardRouter)
+    streamFertilityMonitor, streamShardRouter, streamAnisotropyMonitor)
 }

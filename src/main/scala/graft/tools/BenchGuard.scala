@@ -93,6 +93,20 @@ object BenchGuard {
       s"BenchGuard PASS: $checked queries within budget" +
         replayed.map(a => s" (replayed $a)").getOrElse("")
 
+  /** The FAIL summary line, same coverage contract as [[passLine]]: a
+    * failing clipped replay must carry its checked/total label too —
+    * the r14 `BenchGuard BENCH_r14.json` run printed "2 problem(s)
+    * across 59 checked queries" with nothing saying 59 was 22 % of the
+    * artifact's own 268.
+    */
+  private[graft] def failLine(
+      nProblems: Int, checked: Int, total: Int): String =
+    s"BenchGuard: $nProblems problem(s) across $checked/$total checked " +
+      "queries" + (if (total > 0 && checked < total)
+        " (PARTIAL: clipped artifact — replay bench_last.json for the " +
+          "full verdict)"
+      else "")
+
   /** Retimed-entry shape: `"name":{"first":X,"retry":Y…}`. The final
     * fallback when a clip leaves no flat query pair at all (r12's
     * committed artifact: the clip landed INSIDE "retimed" back when
@@ -240,7 +254,7 @@ object BenchGuard {
         if (replay) Some(args.head) else None))
     } else {
       out.foreach(p => println(s"BenchGuard FAIL: $p"))
-      println(s"BenchGuard: ${out.size} problem(s) across $checked checked queries")
+      println(failLine(out.size, checked, total))
       sys.exit(1)
     }
   }

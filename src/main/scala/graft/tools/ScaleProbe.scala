@@ -85,7 +85,9 @@ object ScaleProbe {
     "punctuated_windows", "cc_chain_rounds",
     "asof_nearest_bucketed", "epoch_shuffle_plan", "split_leakage",
     "repetition_exposure", "prototype_pruning", "embedding_covariance",
-    "centroid_silhouette")
+    "centroid_silhouette",
+    "group_advantage", "silhouette_k_sweep", "zca_whiten",
+    "dup_size_histogram", "ngram_novelty", "zipf_octaves")
 
   private val defaultScales = Seq(1, 4, 8)
   /** The CC/dedup family gets a 32× row: its pointer-jumping round
@@ -826,6 +828,54 @@ object ScaleProbe {
     probe("centroid_silhouette", c =>
       graft.operators.Geometry
         .centroidSilhouette(replicate(t.embeddings, "vec_id", c))
+        .count())
+
+    // n140's shape: the n81 training trajectory (persisted pair-token
+    // frame, driver-sized weights) + ONE window over corpus/8 prompt
+    // groups — no join-back, groups grow with the corpus so the window
+    // stays balanced
+    probe("group_advantage", c =>
+      graft.operators.Preference
+        .groupAdvantages(replicate(t.documents, "doc_id", c),
+          groupSize = 8, iters = 3)
+        .count())
+
+    // n141's shape: per k ONE Lloyd chain + one all-centroid pass over
+    // the corpus — k passes total, each corpus-linear
+    probe("silhouette_k_sweep", c =>
+      graft.operators.Clustering
+        .silhouetteKSweep(replicate(t.embeddings, "vec_id", c),
+          ks = Seq(2, 4, 8), iters = 2)
+        .count())
+
+    // n142's shape post-r15: the single-pass covariance Aggregator
+    // (no ×D² explode), a driver-side D×D eigensolve, then a
+    // scan-stage broadcast-literal apply — both passes corpus-linear
+    probe("zca_whiten", c =>
+      graft.operators.Geometry
+        .zcaWhiten(replicate(t.embeddings, "vec_id", c))
+        .count())
+
+    // n144's shape: the n22 CC output (diameter growth carries the
+    // cc_chain_rounds 32x row) + two cluster-size hash aggs
+    probe("dup_size_histogram", c =>
+      graft.operators.Clustering
+        .dupClusterSizeHistogram(replicate(t.documents, "doc_id", c),
+          3, 0.8)
+        .count())
+
+    // n149's shape: scan-stage shingle hashing, one hash-keyed df agg
+    // with map-side partials, one equi-join back, one doc-keyed count
+    probe("ngram_novelty", c =>
+      graft.operators.Dedup
+        .ngramNovelty(replicate(t.documents, "doc_id", c), 3)
+        .count())
+
+    // n146's shape: vocab-bounded term counts + GlobalOrder's
+    // range-partitioned rank + an octave-sized agg
+    probe("zipf_octaves", c =>
+      graft.operators.TextAnalysis
+        .zipfOctaves(replicate(t.documents, "doc_id", c))
         .count())
 
     // ---- execution ---------------------------------------------------

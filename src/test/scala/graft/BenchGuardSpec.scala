@@ -121,6 +121,16 @@ class BenchGuardSpec extends AnyFunSuite {
       "BenchGuard PASS: 249 queries within budget")
   }
 
+  test("failLine carries checked/total coverage — pinned wording") {
+    // the r14 clipped replay printed "2 problem(s) across 59 checked
+    // queries" with nothing saying 59 was 22% of the artifact's 268
+    assert(BenchGuard.failLine(2, 59, 268) ==
+      "BenchGuard: 2 problem(s) across 59/268 checked queries (PARTIAL: " +
+        "clipped artifact — replay bench_last.json for the full verdict)")
+    assert(BenchGuard.failLine(1, 268, 268) ==
+      "BenchGuard: 1 problem(s) across 268/268 checked queries")
+  }
+
   test("extractVerdicts reads per-breach adjudications out of the storm object") {
     val flapped = Bench.Timing("n57_dedup_keep_best", 33.66,
       firstPass = Some(33.66), retry = Some(45.64),
@@ -165,6 +175,33 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(verdict() == "regression_suspected")
     // small-but-real gc on a short query is NOT the memory fingerprint
     assert(verdict(times = Seq(4.0, 4.1), gcMs = 900, wall = 4.0) ==
+      "regression_suspected")
+  }
+
+  test("adjudicateBreach rule 5: the r14 s33 false-regression episode") {
+    // the driver's closing r14 sweep, verbatim: s33 timings
+    // {5.32, 3.53, 5.91}, gc 170 ms, ext 0.027, psi 0, no storm —
+    // spread 1.67x slipped under rule 4 and the round record shipped
+    // regression_suspected while the committed bench_last.json read
+    // 1.40 s one lookup away (judge cold re-time: 1.52 s)
+    val (v, e) = Bench.adjudicateBreach(Seq(5.32, 3.53, 5.91), 170, 3.53,
+      0.027, 0.0, stormed = false, healthy = Some(1.40))
+    assert(v == "environmental_suspected", e)
+    assert(e.contains("bench_last.json") && e.contains("1.40"), e)
+    // without the on-disk evidence the same inputs still default to the
+    // plan — the new RULE, not a threshold retune, flips the verdict
+    assert(Bench.adjudicateBreach(Seq(5.32, 3.53, 5.91), 170, 3.53,
+      0.027, 0.0, stormed = false)._1 == "regression_suspected")
+    // a STABLE slow reproduction stays a regression even when the
+    // committed reading is far lower: spread ~1.0 fails the wobble
+    // guard (a real plan change reproduces at a stable slow time)
+    assert(Bench.adjudicateBreach(Seq(7.0, 7.1, 6.9), 170, 6.9,
+      0.01, 0.0, stormed = false, healthy = Some(3.4))._1 ==
+      "regression_suspected")
+    // marginal breach inside 1.8x of the committed reading: the band
+    // does not excuse it — ceiling derivation owns honest margins
+    assert(Bench.adjudicateBreach(Seq(3.6, 3.5, 3.6), 170, 3.5,
+      0.01, 0.0, stormed = false, healthy = Some(3.0))._1 ==
       "regression_suspected")
   }
 

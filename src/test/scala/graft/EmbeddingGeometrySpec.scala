@@ -70,6 +70,64 @@ class EmbeddingGeometrySpec extends AnyFunSuite {
     assert(row1.getLong(5) == 0)
   }
 
+  test("centroidSilhouette: single-label corpus yields zero rows (the oracle's inner-join contract)") {
+    // with one label there is no "other" prototype: d_other stays null
+    // and silhouette is undefined. The n135 oracle's inner join of
+    // own-vs-other distances drops such vectors entirely; the Spark
+    // side must match rather than emit a label row of nulls
+    // (r14 advice item — Geometry.scala null-d_other filter)
+    val single = embDF(Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0)))
+    assert(Geometry.centroidSilhouette(single).count() == 0)
+  }
+
+  test("twoNnRatios: hand-computed 1D manifold distances, duplicate -> null mu, finite MLE") {
+    // points on a line at 0, 1, 3, 7 → d1/d2 by hand; plus a duplicate
+    // of the origin (vec 4) making d1 = 0 for both copies
+    val pts = embDF(Seq(
+      (0L, Seq(0.0f, 0f, 0f, 0f), 0),
+      (1L, Seq(1.0f, 0f, 0f, 0f), 0),
+      (2L, Seq(3.0f, 0f, 0f, 0f), 0),
+      (3L, Seq(7.0f, 0f, 0f, 0f), 0),
+      (4L, Seq(0.0f, 0f, 0f, 0f), 0)))
+    val r = Geometry.twoNnRatios(pts, sampleMaxId = 5L)
+      .orderBy("vec_id").collect()
+    assert(r.length == 5)
+    // vec 0 and its duplicate vec 4: d1 = 0 → mu undefined
+    assert(r(0).getDouble(1) == 0.0 && r(0).isNullAt(3))
+    assert(r(4).getDouble(1) == 0.0 && r(4).isNullAt(3))
+    // vec 1: nearest 0 (or its copy) at 1, then 3 at 2 → mu = 2
+    assert(r(1).getDouble(1) == 1.0 && r(1).getDouble(2) == 1.0,
+      "vec 1 first two NNs are the duplicate pair at distance 1")
+    assert(r(1).getDouble(3) == 1.0)
+    // vec 2: nearest 1 at 2, then 0 at 3 → mu = 1.5
+    assert(r(2).getDouble(1) == 2.0 && r(2).getDouble(2) == 3.0 &&
+      r(2).getDouble(3) == 1.5)
+    // vec 3: nearest 2 at 4, then 1 at 6 → mu = 1.5
+    assert(r(3).getDouble(1) == 4.0 && r(3).getDouble(2) == 6.0 &&
+      r(3).getDouble(3) == 1.5)
+    // the Pareto-MLE estimator the card defers to spec level
+    // (no-transcendentals oracle policy): ID = n / sum(ln mu)
+    val mus = r.filter(!_.isNullAt(3)).map(_.getDouble(3))
+    val id = mus.length / mus.map(math.log).sum
+    assert(id > 0.0 && id.isFinite, s"MLE intrinsic dimension $id")
+  }
+
+  test("anisotropy: streaming moment halves reassemble the batch card bit-exactly") {
+    // the s43 replacement guarantee: moments (pos/neg decimal split,
+    // dim -1 norm channel) -> report == anisotropyCard on every column
+    val card = Geometry.anisotropyCard(clustered).collect().head
+    val viaMoments = Geometry
+      .anisotropyFromMoments(Geometry.anisotropyMoments(clustered))
+      .collect().head
+    assert(viaMoments.getLong(0) == card.getLong(0))
+    assert(viaMoments.getInt(1) == card.getInt(1))
+    (2 to 5).foreach(i =>
+      assert(viaMoments.getDouble(i) == card.getDouble(i),
+        s"column $i drifts: ${viaMoments.getDouble(i)} vs ${card.getDouble(i)}"))
+  }
+
   test("covariance: explode form == single-pass Aggregator within 1e-9") {
     val exact = Geometry.covarianceMoments(clustered)
       .orderBy("dim_i", "dim_j").collect()

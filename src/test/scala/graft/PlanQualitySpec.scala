@@ -155,7 +155,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "n137_jl_distortion",
       // the one-row mean-vector-energy scalar crossJoined onto the
       // one-row totals — the broadcast-scalar shape
-      "n143_embedding_anisotropy")
+      "n143_embedding_anisotropy",
+      // the one-row calibration count and the one-row conformal
+      // threshold crossJoined onto per-row data — broadcast scalars
+      "n145_conformal_gate",
+      // the one-row corpus-token total onto the octave card
+      "n146_zipf_octaves",
+      // the bounded Two-NN pair sample (64 vectors) under the <>
+      // inequality self-join — sample², never corpus² (the n137 rule)
+      "n147_twonn_ratios")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
