@@ -99,7 +99,22 @@ object Bench {
     *      environmental (a genuine plan regression reproduces stably
     *      in isolation; wild spread with no host signal = a contention
     *      window the channels cannot see);
-    *   5. the on-disk quiet-regime evidence contradicts the breach →
+    *   5. the SWEEP ITSELF is degraded → environmental. When the
+    *      median completed query in THIS sweep is running ≥ 1.25× its
+    *      committed bench_last.json reading (≥ 20 samples), the host
+    *      is in a whole-sweep slow regime no per-query evidence can
+    *      see: the r15 s27 episode — 21.2 s vs a 17.5 ceiling with
+    *      STABLE retries (spread 1.1×, so rule 6's wobble guard
+    *      rightly refused), quiet sentinels, committed reading
+    *      11.4 s — happened inside a sweep where q01 ran 4.26 s vs
+    *      its committed 2.96 s and the total read 607 s vs 450 s;
+    *      a fresh-JVM cold min-of-3 immediately after read 11.0 s.
+    *      A persistent degraded window produces stable slow retries
+    *      (they run inside the same window), which is exactly the
+    *      shape a genuine regression has — the sweep-wide ratio is
+    *      the evidence that separates them, and a real single-query
+    *      regression cannot move the sweep median;
+    *   6. the on-disk quiet-regime evidence contradicts the breach →
     *      environmental. `healthy` is the query's reading in the last
     *      committed artifact (bench_last.json — a record that passed
     *      BenchGuard, so it sits under the ceiling by construction).
@@ -114,11 +129,11 @@ object Bench {
     *      `regression_suspected` a judge refuted in one cold re-time.
     *      The stability guard keeps genuine regressions honest: a code
     *      change that makes a query stably 2× slower has spread ~1.0×
-    *      and still lands in rule 6;
-    *   6. otherwise → regression_suspected: quiet host, stable
-    *      timings, healthy GC, no contradicting on-disk band — the
-    *      query's own plan is the cause until a code read says
-    *      otherwise.
+    *      and still lands in rule 7;
+    *   7. otherwise → regression_suspected: quiet host, healthy-pace
+    *      sweep, stable timings, healthy GC, no contradicting on-disk
+    *      band — the query's own plan is the cause until a code read
+    *      says otherwise.
     *
     * The verdict LABELS; it never changes an exit code. BenchGuard
     * still fails the artifact — but the failure now carries its own
@@ -127,7 +142,8 @@ object Bench {
   private[graft] def adjudicateBreach(
       wallSecs: Seq[Double], bestGcMs: Long, bestWallSecs: Double,
       maxExt: Double, maxPsi: Double, stormed: Boolean,
-      healthy: Option[Double] = None): (String, String) = {
+      healthy: Option[Double] = None,
+      sweepMedianRatio: Option[Double] = None): (String, String) = {
     val times = wallSecs.filter(_ >= 0)
     val spread =
       if (times.isEmpty || times.min <= 0) 1.0 else times.max / times.min
@@ -145,6 +161,12 @@ object Bench {
       ("environmental_suspected",
         f"retries disagree ${spread}%.1fx under quiet sentinels " +
           f"(ext ${maxExt}%.3f, psi ${maxPsi}%.2f) — contention window")
+    else if (sweepMedianRatio.exists(_ >= 1.25))
+      ("environmental_suspected",
+        f"degraded sweep: median completed query at " +
+          f"${sweepMedianRatio.get}%.2fx its committed reading " +
+          f"(ext ${maxExt}%.3f, psi ${maxPsi}%.2f) — host regime, " +
+          "not this plan")
     else if (healthy.exists(h =>
         h > 0 && bestWallSecs >= 1.8 * h && spread >= 1.3))
       ("environmental_suspected",
@@ -308,6 +330,16 @@ object Bench {
       } catch { case _: Throwable => () }
     val names = sweepOrder(SparkEntry.queries.keySet.toSeq)
       .map(n => n -> SparkEntry.queries(n))
+    // Sweep-pace evidence for adjudicateBreach rule 5: first-pass
+    // timing over the committed reading, per completed query (sub-
+    // 0.2 s committed readings skipped — scheduler noise, not pace).
+    // A whole-sweep degraded regime shows up here as a median well
+    // over 1 while every sentinel channel stays quiet (the r15 s27
+    // mode: 607 s sweep vs the committed 450 s, ext ≤ 0.035).
+    val paceRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sweepMedianRatio: Option[Double] =
+      if (paceRatios.size < 20) None
+      else Some(paceRatios.sorted.apply(paceRatios.size / 2))
     checkpoint("start")
     val timings = names.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx == names.size / 2) checkpoint("mid")
@@ -330,6 +362,8 @@ object Bench {
         // 0.9s queries were recording 7s purely from inherited heap debt.
         dropAllBlocks()
         System.gc()
+        committedReadings.get(name).filter(_ >= 0.2)
+          .foreach(c => paceRatios += t / c)
         Timing(name, t, gc = Some(probe))
       } catch {
         case e: Throwable =>
@@ -434,7 +468,8 @@ object Bench {
                   bestGc, math.min(t, r),
                   readings.max, psiReadings.filter(_ >= 0)
                     .foldLeft(-1.0)(math.max), stormed,
-                  committedReadings.get(n).filter(_ > 0))
+                  committedReadings.get(n).filter(_ > 0),
+                  sweepMedianRatio)
                 println(s"Bench: $n SURVIVING breach verdict ${v._1} (${v._2})")
                 Some(v)
               } else None

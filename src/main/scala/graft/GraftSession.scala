@@ -44,6 +44,17 @@ object GraftSession {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking))
+    // Memory-sink tables from completed streaming queries: each holds
+    // its full result rows on the driver for the life of the session
+    // and nothing ever dropped them — the r15 TailDebt experiment
+    // counted 41 → 72 registered graft_stream_* sinks across one
+    // harness session. Rows are monitor-card-sized today (no measured
+    // cost), but the leak is unbounded with registry growth; every
+    // sink is consumed within its own query's window, so reaping
+    // between queries is safe.
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_stream_"))
+      .foreach(spark.catalog.dropTempView(_))
   }
 
   /** Engine optimizer rules for a live session (the

@@ -656,6 +656,61 @@ object Geometry {
     * left-to-right folds), so the card is exact-hash oracle-able with
     * the planes embedded literally in the SQL.
     */
+  /** JL neighbor-recall card — the RANKING-preservation face of
+    * [[jlDistortionPairs]]'s distance story: per sample vector, how
+    * many of its exact top-`kNn` neighbors (squared euclidean,
+    * ascending, ties by id) survive as top-`kNn` neighbors in the
+    * `kProj`-dim projected space. Distance distortion bounds (n137)
+    * don't directly price what an ANN index consumes — neighbor ORDER
+    * — and a projection can hold pairwise distances within ±20% while
+    * scrambling the top-5 of tight clusters; recall@k is the number a
+    * reduced-dimension index ships or doesn't.
+    *
+    * Exactness: both distance columns are the strict per-row folds the
+    * n137/n147 oracles replay; both ranks are deterministic
+    * (distance, id_b); the overlap count is exact; recall is one
+    * division. Scale shape: sample² over the bounded query sample
+    * (BNLJ whitelisted), TWO window sorts over one (id_a) partition
+    * exchange, a sample-sized agg.
+    */
+  def jlNeighborRecall(embeddings: DataFrame, sampleMaxId: Long,
+      kNn: Int, kProj: Int, seed: Long, dim: Int): DataFrame = {
+    require(kNn >= 1, s"kNn must be >= 1, got $kNn")
+    val planes = Similarity.hyperplanes(kProj, dim, seed)
+    val scale = 1.0 / math.sqrt(kProj.toDouble)
+    val planesCol = array(planes.map(p =>
+      array(p.map(v => lit(v)): _*)): _*)
+    val sample = embeddings
+      .filter(col("vec_id") < sampleMaxId)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"),
+        transform(planesCol, p =>
+          dotProduct(col("embedding"), p) * lit(scale)).as("proj"))
+    val a = sample.select(col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("proj").as("proj_a"))
+    val b = sample.select(col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("proj").as("proj_b"))
+    def sqDist(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => (u - v) * (u - v)),
+        lit(0.0), (acc, t) => acc + t)
+    val wO = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("d2_orig"), col("id_b"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("d2_proj"), col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        sqDist(col("emb_a"), col("emb_b")).as("d2_orig"),
+        sqDist(col("proj_a"), col("proj_b")).as("d2_proj"))
+      .withColumn("r_orig", row_number().over(wO))
+      .withColumn("r_proj", row_number().over(wP))
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(sum(when(col("r_orig") <= kNn && col("r_proj") <= kNn, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .select(col("vec_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / kNn.toDouble)
+          .as(s"recall_at_$kNn"))
+  }
+
   def jlDistortionPairs(embeddings: DataFrame, sampleMaxId: Long,
       k: Int, seed: Long, dim: Int): DataFrame = {
     val planes = Similarity.hyperplanes(k, dim, seed)

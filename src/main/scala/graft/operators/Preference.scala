@@ -251,6 +251,73 @@ object Preference {
         (col("top_sum") / col("n_top") - col("group_mean")).as("uplift"))
   }
 
+  /** Corpus-median correctness threshold over (doc_id, score) rows:
+    * the LOWER median — the score at rank ⌊(N+1)/2⌋ under
+    * (score, doc_id) — an order-free selection, exact on both engines.
+    * One output row. The rank rides [[GlobalOrder]]'s range-partitioned
+    * sort; the corpus count is a broadcast one-row scalar.
+    */
+  def medianThreshold(scored: DataFrame): DataFrame = {
+    val nAll = scored.agg(count(lit(1)).as("n_all"))
+    graft.operators.GlobalOrder
+      .withGlobalIndexCols(scored.select(col("doc_id"), col("score")),
+        Seq(asc("score"), asc("doc_id")))
+      .crossJoin(broadcast(nAll))
+      .filter(col("_global_rank") === expr("(n_all + 1) DIV 2"))
+      .select(col("score").as("thr"))
+  }
+
+  /** pass@k report half from per-candidate scores and a one-row
+    * threshold: per prompt group (`doc_id DIV groupSize`), n
+    * candidates, c "correct" (score ≥ threshold), and the unbiased
+    * Chen et al. 2021 estimator
+    * `pass@k = 1 − C(n−c, k)/C(n, k)` computed as the k-term product
+    * `Π_{i<k} (n−c−i)/(n−i)` — exact integer counts into a fixed-shape
+    * left-to-right IEEE product (one term hits exactly 0 whenever
+    * n−c < k, so the 1.0 branch falls out of the algebra rather than a
+    * special case); k > n yields null (the estimator is undefined).
+    * Shared by the n154 batch card and the s44 streaming monitor so
+    * the two faces cannot drift.
+    */
+  def passAtKFromScores(scores: DataFrame, thr: DataFrame,
+      groupSize: Int, ks: Seq[Int]): DataFrame = {
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1, got $ks")
+    val counts = scores
+      .withColumn("group_id", expr(s"doc_id DIV $groupSize"))
+      .crossJoin(broadcast(thr))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("c"))
+    ks.foldLeft(counts) { (df, k) =>
+      df.withColumn(s"pass_at_$k",
+        when(lit(k.toLong) <= col("n"),
+          lit(1.0) - aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+            (acc, i) => acc *
+              ((col("n") - col("c") - i).cast("double") /
+                (col("n") - i).cast("double")))))
+    }
+  }
+
+  /** pass@k card over the trained reward: scores from [[btTrain]] +
+    * [[scoreWith]], correctness = clearing the corpus-median score
+    * ([[medianThreshold]]), estimator per [[passAtKFromScores]].
+    *
+    * Scale shape: scoring is one doc-keyed aggregation; the median is
+    * one range-partitioned rank; group counts are one hash agg; the
+    * pass@k columns are per-row arithmetic on the groups-sized frame.
+    */
+  def passAtK(
+      docs: DataFrame,
+      groupSize: Int = 8,
+      ks: Seq[Int] = Seq(1, 2, 4),
+      iters: Int = 3,
+      lr: Double = 1.0): DataFrame = {
+    val w = btTrain(docs, iters, lr)
+    val scored = scoreWith(docs, w)
+    passAtKFromScores(scored, medianThreshold(scored), groupSize, ks)
+  }
+
   /** The shared training loop: mined pairs, the persisted pair-token
     * frame, and the weight vector after EVERY round (codebook-bounded
     * driver state). `ptk` is returned still persisted — callers that

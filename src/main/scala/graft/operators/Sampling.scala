@@ -32,6 +32,43 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Sampled-estimate audit card — "measure on the every-k-th sample,
+    * bill the corpus": per stratum, the mean of a per-row metric
+    * (n08's punctuation ratio — the quality-family proxy) estimated
+    * from the [[stratifiedSystematic]] sample against the TRUE
+    * full-stratum mean, plus the error. At 100 TB every quality
+    * dashboard runs on a sample; this card is the closed-loop audit of
+    * that practice — the err column is the realized sampling bias at
+    * this k, exact to the hash because both means are decimal-routed
+    * sums over deterministic row sets and the metric is per-row IEEE.
+    *
+    * Scale shape: metric is scan-stage arithmetic; the sample rank is
+    * the stratum-partitioned window [[stratifiedSystematic]] uses; two
+    * stratum-sized hash aggs joined on the stratum key (S rows,
+    * broadcast).
+    */
+  def sampledMeanEstimate(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"sampling interval must be >= 1, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    def m12(c: Column): Column = sum(c.cast(dec)).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val metric = (nChars -
+      length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))) / nChars
+    val base = docs.select(col("source"), col("doc_id"),
+      metric.as("metric"))
+    val truth = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (m12(col("metric")) / count(lit(1))).as("true_mean"))
+    val est = stratifiedSystematic(base, col("source"), col("doc_id"), k)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        (m12(col("metric")) / count(lit(1))).as("est_mean"))
+    truth.join(est, "source")
+      .select(col("source"), col("n_docs"), col("n_sampled"),
+        col("true_mean"), col("est_mean"),
+        (col("est_mean") - col("true_mean")).as("err"))
+  }
+
   /** Deterministic training-mixture resampling: replicate (weight > 1)
     * or thin (weight < 1) each source to its target epoch weight,
     * expressed in integer per-mille so the realized fraction is EXACT —

@@ -190,20 +190,31 @@ object NorthStar10 extends QueryGroup {
     * through a quoted-string → DOUBLE cast (single correctly-rounded
     * parse — the [[Sql.oSum12]] VARCHAR lesson applied to literals).
     */
+  /** VALUES rows for a seeded hyperplane matrix, each value routed
+    * through the quoted-string → DOUBLE cast (a bare double literal
+    * parses as DECIMAL in DuckDB and silently re-rounds). Shared by
+    * the n137 distortion and n150 neighbor-recall oracles so the two
+    * replays can never use different planes.
+    */
+  private[queries] def hyperplaneRowsSql(
+      k: Int, dim: Int, seed: Long): String =
+    graft.operators.Similarity.hyperplanes(k, dim, seed)
+      .zipWithIndex.map { case (p, j) =>
+        s"($j, [${p.map(v =>
+          s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)")
+          .mkString(", ")}])"
+      }.mkString(",\n")
+
+  /** The 1/√k projection scale as a quoted-string DOUBLE cast —
+    * interpolated from k (r14 advice item), shared with n150.
+    */
+  private[queries] def jlScaleSql(k: Int): String =
+    s"CAST('${java.lang.Double.toString(1.0 / math.sqrt(k))}' AS DOUBLE)"
+
   private val jl = {
     val k = 16
-    val planes = graft.operators.Similarity.hyperplanes(k, 64, 7L)
-    // 1/√k projection scale, interpolated from k through the same
-    // quoted-string DOUBLE cast as the plane literals — a hardcoded
-    // `* 0.25` would silently desync the oracle if k ever moved
-    // (r14 advice item)
-    val jlScale =
-      s"CAST('${java.lang.Double.toString(1.0 / math.sqrt(k))}' AS DOUBLE)"
-    val planeRows = planes.zipWithIndex.map { case (p, j) =>
-      s"($j, [${p.map(v =>
-        s"CAST('${java.lang.Double.toString(v)}' AS DOUBLE)")
-        .mkString(", ")}])"
-    }.mkString(",\n")
+    val jlScale = jlScaleSql(k)
+    val planeRows = hyperplaneRowsSql(k, 64, 7L)
     Q(
       "n137_jl_distortion",
       "Johnson-Lindenstrauss 64->16 projection distortion over the bounded pair sample (vec_id < 32)",

@@ -202,5 +202,226 @@ object NorthStar11 extends QueryGroup {
             GROUP BY doc_id, n_shingles
             ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(conformal, zipf, twonn, bestOfK, novelty)
+  /** Ranking preservation under the n137 projection — recall@5 of
+    * exact neighbors in the projected space, per sample vector.
+    */
+  private val jlRecall = {
+    val kNn = 5
+    val kProj = 16
+    Q(
+      "n150_jl_neighbor_recall",
+      "JL 64->16 neighbor recall@5 per sample vector (vec_id < 64): do exact top-5 neighbors survive projection?",
+      (s, dir) => Geometry
+        .jlNeighborRecall(Tables(s, dir).embeddings, sampleMaxId = 64L,
+          kNn = kNn, kProj = kProj, seed = 7L, dim = 64)
+        .orderBy("vec_id"),
+      Some(s"""WITH planes(plane_id, pv) AS (
+              VALUES ${NorthStar10.hyperplaneRowsSql(kProj, 64, 7L)}),
+            s AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 64),
+            pj AS (
+              SELECT vec_id, list(dot ORDER BY plane_id) AS proj
+              FROM (
+                SELECT s.vec_id, p.plane_id,
+                  list_reduce(list_transform(list_zip(s.embedding, p.pv),
+                      x -> CAST(x[1] AS DOUBLE) * x[2]),
+                    (acc, x) -> acc + x) * ${NorthStar10.jlScaleSql(kProj)}
+                    AS dot
+                FROM s CROSS JOIN planes p)
+              GROUP BY vec_id),
+            pr AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_reduce(list_transform(
+                    list_zip(a.embedding, b.embedding),
+                    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+                  (acc, x) -> acc + x) AS d2_orig,
+                list_reduce(list_transform(list_zip(pa.proj, pb.proj),
+                    x -> (x[1] - x[2]) * (x[1] - x[2])),
+                  (acc, x) -> acc + x) AS d2_proj
+              FROM s a JOIN s b ON a.vec_id <> b.vec_id
+              JOIN pj pa ON pa.vec_id = a.vec_id
+              JOIN pj pb ON pb.vec_id = b.vec_id),
+            rk AS (
+              SELECT id_a, id_b,
+                row_number() OVER (PARTITION BY id_a
+                  ORDER BY d2_orig, id_b) AS r_orig,
+                row_number() OVER (PARTITION BY id_a
+                  ORDER BY d2_proj, id_b) AS r_proj
+              FROM pr)
+            SELECT id_a AS vec_id,
+              CAST(SUM(CASE WHEN r_orig <= $kNn AND r_proj <= $kNn
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+              CAST(SUM(CASE WHEN r_orig <= $kNn AND r_proj <= $kNn
+                THEN 1 ELSE 0 END) AS DOUBLE) / CAST($kNn AS DOUBLE)
+                AS recall_at_$kNn
+            FROM rk GROUP BY id_a ORDER BY vec_id"""))
+  }
+
+  /** The sampled-dashboard audit: every-7th systematic sample's mean
+    * vs the true per-source mean of the n08 punctuation metric.
+    */
+  private val sampleAudit = Q(
+    "n151_sampled_mean_estimate",
+    "sampling-bias audit per source: every-7th systematic-sample mean of the punct metric vs the true mean",
+    (s, dir) => graft.operators.Sampling
+      .sampledMeanEstimate(Tables(s, dir).documents, k = 7)
+      .orderBy("source"),
+    Some(s"""WITH b AS (
+              SELECT source, doc_id,
+                (length(text) - length(regexp_replace(text,
+                    '[^a-zA-Z0-9 ]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE) AS metric
+              FROM documents),
+            tr AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                ${Sql.oSum12("metric")} / COUNT(*) AS true_mean
+              FROM b GROUP BY source),
+            sm AS (
+              SELECT source, metric FROM (
+                SELECT source, metric,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY doc_id) AS rk
+                FROM b)
+              WHERE (rk - 1) % 7 = 0),
+            es AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                ${Sql.oSum12("metric")} / COUNT(*) AS est_mean
+              FROM sm GROUP BY source)
+            SELECT source, n_docs, n_sampled, true_mean, est_mean,
+              est_mean - true_mean AS err
+            FROM tr JOIN es USING (source)
+            ORDER BY source"""))
+
+  /** Strict-order funnel over the events stream's view → click →
+    * purchase journey — the batch report face of the s06/s10 streaming
+    * funnel joins.
+    */
+  private val funnel = Q(
+    "n152_event_funnel",
+    "strict-order funnel view -> click -> purchase: users per step + step conversions (one events scan)",
+    (s, dir) => graft.operators.Funnels
+      .orderedFunnel(Tables(s, dir).events,
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx"),
+    Some("""WITH u AS (
+              SELECT user_id,
+                list(ts) FILTER (WHERE event_type = 'view') AS l0,
+                list(ts) FILTER (WHERE event_type = 'click') AS l1,
+                list(ts) FILTER (WHERE event_type = 'purchase') AS l2
+              FROM events GROUP BY user_id),
+            s0 AS (SELECT user_id, l1, l2, list_min(l0) AS t0 FROM u),
+            s1 AS (SELECT user_id, l2, t0,
+                     list_min(list_filter(l1, x -> x > t0)) AS t1
+                   FROM s0),
+            s2 AS (SELECT user_id, t0, t1,
+                     list_min(list_filter(l2, x -> x > t1)) AS t2
+                   FROM s1),
+            w AS (SELECT
+                CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+                CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n3
+              FROM s2)
+            SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users,
+              CAST(NULL AS DOUBLE) AS conv_from_prev,
+              CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first
+            FROM w
+            UNION ALL
+            SELECT 2, 'click', n2,
+              CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+              CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM w
+            UNION ALL
+            SELECT 3, 'purchase', n3,
+              CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE),
+              CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM w
+            ORDER BY step_idx"""))
+
+  /** Cohort-retention matrix over first-seen-day cohorts. */
+  private val cohorts = Q(
+    "n153_cohort_retention",
+    "cohort retention: users by first-seen day, active-user counts per (cohort_day, day_offset) cell",
+    (s, dir) => graft.operators.Funnels
+      .cohortRetention(Tables(s, dir).events)
+      // dates hash as strings across engines (the q15 VARCHAR rule)
+      .withColumn("cohort_day",
+        date_format(col("cohort_day"), "yyyy-MM-dd"))
+      .orderBy("cohort_day", "day_offset"),
+    Some("""WITH d AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+            c AS (SELECT user_id, MIN(day) AS cohort_day
+                  FROM d GROUP BY user_id),
+            sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+                   FROM c GROUP BY cohort_day),
+            m AS (
+              SELECT cohort_day,
+                CAST(date_diff('day', cohort_day, day) AS INT)
+                  AS day_offset,
+                CAST(COUNT(*) AS BIGINT) AS n_active
+              FROM d JOIN c USING (user_id)
+              GROUP BY 1, 2)
+            SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+              day_offset, n_active, n_cohort,
+              CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+                AS retention_rate
+            FROM m JOIN sz USING (cohort_day)
+            ORDER BY cohort_day, day_offset"""))
+
+  /** pass@k estimator over reward-thresholded candidates — the
+    * standard eval-pipeline metric (Chen et al. 2021), exact: integer
+    * counts into the k-term combinatorial product.
+    */
+  /** The n154 oracle, shared verbatim with the s44 streaming pass@k
+    * monitor (the s41/s43 shared-report-half rule).
+    */
+  private[queries] lazy val passAtKOracleSql: String =
+    s"""${NorthStar6.btCtes},
+            ${NorthStar6.btScoreCte},
+            nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM sc),
+            rmed AS (
+              SELECT score,
+                row_number() OVER (ORDER BY score, doc_id) AS rn
+              FROM sc),
+            th AS (
+              SELECT score AS thr FROM rmed, nall
+              WHERE rn = (n_all + 1) // 2),
+            g AS (
+              SELECT doc_id // 8 AS group_id,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+              FROM sc CROSS JOIN th GROUP BY 1)
+            SELECT group_id, n, c,
+              CASE WHEN 1 <= n THEN CAST(1 AS DOUBLE) -
+                list_reduce(list_transform(range(1),
+                  i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+                  (a, x) -> a * x) END AS pass_at_1,
+              CASE WHEN 2 <= n THEN CAST(1 AS DOUBLE) -
+                list_reduce(list_transform(range(2),
+                  i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+                  (a, x) -> a * x) END AS pass_at_2,
+              CASE WHEN 4 <= n THEN CAST(1 AS DOUBLE) -
+                list_reduce(list_transform(range(4),
+                  i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+                  (a, x) -> a * x) END AS pass_at_4
+            FROM g ORDER BY group_id"""
+
+  /** pass@k estimator over reward-thresholded candidates — the
+    * standard eval-pipeline metric (Chen et al. 2021), exact: integer
+    * counts into the k-term combinatorial product.
+    */
+  private val passk = Q(
+    "n154_pass_at_k",
+    "unbiased pass@k per 8-candidate prompt group (k in {1,2,4}); correct = trained-reward score >= corpus median",
+    (s, dir) => Preference
+      .passAtK(Tables(s, dir).documents, groupSize = 8,
+        ks = Seq(1, 2, 4), iters = 3)
+      .orderBy("group_id"),
+    Some(passAtKOracleSql))
+
+  val all: Seq[Q] = Seq(conformal, zipf, twonn, bestOfK, novelty,
+    jlRecall, sampleAudit, funnel, cohorts, passk)
 }

@@ -663,6 +663,24 @@ object StreamingQueries extends QueryGroup {
           graft.operators.Packing.rendezvousShard(col("doc_id"), 9)
             .as("shard"))
 
+    /** s44: the n154 pass@k monitor's scoring half — each streamed
+      * candidate scored by the offline-trained reward (the s21
+      * batch-model-gate convention: audit mode takes zero weights
+      * through the SAME scoring lineage, so no training runs to read a
+      * plan). ONE update-mode aggregation per doc (the s21 state
+      * shape); grouping, the median threshold, and the combinatorial
+      * estimator run batch-side over the collapsed sink through the
+      * SAME [[graft.operators.Preference.passAtKFromScores]] half as
+      * n154, under n154's oracle verbatim.
+      */
+    def s44(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
+      val P = graft.operators.Preference
+      val w: IndexedSeq[Double] =
+        if (stream) P.btTrain(Tables(s, dir).documents, iters = 3)
+        else Vector.fill(graft.operators.QualityModel.Dim)(0.0)
+      P.scoreWith(docsSource(s, dir, stream), w)
+    }
+
     /** s43: n143's anisotropy diagnosis at ingest — the moment half
       * ([[graft.operators.Geometry.anisotropyMoments]]) as ONE
       * update-mode aggregation keyed by dim (D+1 state rows, decimal
@@ -937,7 +955,8 @@ object StreamingQueries extends QueryGroup {
     "s41_stream_fertility_monitor" -> Seq(Frames.s41(s, dir, stream = false)),
     "s42_stream_shard_router" -> Seq(Frames.s42(s, dir, stream = false)),
     "s43_stream_anisotropy_monitor" ->
-      Seq(Frames.s43(s, dir, stream = false)))
+      Seq(Frames.s43(s, dir, stream = false)),
+    "s44_stream_passk_monitor" -> Seq(Frames.s44(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2450,6 +2469,22 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar10.anisotropyOracleSql))
 
+  private val streamPassAtK = Q(
+    "s44_stream_passk_monitor",
+    "streaming pass@k monitor: reward-scored candidates per prompt group (converges to the n154 batch card)",
+    (s, dir) => {
+      // single-file source → one batch → final per-doc state (the
+      // s21/s28 raw-consumer contract); the threshold derives from the
+      // streamed scores themselves, so batch and stream read one corpus
+      val scores = runToTable(Frames.s44(s, dir), "update")
+        .select("doc_id", "score")
+      val P = graft.operators.Preference
+      P.passAtKFromScores(scores, P.medianThreshold(scores),
+          groupSize = 8, ks = Seq(1, 2, 4))
+        .orderBy("group_id")
+    },
+    Some(NorthStar11.passAtKOracleSql))
+
   private val streamFertilityMonitor = Q(
     "s41_stream_fertility_monitor",
     "streaming tokenizer-fertility monitor per (source, lang) (converges to the n139 batch closed form)",
@@ -2479,5 +2514,6 @@ object StreamingQueries extends QueryGroup {
     streamCusumMonitor, streamGatePanel, streamKsMonitor, streamArtifactGate,
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
     streamShadowEval, streamPackingMonitor, streamPrototypeGate,
-    streamFertilityMonitor, streamShardRouter, streamAnisotropyMonitor)
+    streamFertilityMonitor, streamShardRouter, streamAnisotropyMonitor,
+    streamPassAtK)
 }

@@ -205,6 +205,31 @@ class BenchGuardSpec extends AnyFunSuite {
       "regression_suspected")
   }
 
+  test("adjudicateBreach rule 5: the r15 s27 degraded-sweep episode") {
+    // the r15 failing sweep, verbatim: s27 {21.18, 21.63} — STABLE
+    // (spread 1.1x, so the healthy-band wobble guard rightly refuses),
+    // quiet sentinels, committed reading 11.44 — inside a sweep whose
+    // median completed query ran ~1.3x its committed reading (total
+    // 607s vs 450s; q01 4.26 vs 2.96). Judge-style fresh-JVM cold
+    // min-of-3 immediately after: 11.0s. The sweep-pace channel is the
+    // evidence that separates a persistent degraded window from a
+    // genuine stable regression.
+    val (v, e) = Bench.adjudicateBreach(Seq(21.18, 21.63), 1254, 21.18,
+      0.035, 0.0, stormed = false, healthy = Some(11.44),
+      sweepMedianRatio = Some(1.30))
+    assert(v == "environmental_suspected", e)
+    assert(e.contains("degraded sweep") && e.contains("1.30"), e)
+    // the SAME stable inputs in a healthy-pace sweep stay a regression
+    // — a real single-query regression cannot move the sweep median
+    assert(Bench.adjudicateBreach(Seq(21.18, 21.63), 1254, 21.18,
+      0.035, 0.0, stormed = false, healthy = Some(11.44),
+      sweepMedianRatio = Some(1.02))._1 == "regression_suspected")
+    // and with no pace evidence at all (< 20 samples) the default holds
+    assert(Bench.adjudicateBreach(Seq(21.18, 21.63), 1254, 21.18,
+      0.035, 0.0, stormed = false, healthy = Some(11.44))._1 ==
+      "regression_suspected")
+  }
+
   test("a clip with no flat query pair falls back to retimed first/retry minima") {
     // the r12 committed-artifact shape: the tail window held only the
     // retimed object — name:{...} entries the flat-pair regex correctly

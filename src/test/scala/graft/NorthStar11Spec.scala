@@ -97,6 +97,115 @@ class NorthStar11Spec extends AnyFunSuite {
     }
   }
 
+  test("jlNeighborRecall: collinear sample is order-preserved under any linear projection -> recall 1") {
+    import spark.implicits._
+    // x_i = t_i * u: projected distances are |t_i - t_j| * ||Pu|| — the
+    // SAME neighbor order as the original |t_i - t_j| * ||u||, so
+    // recall@k must be exactly 1 for every vector (distinct gaps, no
+    // ties; ||Pu|| > 0 for the seeded planes)
+    val ts = Seq(0f, 1f, 3f, 7f, 15f, 31f, 50f, 80f)
+    val emb = ts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq.tabulate(8)(d => if (d < 2) t else 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = graft.operators.Geometry
+      .jlNeighborRecall(emb, sampleMaxId = 8L, kNn = 3, kProj = 4,
+        seed = 7L, dim = 8)
+      .collect()
+    assert(r.length == 8)
+    r.foreach(row => assert(row.getLong(1) == 3L &&
+      row.getDouble(2) == 1.0, s"vec ${row.getLong(0)} lost neighbors"))
+  }
+
+  test("sampledMeanEstimate: every-7th sample picks ranks 1 and 8, exact counts and means") {
+    import spark.implicits._
+    // metric = punct chars / chars; "!" is punct, letters are not
+    def text(nPunct: Int): String = "ab" + ("!" * nPunct)
+    val docs = (0L until 8L).map(i => (i, text(i.toInt), "s"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.operators.Sampling.sampledMeanEstimate(docs, k = 7)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 8L && row.getLong(2) == 2L)
+    def m(i: Int): Double = i.toDouble / (2 + i)
+    val truth = (0 until 8).map(m).sum / 8
+    val est = (m(0) + m(7)) / 2 // ranks 1 and 8 under (rk-1) % 7 == 0
+    assert(math.abs(row.getDouble(3) - truth) < 1e-9, "true_mean")
+    assert(math.abs(row.getDouble(4) - est) < 1e-9, "est_mean")
+    assert(math.abs(row.getDouble(5) - (est - truth)) < 1e-9, "err")
+  }
+
+  test("orderedFunnel: strict ordering, re-ordered journeys and same-ts ties do not convert") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // click BEFORE the first view: no ordered click, so the later
+      // purchase cannot count either
+      (2L, "click", t(1)), (2L, "view", t(2)), (2L, "purchase", t(3)),
+      (3L, "view", t(1)), (3L, "click", t(2)),
+      (4L, "purchase", t(1)),
+      // same-ts view+click: strictly-after excludes the tie
+      (5L, "view", t(5)), (5L, "click", t(5)))
+      .toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Funnels
+      .orderedFunnel(events, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(r.map(_.getLong(2)).toSeq == Seq(4L, 2L, 1L),
+      "n_users per step: views {1,2,3,5}, ordered clicks {1,3}, full {1}")
+    assert(r(0).isNullAt(3) && r(0).getDouble(4) == 1.0)
+    assert(r(1).getDouble(3) == 0.5 && r(1).getDouble(4) == 0.5)
+    assert(r(2).getDouble(3) == 0.5 && r(2).getDouble(4) == 0.25)
+  }
+
+  test("cohortRetention: hand-computed cohort cells") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(0, 1)), (1L, ts(0, 9)), (1L, ts(1, 2)), (1L, ts(3, 2)),
+      (2L, ts(0, 5)),
+      (3L, ts(1, 1)), (3L, ts(2, 1)))
+      .toDF("user_id", "ts")
+    val r = graft.operators.Funnels.cohortRetention(events)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-01", 3, 1L, 2L, 0.5),
+      ("2024-01-02", 0, 1L, 1L, 1.0),
+      ("2024-01-02", 1, 1L, 1L, 1.0)))
+  }
+
+  test("passAtKFromScores: Chen estimator closed forms, k > n undefined, median threshold rank") {
+    import spark.implicits._
+    // group 0: n=4, c=3 (scores 2,3,4 clear thr=2); group 1: n=2, c=0
+    val scores = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 4.0),
+      (4L, 0.5), (5L, 0.6)).toDF("doc_id", "score")
+    val thr = Seq(2.0).toDF("thr")
+    val r = graft.operators.Preference
+      .passAtKFromScores(scores, thr, groupSize = 4, ks = Seq(1, 2, 4))
+      .orderBy("group_id").collect()
+    assert(r.length == 2)
+    val g0 = r(0)
+    assert(g0.getLong(1) == 4L && g0.getLong(2) == 3L,
+      "scores 2,3,4 >= thr 2.0")
+    // n=4, c=3: pass@1 = 1 - 1/4; pass@2 = 1 - (1/4)(0/3) = 1 exactly
+    assert(g0.getDouble(3) == 1.0 - 1.0 / 4.0)
+    assert(g0.getDouble(4) == 1.0)
+    assert(g0.getDouble(5) == 1.0, "n - c < k: a product term is 0")
+    val g1 = r(1)
+    assert(g1.getLong(1) == 2L && g1.getLong(2) == 0L)
+    // c=0: pass@1 = 1 - 2/2 = 0; pass@2 = 1 - (2/2)(1/1) = 0
+    assert(g1.getDouble(3) == 0.0 && g1.getDouble(4) == 0.0)
+    assert(g1.isNullAt(5), "k=4 > n=2 is undefined")
+    // lower median: rank (6+1) DIV 2 = 3 by (score, doc_id) -> 1.0
+    val m = graft.operators.Preference.medianThreshold(scores).collect()
+    assert(m.length == 1 && m.head.getDouble(0) == 1.0)
+  }
+
   test("ngramNovelty: shared vs unique trigrams, short-doc whole-text shingle") {
     import spark.implicits._
     val docs = Seq(

@@ -163,7 +163,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "n146_zipf_octaves",
       // the bounded Two-NN pair sample (64 vectors) under the <>
       // inequality self-join — sample², never corpus² (the n137 rule)
-      "n147_twonn_ratios")
+      "n147_twonn_ratios",
+      // the same bounded sample under the neighbor-recall self-join
+      "n150_jl_neighbor_recall",
+      // two broadcast scalars (corpus count for the median rank, the
+      // one-row threshold onto the group counts)
+      "n154_pass_at_k")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
