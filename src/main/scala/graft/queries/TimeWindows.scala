@@ -469,7 +469,51 @@ object TimeWindows extends QueryGroup {
     },
     asofInterpolate.oracle)
 
+  /** OHLC downsampling — the canonical time-series bar aggregation
+    * (every metrics/market engine ships it): per (hour, event_type),
+    * the first and last value by event time plus high/low/volume.
+    * Open/close are SELECTIONS — min/max over (ts, event_id, value)
+    * structs, field-lexicographic, so the per-bucket argmin/argmax is
+    * order-free and exact (event_id breaks ts ties); high/low are
+    * plain min/max; volume is the decimal-exact sum. One hash agg
+    * with map-side partials — bars, not events, cross the shuffle.
+    */
+  private val ohlc = Q(
+    "w13_ohlc_bars",
+    "hourly OHLC bars per event_type: open/high/low/close by event time + count and exact volume",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("event_type"), col("o.value").as("open"), col("high"),
+        col("low"), col("c.value").as("close"), col("n"), col("volume"))
+      .orderBy("w_start", "event_type"),
+    Some(s"""WITH b AS (
+              SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                  AS w_start,
+                event_type, ts, event_id, value
+              FROM events),
+            r AS (
+              SELECT w_start, event_type, value,
+                row_number() OVER (PARTITION BY w_start, event_type
+                  ORDER BY ts, event_id) AS ra,
+                row_number() OVER (PARTITION BY w_start, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rd
+              FROM b)
+            SELECT w_start, event_type,
+              MIN(CASE WHEN ra = 1 THEN value END) AS open,
+              MAX(value) AS high, MIN(value) AS low,
+              MIN(CASE WHEN rd = 1 THEN value END) AS close,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              ${oSum("value")} AS volume
+            FROM r GROUP BY w_start, event_type
+            ORDER BY w_start, event_type"""))
+
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
     punctuated, asofForward, asofNearest, asofNearestBucketed,
-    asofForwardBucketed, asofInterpolate, asofInterpolateBucketed)
+    asofForwardBucketed, asofInterpolate, asofInterpolateBucketed, ohlc)
 }
