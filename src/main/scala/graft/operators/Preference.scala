@@ -314,7 +314,12 @@ object Preference {
       iters: Int = 3,
       lr: Double = 1.0): DataFrame = {
     val w = btTrain(docs, iters, lr)
+    // the scored frame feeds the count scalar, the median rank, AND
+    // the group counts — three executions of the tokenize+score pass
+    // without materialization (the jaccardPairs diamond rule; one
+    // doc-keyed row per doc, model-column-sized)
     val scored = scoreWith(docs, w)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     passAtKFromScores(scored, medianThreshold(scored), groupSize, ks)
   }
 
