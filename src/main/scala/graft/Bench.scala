@@ -113,7 +113,20 @@ object Bench {
     *      (they run inside the same window), which is exactly the
     *      shape a genuine regression has — the sweep-wide ratio is
     *      the evidence that separates them, and a real single-query
-    *      regression cannot move the sweep median;
+    *      regression cannot move the sweep median. KNOWN BLIND SPOT:
+    *      a code change that broadly slows the ENGINE (session config,
+    *      a shared operator/expression) also moves the sweep median
+    *      and this rule would self-excuse every resulting breach as
+    *      "host regime". The rule is acceptable anyway because (a) it
+    *      LABELS — BenchGuard still fails the artifact, so a broad
+    *      regression is a red gate either way, just with a wrong
+    *      adjudication string; and (b) the round discipline closes the
+    *      hole out-of-band: every round ends with a quiet-host cold
+    *      min-of-3 of a pace-control query (q01) recorded in
+    *      docs/PLANS.md, which a whole-engine slowdown cannot pass.
+    *      A replay reading this verdict should cross-check the
+    *      sweep-pace claim against that committed control reading
+    *      before trusting it;
     *   6. the on-disk quiet-regime evidence contradicts the breach →
     *      environmental. `healthy` is the query's reading in the last
     *      committed artifact (bench_last.json — a record that passed

@@ -119,7 +119,15 @@ object Dedup {
     * joins on 64-bit keys; nothing is corpus².
     */
   def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
-    val inv = shingled(docs, n)
+    // the shingle pass feeds BOTH the document-frequency agg and the
+    // join-back — persist the doc-keyed array frame (one row per doc,
+    // the jaccardPairs diamond rule; never the exploded index) so the
+    // per-row tokenize+hash runs once, not twice. Cache lifetime as
+    // jaccardPairs: callers run GraftSession.dropAllBlocks between
+    // queries.
+    val tok = shingled(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = tok
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("sh_hash"))
     val df = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))

@@ -21,42 +21,90 @@ object Funnels {
     * it, conversion from the previous step (null at the top), and
     * conversion from the top.
     *
-    * Scale shape: ONE events scan → ONE user-keyed aggregation that
-    * collects each step type's timestamps per user (arrays bounded by
-    * that user's per-type event count — the w03 sessionization state
-    * bound); the chained strictly-after MIN selections are per-row
-    * array arithmetic; the step table comes out of a single one-row
-    * aggregate through an explode, so nothing in the plan executes
-    * twice. No joins at all.
+    * Scale shape: ONE events scan (step types filtered and mapped to
+    * integer indices scan-stage, so only `(user_id, step_i, ts)` ever
+    * shuffles) → repartition by user + `sortWithinPartitions(user, ts)`
+    * → ONE streaming per-user pass in O(steps) memory. The earlier
+    * form aggregated per-user `collect_list` timestamp arrays — state
+    * bounded only by a user's per-type event count, which is exactly
+    * the bound that fails adversarially on the events table's natural
+    * skew key (one bot user with 10⁷ views = a 10⁷-element aggregation
+    * buffer in a single task; the r15 verdict's named scale-killer).
+    * The ts-ordered greedy frontier is equivalent to the chained
+    * strictly-after MIN selections: tᵢ₋₁ is fixed at the first step-
+    * (i−1) event that qualifies, every step-i event with ts > tᵢ₋₁
+    * sorts after it, and the FIRST one scanned is the minimum —
+    * same-ts ties never qualify under strict `>` regardless of their
+    * order within the sort. The step table comes out of a single
+    * one-row aggregate through an explode; no joins at all. Step
+    * conversions guard their divisions with explicit null-on-zero
+    * (Spark's non-ANSI Divide nulls where DuckDB's IEEE doubles NaN;
+    * the oracle carries the same CASE WHEN).
     */
   def orderedFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"need >= 2 funnel steps, got $steps")
-    val tsCols = steps.zipWithIndex.map { case (step, i) =>
-      collect_list(when(col("event_type") === step, col("ts")))
-        .as(s"ts_$i")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nSteps = steps.size
+    val stepIdxCol = steps.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (step, i)) =>
+        when(col("event_type") === step, lit(i)).otherwise(acc)
     }
-    val perUser = events
-      .groupBy("user_id")
-      .agg(tsCols.head, tsCols.tail: _*)
-    // t_0 = min(ts_0); t_i = min(ts_i strictly after t_{i-1})
-    val withTimes = steps.indices.foldLeft(perUser) { (df, i) =>
-      val t =
-        if (i == 0) array_min(col("ts_0"))
-        else array_min(filter(col(s"ts_$i"), x => x > col(s"t${i - 1}")))
-      df.withColumn(s"t$i", t)
-    }
+    val slim = events
+      .select(col("user_id").cast("long").as("user_id"),
+        stepIdxCol.as("step_i"), col("ts"))
+      // null ts never qualifies (the collect_list form skipped nulls);
+      // a null user_id groups as one pseudo-user, as groupBy did
+      .filter(col("step_i") >= 0 && col("ts").isNotNull)
+    val depths = slim
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"))
+      .as[(Option[Long], Int, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        // rows arrive contiguous per user, ts-ascending: advance the
+        // funnel frontier greedily, emit the depth reached on each
+        // user boundary. Per-user state = one Timestamp per step.
+        new Iterator[Int] {
+          private var pending = -1
+          private var hasUser = false
+          private var curUser: Option[Long] = None
+          private var depth = 0
+          private val t = Array.ofDim[java.sql.Timestamp](nSteps)
+          private def advance(): Unit = {
+            while (pending < 0 && it.hasNext) {
+              val (u, i, ts) = it.next()
+              if (!hasUser) { hasUser = true; curUser = u }
+              else if (u != curUser) { pending = depth; curUser = u; depth = 0 }
+              if (i == depth && depth < nSteps &&
+                  (depth == 0 || ts.compareTo(t(depth - 1)) > 0)) {
+                t(depth) = ts
+                depth += 1
+              }
+            }
+            if (pending < 0 && hasUser) { pending = depth; hasUser = false }
+          }
+          def hasNext: Boolean = { advance(); pending >= 0 }
+          def next(): Int = {
+            advance(); val d = pending; pending = -1; d
+          }
+        }
+      }
+      .toDF("depth")
+      .filter(col("depth") >= 1)
     val aggs = steps.indices.map(i =>
-      sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n${i + 1}"))
-    val wide = withTimes.agg(aggs.head, aggs.tail: _*)
+      sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"n${i + 1}"))
+    val wide = depths.agg(aggs.head, aggs.tail: _*)
+    def safeDiv(num: Column, den: Column): Column =
+      when(den === 0 || den.isNull, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
     val stepRows = steps.zipWithIndex.map { case (step, i) =>
       struct(
         lit(i + 1).as("step_idx"), lit(step).as("step"),
         col(s"n${i + 1}").as("n_users"),
         (if (i == 0) lit(null).cast("double")
-         else col(s"n${i + 1}").cast("double") / col(s"n$i").cast("double"))
+         else safeDiv(col(s"n${i + 1}"), col(s"n$i")))
           .as("conv_from_prev"),
-        (col(s"n${i + 1}").cast("double") / col("n1").cast("double"))
-          .as("conv_from_first"))
+        safeDiv(col(s"n${i + 1}"), col("n1")).as("conv_from_first"))
     }
     wide.select(explode(array(stepRows: _*)).as("r")).select(col("r.*"))
   }
@@ -71,6 +119,10 @@ object Funnels {
     * first-seen, the join-back, and cohort sizes all reuse it);
     * first-seen is a user-keyed MIN agg; the matrix agg is
     * cohorts × offsets cells; sizes broadcast. Nothing is event².
+    *
+    * Cache lifetime: the activity frame stays persisted for the life
+    * of the returned (lazy) plan; long-lived callers must run
+    * `GraftSession.dropAllBlocks` between queries, as Bench/Verify do.
     */
   def cohortRetention(events: DataFrame): DataFrame = {
     val days = events.select(col("user_id"),

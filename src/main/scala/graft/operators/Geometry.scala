@@ -428,9 +428,19 @@ object Geometry {
     // (26,12) first (exact: same scale, 14 integer digits ≈ sums to
     // 1e14 — plenty above any per-dim coordinate mass this engine
     // feeds) so the difference fits (27,12) with no loss.
+    // The down-cast is guarded: under non-ANSI semantics an out-of-range
+    // decimal cast returns NULL silently, and the card would emit
+    // null/corrupt columns instead of failing. raise_error makes the
+    // (contractually unreachable) overflow loud.
     val d26 = DecimalType(26, 12)
+    def checked(c: Column, name: String): Column =
+      when(c.isNotNull && c.cast(d26).isNull,
+        raise_error(concat(
+          lit(s"anisotropyFromMoments: $name overflows DECIMAL(26,12): "),
+          c.cast("string"))))
+        .otherwise(c.cast(d26))
     def signed(pos: Column, neg: Column): Column =
-      (pos.cast(d26) - neg.cast(d26)).cast("double")
+      (checked(pos, "s_pos") - checked(neg, "s_neg")).cast("double")
     val tot = moments.filter(col("dim") === -1)
       .select(col("n"),
         (signed(col("s_pos"), col("s_neg")) / col("n")).as("avg_sq_norm"))

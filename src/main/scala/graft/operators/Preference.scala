@@ -306,6 +306,12 @@ object Preference {
     * Scale shape: scoring is one doc-keyed aggregation; the median is
     * one range-partitioned rank; group counts are one hash agg; the
     * pass@k columns are per-row arithmetic on the groups-sized frame.
+    *
+    * Cache lifetime: the scored frame stays persisted for the life of
+    * the returned (lazy) plan — unpersisting here would re-open the
+    * diamond before the caller ever executes it. Callers in long-lived
+    * sessions must run `GraftSession.dropAllBlocks` between queries,
+    * as Bench/Verify do (the engine-wide persist contract).
     */
   def passAtK(
       docs: DataFrame,

@@ -324,9 +324,19 @@ object QualityModel {
           .otherwise(0L)).as("n_kept_pos"))
       .select(col("n_cal_pos"), col("k"), col("threshold"), col("n_test"),
         col("n_test_pos"), col("n_kept"), col("n_kept_pos"),
-        (col("n_kept_pos").cast("double") / col("n_test_pos").cast("double"))
+        // explicit null-on-zero: Spark's non-ANSI Divide yields NULL on
+        // a zero denominator while DuckDB's IEEE double division yields
+        // NaN — on a degenerate split (no test positives / nothing
+        // kept) the two engines would hash-diverge unless both sides
+        // state the NULL branch explicitly (oracle carries the same
+        // CASE WHEN)
+        when(col("n_test_pos") === 0, lit(null).cast("double"))
+          .otherwise(
+            col("n_kept_pos").cast("double") / col("n_test_pos").cast("double"))
           .as("recall_test"),
-        (col("n_kept_pos").cast("double") / col("n_kept").cast("double"))
+        when(col("n_kept") === 0, lit(null).cast("double"))
+          .otherwise(
+            col("n_kept_pos").cast("double") / col("n_kept").cast("double"))
           .as("precision_test"),
         (col("n_kept").cast("double") / col("n_test").cast("double"))
           .as("pass_rate"))

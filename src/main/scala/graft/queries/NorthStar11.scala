@@ -55,14 +55,20 @@ object NorthStar11 extends QueryGroup {
                 AS BIGINT) AS n_kept,
               CAST(SUM(CASE WHEN score >= threshold AND y = 1.0
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_pos,
-              CAST(SUM(CASE WHEN score >= threshold AND y = 1.0
-                THEN 1 ELSE 0 END) AS DOUBLE)
-                / CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
-                AS recall_test,
-              CAST(SUM(CASE WHEN score >= threshold AND y = 1.0
-                THEN 1 ELSE 0 END) AS DOUBLE)
-                / CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
-                  AS DOUBLE) AS precision_test,
+              CASE WHEN SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE CAST(SUM(CASE WHEN score >= threshold AND y = 1.0
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                END AS recall_test,
+              CASE WHEN SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+                  = 0
+                THEN NULL
+                ELSE CAST(SUM(CASE WHEN score >= threshold AND y = 1.0
+                  THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                END AS precision_test,
               CAST(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
             FROM te CROSS JOIN th
@@ -327,16 +333,22 @@ object NorthStar11 extends QueryGroup {
               FROM s2)
             SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users,
               CAST(NULL AS DOUBLE) AS conv_from_prev,
-              CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first
+              CASE WHEN COALESCE(n1, 0) = 0 THEN NULL
+                ELSE CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                END AS conv_from_first
             FROM w
             UNION ALL
             SELECT 2, 'click', n2,
-              CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
-              CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM w
+              CASE WHEN COALESCE(n1, 0) = 0 THEN NULL
+                ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,
+              CASE WHEN COALESCE(n1, 0) = 0 THEN NULL
+                ELSE CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM w
             UNION ALL
             SELECT 3, 'purchase', n3,
-              CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE),
-              CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM w
+              CASE WHEN COALESCE(n2, 0) = 0 THEN NULL
+                ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END,
+              CASE WHEN COALESCE(n1, 0) = 0 THEN NULL
+                ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM w
             ORDER BY step_idx"""))
 
   /** Cohort-retention matrix over first-seen-day cohorts. */

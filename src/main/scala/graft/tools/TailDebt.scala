@@ -33,6 +33,12 @@ object TailDebt {
     val spark = GraftSession.build("graft-tail-debt")
     spark.sparkContext.setLogLevel("WARN")
     def fingerprint(label: String): Unit = {
+      // memory-sink tables are counted BEFORE dropAllBlocks: the r15
+      // hygiene fix makes dropAllBlocks reap graft_stream_* views, so
+      // counting after it would always print 0 and the instrument
+      // would no longer see the accumulation it was built to measure
+      val memTables = spark.catalog.listTables().collect()
+        .count(_.name.startsWith("graft_stream_"))
       GraftSession.dropAllBlocks(spark)
       System.gc()
       import scala.jdk.CollectionConverters._
@@ -44,8 +50,6 @@ object TailDebt {
         .map(_.getUsage.getUsed).sum / 1e6
       val classes =
         ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
-      val memTables = spark.catalog.listTables().collect()
-        .count(_.name.startsWith("graft_stream_"))
       println(f"TailDebt[$label]: heap=${heapGb}%.2fGB gc=${gcTotalMs()}ms " +
         f"classes=$classes metaspace=${meta}%.0fMB memSinkTables=$memTables")
     }

@@ -175,6 +175,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"BNLJ whitelist drift: unexpected=${actual -- allowed}, stale=${allowed -- actual}")
   }
 
+  test("n152 funnel plan: no per-user collect_list — the skew-safe streaming pass") {
+    // the r15 form aggregated collect_list timestamp arrays per user —
+    // unbounded per-key state on the events table's natural skew key
+    // (one bot user with 10⁷ views = a 10⁷-element buffer in one task).
+    // The shipped plan must keep the O(steps)-memory shape: a user-keyed
+    // exchange + sort feeding an object-level streaming pass, and no
+    // collect_list anywhere.
+    val plan = batchPlans.find(_._1 == "n152_event_funnel").get._2
+    assert(!plan.contains("collect_list"),
+      s"n152 plan regressed to per-user collect_list arrays:\n${plan.take(1200)}")
+    assert(plan.contains("MapPartitions"),
+      s"n152 plan lost its streaming per-user pass:\n${plan.take(1200)}")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"n152 plan lost its user-keyed exchange:\n${plan.take(1200)}")
+  }
+
   test("n46 PQ-ADC scores through broadcast dist-table joins, not query literals") {
     // the round-4 form collect()ed the query set and embedded per-query
     // ADC tables as plan literals — a capacity cliff at 10⁴+ queries.
