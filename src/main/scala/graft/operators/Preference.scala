@@ -113,16 +113,20 @@ object Preference {
   }
 
   /** Score any (doc_id, text) frame — batch OR streaming — with
-    * trained reward weights: s(d) = Σ_tokens w_b(t)/n_d, ONE
-    * aggregation (streaming-legal), the training margin's arithmetic
-    * token for token. Output: (doc_id, score).
+    * trained reward weights: s(d) = Σ_tokens w_b(t)/n_d as ONE
+    * stateless per-row expression (bit-identical to the exploded
+    * `xsum(termCol)` formulation — [[graft.expressions
+    * .TokenBucketMargin]]'s exactness contract), the training margin's
+    * arithmetic token for token. A streaming caller pays no
+    * aggregation state at all. Assumes unique doc_id rows (the corpus
+    * contract). Output: (doc_id, score).
     */
   def scoreWith(docs: DataFrame, w: IndexedSeq[Double]): DataFrame = {
-    import QualityModel.{xsum, Dim}
+    import QualityModel.Dim
     require(w.size == Dim, s"weight vector must have $Dim entries")
-    QualityModel.tokenBuckets(docs)
-      .groupBy(col("doc_id"))
-      .agg(xsum(QualityModel.termCol(w)).as("score"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        QualityModel.marginCol(col("text"), w).as("score"))
   }
 
   /** Best-of-n distillation selection: documents group into synthetic

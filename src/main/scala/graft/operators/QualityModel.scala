@@ -86,6 +86,20 @@ object QualityModel {
   private[operators] def termCol(w: IndexedSeq[Double]): Column =
     element_at(typedLit(w), col("b") + 1) / col("n").cast("double")
 
+  /** The SAME margin Σ w_b(t)/n as ONE native per-row expression over
+    * raw text (normalization composed here, exactly as [[tokenBuckets]])
+    * — bit-identical to `xsum(termCol(w))` over the exploded token
+    * frame (see [[graft.expressions.TokenBucketMargin]]'s exactness
+    * contract), without the explode, the per-token md5 hex string, or
+    * the per-doc aggregation. Null text yields null; callers filter,
+    * matching the explode path where null-text docs had no token rows.
+    */
+  private[operators] def marginCol(text: Column, w: IndexedSeq[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.TokenBucketMargin(
+      ColumnBridge.expression(normalized(text)), w))
+  }
+
   /** Train `iters` full-batch gradient steps on `docs` (positive class
     * = `positiveSources`) and return the model: 64 weights + bias.
     * Bounded driver state by construction; the training diamond is
@@ -199,16 +213,19 @@ object QualityModel {
   }
 
   /** Score any (doc_id, text) frame — batch OR streaming — with a
-    * trained model: (doc_id, score, pred). ONE aggregation, so a
-    * streaming caller runs it directly (update mode, one state row per
-    * doc); the arithmetic is the training margin's, token for token.
+    * trained model: (doc_id, score, pred). ONE stateless per-row
+    * expression ([[marginCol]]) — a streaming caller pays no
+    * aggregation state at all (the r15 form kept one state row per
+    * doc); the arithmetic is the training margin's, token for token,
+    * bit-identical to the exploded formulation. Assumes unique doc_id
+    * rows (the corpus contract; the old groupBy would have merged
+    * duplicate ids into one score).
     */
   def scoreWith(
       docs: DataFrame, w: IndexedSeq[Double], bias: Double): DataFrame = {
     require(w.size == Dim, s"weight vector must have $Dim entries")
-    tokenBuckets(docs)
-      .groupBy(col("doc_id"))
-      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), (marginCol(col("text"), w) + lit(bias)).as("m"))
       .select(col("doc_id"), sig(col("m")).as("score"),
         (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
   }

@@ -667,11 +667,12 @@ object StreamingQueries extends QueryGroup {
       * candidate scored by the offline-trained reward (the s21
       * batch-model-gate convention: audit mode takes zero weights
       * through the SAME scoring lineage, so no training runs to read a
-      * plan). ONE update-mode aggregation per doc (the s21 state
-      * shape); grouping, the median threshold, and the combinatorial
-      * estimator run batch-side over the collapsed sink through the
-      * SAME [[graft.operators.Preference.passAtKFromScores]] half as
-      * n154, under n154's oracle verbatim.
+      * plan). Scoring is ONE stateless per-row expression (r16 — no
+      * streaming state at all); grouping, the median threshold, and
+      * the combinatorial estimator run batch-side over the collapsed
+      * sink through the SAME
+      * [[graft.operators.Preference.passAtKFromScores]] half as n154,
+      * under n154's oracle verbatim.
       */
     def s44(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
       val P = graft.operators.Preference
@@ -1699,10 +1700,11 @@ object StreamingQueries extends QueryGroup {
     * runs once on the static corpus (the whole model is 64 weights +
     * bias — broadcastable by construction), then the STREAMING corpus
     * is scored by [[graft.operators.QualityModel.scoreWith]] — the
-    * identical token-level margin arithmetic, which is deliberately
-    * ONE aggregation so it runs as a legal streaming query (chained
-    * stateful aggregations are not supported; this is why the model's
-    * margins are token-level sums). In-stream selection is
+    * identical token-level margin arithmetic, as ONE stateless
+    * per-row native expression (r16: the margin needs no aggregation
+    * at all — [[graft.expressions.TokenBucketMargin]] — so the
+    * streaming query keeps NO state; the r15 form held one state row
+    * per doc). In-stream selection is
     * threshold-based with the threshold derived OFFLINE from the batch
     * scores (min score of the kept top fraction — s19's rule: a global
     * rank needs the whole corpus, a threshold is local, and docs tying
@@ -1711,10 +1713,9 @@ object StreamingQueries extends QueryGroup {
     * drags the bias negative, so three GD steps leave every absolute
     * score below 0.5 even though the RANKING separates cleanly.
     *
-    * State caveat (same finite-replay contract as s16/s19): the
-    * per-doc margin aggregation in update mode keeps one state row per
-    * doc_id; a continuous deployment scores each micro-batch with
-    * foreachBatch or expires state with a watermark.
+    * No state caveat since r16: the per-row margin expression keeps
+    * zero streaming state (each doc row scores and emits once) — the
+    * s16/s19 finite-replay contract no longer applies to this query.
     */
   private val streamQualityGate = Q(
     "s21_stream_quality_gate",
