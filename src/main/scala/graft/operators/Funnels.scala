@@ -41,21 +41,40 @@ object Funnels {
     * (Spark's non-ANSI Divide nulls where DuckDB's IEEE doubles NaN;
     * the oracle carries the same CASE WHEN).
     */
-  def orderedFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def orderedFunnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    funnelFromSlim(slimSteps(events, steps), steps)
+
+  /** The funnel's scan-stage half: filter to the step types, map each
+    * to its integer index, project `(user_id, step_i, ts)`. Stateless
+    * per-row work — streaming-legal as-is (the s42 passthrough class),
+    * and the only part of the funnel that MUST see rows one at a time;
+    * the strictly-after chaining is order-sensitive, so it cannot hold
+    * exact bounded streaming state under late/out-of-order arrivals (a
+    * late earlier first-step event re-admits candidates a frontier
+    * would have discarded). The streaming face (s45) therefore runs
+    * THIS half on the stream and [[funnelFromSlim]] batch-side over
+    * the collapsed sink — the s37/s39 shared-half convention.
+    */
+  def slimSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, s"need >= 2 funnel steps, got $steps")
-    val spark = events.sparkSession
-    import spark.implicits._
-    val nSteps = steps.size
     val stepIdxCol = steps.zipWithIndex.foldLeft(lit(-1)) {
       case (acc, (step, i)) =>
         when(col("event_type") === step, lit(i)).otherwise(acc)
     }
-    val slim = events
+    events
       .select(col("user_id").cast("long").as("user_id"),
         stepIdxCol.as("step_i"), col("ts"))
       // null ts never qualifies (the collect_list form skipped nulls);
       // a null user_id groups as one pseudo-user, as groupBy did
       .filter(col("step_i") >= 0 && col("ts").isNotNull)
+  }
+
+  /** The funnel's report half over a [[slimSteps]]-shaped frame. */
+  def funnelFromSlim(slim: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 funnel steps, got $steps")
+    val spark = slim.sparkSession
+    import spark.implicits._
+    val nSteps = steps.size
     val depths = slim
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"))

@@ -303,14 +303,11 @@ object NorthStar11 extends QueryGroup {
     * purchase journey — the batch report face of the s06/s10 streaming
     * funnel joins.
     */
-  private val funnel = Q(
-    "n152_event_funnel",
-    "strict-order funnel view -> click -> purchase: users per step + step conversions (one events scan)",
-    (s, dir) => graft.operators.Funnels
-      .orderedFunnel(Tables(s, dir).events,
-        Seq("view", "click", "purchase"))
-      .orderBy("step_idx"),
-    Some("""WITH u AS (
+  /** The n152 oracle, shared verbatim with the s45 streaming funnel
+    * face (the s37/s39 shared-report-half rule).
+    */
+  private[queries] lazy val funnelOracleSql: String =
+    """WITH u AS (
               SELECT user_id,
                 list(ts) FILTER (WHERE event_type = 'view') AS l0,
                 list(ts) FILTER (WHERE event_type = 'click') AS l1,
@@ -349,7 +346,20 @@ object NorthStar11 extends QueryGroup {
                 ELSE CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) END,
               CASE WHEN COALESCE(n1, 0) = 0 THEN NULL
                 ELSE CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE) END FROM w
-            ORDER BY step_idx"""))
+            ORDER BY step_idx"""
+
+  /** Strict-order funnel over the events stream's view → click →
+    * purchase journey — the batch report face of the s06/s10 streaming
+    * funnel joins.
+    */
+  private val funnel = Q(
+    "n152_event_funnel",
+    "strict-order funnel view -> click -> purchase: users per step + step conversions (one events scan)",
+    (s, dir) => graft.operators.Funnels
+      .orderedFunnel(Tables(s, dir).events,
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx"),
+    Some(funnelOracleSql))
 
   /** Cohort-retention matrix over first-seen-day cohorts. */
   private val cohorts = Q(

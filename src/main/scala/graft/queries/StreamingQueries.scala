@@ -706,6 +706,44 @@ object StreamingQueries extends QueryGroup {
       graft.operators.Geometry.anisotropyMoments(raw)
     }
 
+    /** s45: the strict-order funnel's streaming half — the scan-stage
+      * step filter/projection of [[graft.operators.Funnels.slimSteps]]
+      * as a stateless append-mode passthrough (the s42 class). The
+      * strictly-after chaining is order-sensitive and holds no exact
+      * bounded streaming state under late arrivals (a late earlier
+      * first-step event re-admits candidates a frontier would have
+      * discarded — see slimSteps' scaladoc), so the report half runs
+      * batch-side over the collapsed sink through the SAME
+      * [[graft.operators.Funnels.funnelFromSlim]] as n152, under
+      * n152's oracle verbatim.
+      */
+    def s45(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      graft.operators.Funnels.slimSteps(eventsSource(s, dir, stream),
+        Seq("view", "click", "purchase"))
+
+    /** s46: w13's OHLC bars as a textbook update-mode streaming
+      * aggregation — the identical one-hash-agg plan (argmin/argmax
+      * struct selections for open/close, min/max/count, decimal-exact
+      * volume) over the streamed events. Every bar's state is one
+      * fixed-size row per (hour, event_type); the batch-side collapse
+      * keys each bar to its LATEST emitted version by the strictly-
+      * growing event count n (update mode re-emits a bar whenever new
+      * events land in it; max-by-n is the s37 monotone collapse
+      * generalized to non-monotone columns riding a monotone version
+      * key). Oracle = w13's SQL verbatim.
+      */
+    def s46(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      eventsSource(s, dir, stream)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("event_type"), col("o.value").as("open"), col("high"),
+          col("low"), col("c.value").as("close"), col("n"), col("volume"))
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -957,7 +995,9 @@ object StreamingQueries extends QueryGroup {
     "s42_stream_shard_router" -> Seq(Frames.s42(s, dir, stream = false)),
     "s43_stream_anisotropy_monitor" ->
       Seq(Frames.s43(s, dir, stream = false)),
-    "s44_stream_passk_monitor" -> Seq(Frames.s44(s, dir, stream = false)))
+    "s44_stream_passk_monitor" -> Seq(Frames.s44(s, dir, stream = false)),
+    "s45_stream_funnel" -> Seq(Frames.s45(s, dir, stream = false)),
+    "s46_stream_ohlc_bars" -> Seq(Frames.s46(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2486,6 +2526,48 @@ object StreamingQueries extends QueryGroup {
     },
     Some(NorthStar11.passAtKOracleSql))
 
+  /** Streaming strict-order funnel — the reference's most user-visible
+    * event-stream report (s06/s10 chain the journey continuously; this
+    * prices it corpus-wide) maintained at ingest: the step
+    * filter/projection streams stateless in append mode, the exact
+    * chained-MIN report runs batch-side over the collapsed sink (the
+    * ordering-sensitivity argument for this split lives on
+    * [[graft.operators.Funnels.slimSteps]]). The ORACLE IS n152's SQL
+    * verbatim.
+    */
+  private val streamFunnel = Q(
+    "s45_stream_funnel",
+    "streaming strict-order funnel: stateless step slimming at ingest, exact chained-MIN report batch-side (converges to n152)",
+    (s, dir) => graft.operators.Funnels
+      .funnelFromSlim(
+        runToTable(Frames.s45(s, dir), "append"),
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx"),
+    Some(NorthStar11.funnelOracleSql))
+
+  /** Streaming OHLC bars — w13's hourly downsampling card as ONE
+    * update-mode event-time-window aggregation (fixed-size state per
+    * bar); the batch collapse keys each bar to its latest emitted
+    * version via the strictly-growing count n. The ORACLE IS w13's
+    * SQL verbatim.
+    */
+  private val streamOhlc = Q(
+    "s46_stream_ohlc_bars",
+    "streaming hourly OHLC bars per event_type (converges to the w13 batch closed form)",
+    (s, dir) => {
+      val emitted = runToTable(Frames.s46(s, dir), "update")
+      val latest = emitted
+        .groupBy("w_start", "event_type")
+        .agg(max(struct(col("n"), col("open"), col("high"), col("low"),
+          col("close"), col("volume"))).as("st"))
+      latest.select(col("w_start"), col("event_type"),
+          col("st.open").as("open"), col("st.high").as("high"),
+          col("st.low").as("low"), col("st.close").as("close"),
+          col("st.n").as("n"), col("st.volume").as("volume"))
+        .orderBy("w_start", "event_type")
+    },
+    Some(TimeWindows.ohlcOracleSql))
+
   private val streamFertilityMonitor = Q(
     "s41_stream_fertility_monitor",
     "streaming tokenizer-fertility monitor per (source, lang) (converges to the n139 batch closed form)",
@@ -2516,5 +2598,5 @@ object StreamingQueries extends QueryGroup {
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
     streamShadowEval, streamPackingMonitor, streamPrototypeGate,
     streamFertilityMonitor, streamShardRouter, streamAnisotropyMonitor,
-    streamPassAtK)
+    streamPassAtK, streamFunnel, streamOhlc)
 }

@@ -478,21 +478,11 @@ object TimeWindows extends QueryGroup {
     * plain min/max; volume is the decimal-exact sum. One hash agg
     * with map-side partials — bars, not events, cross the shuffle.
     */
-  private val ohlc = Q(
-    "w13_ohlc_bars",
-    "hourly OHLC bars per event_type: open/high/low/close by event time + count and exact volume",
-    (s, dir) => Tables(s, dir).events
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(
-        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
-        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
-        max(col("value")).as("high"), min(col("value")).as("low"),
-        count(lit(1)).as("n"), dsum(col("value")).as("volume"))
-      .select(unix_timestamp(col("w.start")).as("w_start"),
-        col("event_type"), col("o.value").as("open"), col("high"),
-        col("low"), col("c.value").as("close"), col("n"), col("volume"))
-      .orderBy("w_start", "event_type"),
-    Some(s"""WITH b AS (
+  /** The w13 oracle, shared verbatim with the s46 streaming OHLC face
+    * (the s37/s39 shared-report-half rule).
+    */
+  private[queries] lazy val ohlcOracleSql: String =
+    s"""WITH b AS (
               SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
                   AS w_start,
                 event_type, ts, event_id, value
@@ -511,7 +501,23 @@ object TimeWindows extends QueryGroup {
               CAST(COUNT(*) AS BIGINT) AS n,
               ${oSum("value")} AS volume
             FROM r GROUP BY w_start, event_type
-            ORDER BY w_start, event_type"""))
+            ORDER BY w_start, event_type"""
+
+  private val ohlc = Q(
+    "w13_ohlc_bars",
+    "hourly OHLC bars per event_type: open/high/low/close by event time + count and exact volume",
+    (s, dir) => Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n"), dsum(col("value")).as("volume"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("event_type"), col("o.value").as("open"), col("high"),
+        col("low"), col("c.value").as("close"), col("n"), col("volume"))
+      .orderBy("w_start", "event_type"),
+    Some(ohlcOracleSql))
 
   val all: Seq[Q] = Seq(tumbling, sliding, session, asofJoin, asofBucketed,
     punctuated, asofForward, asofNearest, asofNearestBucketed,

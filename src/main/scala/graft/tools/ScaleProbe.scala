@@ -87,7 +87,9 @@ object ScaleProbe {
     "repetition_exposure", "prototype_pruning", "embedding_covariance",
     "centroid_silhouette",
     "group_advantage", "silhouette_k_sweep", "zca_whiten",
-    "dup_size_histogram", "ngram_novelty", "zipf_octaves")
+    "dup_size_histogram", "ngram_novelty", "zipf_octaves",
+    "conformal_gate", "best_of_k_uplift", "pass_at_k",
+    "event_funnel", "cohort_retention", "ohlc_bars")
 
   private val defaultScales = Seq(1, 4, 8)
   /** The CC/dedup family gets a 32× row: its pointer-jumping round
@@ -876,6 +878,65 @@ object ScaleProbe {
     probe("zipf_octaves", c =>
       graft.operators.TextAnalysis
         .zipfOctaves(replicate(t.documents, "doc_id", c))
+        .count())
+
+    // n145's shape: classifier training (corpus-linear GD rounds over
+    // the persisted token frame) + one range-partitioned rank + a
+    // broadcast-threshold test-split agg
+    probe("conformal_gate", c =>
+      graft.operators.QualityModel
+        .conformalGate(replicate(t.documents, "doc_id", c),
+          positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+          iters = 3, alphaPm = 100)
+        .count())
+
+    // n148's shape: reward training + the per-row native scoring pass
+    // + one window partitioned by corpus/8 prompt groups + a k-explode
+    // into a groups-sized agg
+    probe("best_of_k_uplift", c =>
+      graft.operators.Preference
+        .bestOfKUplift(replicate(t.documents, "doc_id", c),
+          groupSize = 8, ks = Seq(1, 2, 4), iters = 3)
+        .count())
+
+    // n154/s44's shared shape: training + ONE persisted per-row scoring
+    // pass feeding the count scalar, the range-partitioned median rank,
+    // and the groups-sized pass@k agg
+    probe("pass_at_k", c =>
+      graft.operators.Preference
+        .passAtK(replicate(t.documents, "doc_id", c),
+          groupSize = 8, ks = Seq(1, 2, 4), iters = 3)
+        .count())
+
+    // n152/s45's shape: one events scan → user-keyed exchange + sort →
+    // the O(steps)-memory streaming frontier pass. Copies shift
+    // user_id, so each replica funnels its own users (independent
+    // subpopulations — the growth a cluster would see)
+    probe("event_funnel", c =>
+      graft.operators.Funnels
+        .orderedFunnel(replicate(t.events, "user_id", c),
+          Seq("view", "click", "purchase"))
+        .count())
+
+    // n153's shape: one persisted distinct (user, day) activity frame
+    // + a user-keyed MIN + the cohorts×offsets matrix agg
+    probe("cohort_retention", c =>
+      graft.operators.Funnels
+        .cohortRetention(replicate(t.events, "user_id", c))
+        .count())
+
+    // w13/s46's shape: ONE hash aggregation with struct argmin/argmax
+    // selections — bars, not events, cross the shuffle. Copies shift
+    // event_id (same bars, c× the events per bar — the volume growth
+    // a busier feed produces)
+    probe("ohlc_bars", c =>
+      replicate(t.events, "event_id", c)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("cl"),
+          max(col("value")), min(col("value")), count(lit(1)),
+          sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(38, 12))))
         .count())
 
     // ---- execution ---------------------------------------------------
