@@ -752,4 +752,48 @@ object Geometry {
         sqrt(col("d2_proj")).as("dist_proj"),
         col("ratio"))
   }
+
+  /** Int8 scalar-quantization card — the standard 4×-compression move
+    * for embedding storage/serving (per-dimension affine quantization:
+    * q = round((x − min_d) / scale_d), scale_d = (max_d − min_d)/255),
+    * priced EXACTLY: per dimension the range, the scale, and the worst
+    * and mean absolute reconstruction error |x − (min_d + q·scale_d)|.
+    * The card answers "is int8 safe for this corpus" before any index
+    * rebuild commits to it — dimensions whose error spikes (heavy
+    * tails, outlier mass) are the ones PQ/IVF recall quietly loses.
+    *
+    * Exactness: quantization is fixed-order IEEE double arithmetic
+    * (widened exactly from the float column) with round-half-up on a
+    * non-negative argument — identical on both engines (DuckDB rounds
+    * half away from zero, equal for non-negative); a constant
+    * dimension (scale 0) quantizes to 0 with zero error on both sides
+    * via the same CASE. Mean errors are decimal-routed exact sums.
+    *
+    * Scale shape: ONE posexplode pass persisted (it feeds the range
+    * aggregation AND the error pass — the diamond rule), a D-row
+    * broadcast range table, one (dim)-keyed hash agg. Nothing is
+    * corpus²; at 100 TB the explode is scan-stage row inflation that
+    * map-side partials collapse back to D rows per partition. Callers
+    * run GraftSession.dropAllBlocks between queries.
+    */
+  def int8QuantizationCard(embeddings: DataFrame): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim"), col("xf").cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranges = x.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+    x.join(broadcast(ranges), "dim")
+      .withColumn("q",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(round((col("x") - col("mn")) / col("scale"))))
+      .withColumn("err",
+        abs(col("x") - (col("mn") + col("q") * col("scale"))))
+      .groupBy("dim", "mn", "mx", "scale")
+      .agg(count(lit(1)).as("n"), max(col("err")).as("max_abs_err"),
+        (sum12(col("err")) / count(lit(1))).as("mean_abs_err"))
+      .select(col("dim"), col("n"), col("mn"), col("mx"), col("scale"),
+        col("max_abs_err"), col("mean_abs_err"))
+  }
 }

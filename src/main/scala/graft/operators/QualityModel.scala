@@ -359,6 +359,68 @@ object QualityModel {
           .as("pass_rate"))
   }
 
+  /** Confident-learning label-noise card (Northcutt, Jiang & Chuang,
+    * JAIR 2021): estimate which WEAK LABELS the classifier itself
+    * disbelieves. Per-class confidence thresholds are the mean
+    * self-confidence of docs carrying that label (t₁ = mean score over
+    * label 1, t₀ = mean (1−score) over label 0 — the paper's class
+    * expected self-confidence); a doc is confidently class c when its
+    * class-c confidence clears t_c (both clear → larger margin wins,
+    * ties to class 1; neither → excluded, the paper's abstention). The
+    * (given label × confident prediction) cell counts are the joint
+    * estimate: off-diagonal mass is the label-noise estimate — the
+    * "which source labels can I trust" card for n68's weak supervision
+    * (this engine's labels ARE weak: source identity). Simplification
+    * vs the paper, documented: confidences come from the full-corpus
+    * fit rather than cross-validated out-of-sample scores (the n145
+    * even/odd split shows the held-out variant; here the card reads
+    * the trusted-label structure of the whole corpus).
+    *
+    * Exactness: threshold means are decimal-routed exact sums over
+    * exact counts; every comparison is fixed-order IEEE double on both
+    * engines. Output one row per surviving (label, y_hat) cell:
+    * (label, y_hat, n, n_label, frac_of_label, is_clean), ordered.
+    *
+    * Scale shape: training as [[trainedQualityScores]]; the scored
+    * frame persists (it feeds the threshold means, the per-label
+    * totals AND the cell counts — the diamond rule); thresholds are a
+    * broadcast one-row scalar; cells are one 4-row hash agg. Callers
+    * run GraftSession.dropAllBlocks between queries (engine persist
+    * contract).
+    */
+  def labelNoiseCells(
+      docs: DataFrame,
+      positiveSources: Seq[String],
+      iters: Int = 3): DataFrame = {
+    val scored = trainedQualityScores(docs, positiveSources, iters)
+      .select(col("doc_id"), col("label"), col("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val thr = scored.agg(
+      (xsum(when(col("label") === 1, col("score"))) /
+        sum(when(col("label") === 1, 1L))).as("t1"),
+      (xsum(when(col("label") === 0, lit(1.0) - col("score"))) /
+        sum(when(col("label") === 0, 1L))).as("t0"))
+    val nLab = scored.groupBy("label")
+      .agg(count(lit(1)).as("n_label"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("label"), col("score"), col("t1"), col("t0"),
+        (lit(1.0) - col("score")).as("conf0"))
+      .withColumn("y_hat",
+        when(col("score") >= col("t1") && col("conf0") >= col("t0"),
+          when(col("score") - col("t1") >= col("conf0") - col("t0"), 1)
+            .otherwise(0))
+          .when(col("score") >= col("t1"), 1)
+          .when(col("conf0") >= col("t0"), 0))
+      .filter(col("y_hat").isNotNull)
+      .groupBy("label", "y_hat")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(nLab), "label")
+      .select(col("label"), col("y_hat"), col("n"), col("n_label"),
+        (col("n").cast("double") / col("n_label").cast("double"))
+          .as("frac_of_label"),
+        (col("label") === col("y_hat")).as("is_clean"))
+  }
+
   private def labels(docs: DataFrame, positiveSources: Seq[String]) =
     docs.select(col("doc_id"),
       when(col("source").isin(positiveSources: _*), lit(1.0))

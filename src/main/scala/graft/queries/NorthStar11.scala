@@ -444,6 +444,79 @@ object NorthStar11 extends QueryGroup {
       .orderBy("group_id"),
     Some(passAtKOracleSql))
 
+  /** Confident-learning label-noise joint estimate over the weak
+    * source labels (the n68 classifier auditing its own supervision).
+    */
+  private val labelNoise = Q(
+    "n155_label_noise_cells",
+    "confident-learning label-noise cells: (given label x confident prediction) joint counts over class-mean-confidence thresholds",
+    (s, dir) => QualityModel
+      .labelNoiseCells(Tables(s, dir).documents,
+        positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+        iters = 3)
+      .orderBy("label", "y_hat"),
+    Some(s"""${NorthStar4.qcCtes},
+            sc AS (
+              SELECT doc_id, y,
+                0.5 + (0.5 * m) / (1.0 + abs(m)) AS score
+              FROM m4),
+            th AS (SELECT
+                ${Sql.oSum12("CASE WHEN y = 1.0 THEN score END")}
+                  / SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS t1,
+                ${Sql.oSum12("CASE WHEN y = 0.0 THEN 1.0 - score END")}
+                  / SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS t0
+              FROM sc),
+            lcnt AS (
+              SELECT CAST(y AS INT) AS label,
+                CAST(COUNT(*) AS BIGINT) AS n_label
+              FROM sc GROUP BY 1),
+            cells AS (
+              SELECT CAST(y AS INT) AS label,
+                CASE
+                  WHEN score >= t1 AND (1.0 - score) >= t0 THEN
+                    CASE WHEN score - t1 >= (1.0 - score) - t0
+                      THEN 1 ELSE 0 END
+                  WHEN score >= t1 THEN 1
+                  WHEN (1.0 - score) >= t0 THEN 0
+                END AS y_hat
+              FROM sc CROSS JOIN th)
+            SELECT label, y_hat, CAST(COUNT(*) AS BIGINT) AS n, n_label,
+              CAST(COUNT(*) AS DOUBLE) / CAST(n_label AS DOUBLE)
+                AS frac_of_label,
+              (label = y_hat) AS is_clean
+            FROM cells JOIN lcnt USING (label)
+            WHERE y_hat IS NOT NULL
+            GROUP BY label, y_hat, n_label
+            ORDER BY label, y_hat"""))
+
+  /** Int8 scalar-quantization fidelity card over the embedding corpus. */
+  private val int8Quant = Q(
+    "n156_int8_quant_card",
+    "int8 scalar-quantization card per dimension: range, scale, worst and mean absolute reconstruction error",
+    (s, dir) => graft.operators.Geometry
+      .int8QuantizationCard(Tables(s, dir).embeddings)
+      .orderBy("dim"),
+    Some(s"""WITH x AS (
+              SELECT vec_id,
+                CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings),
+            r AS (
+              SELECT dim, MIN(x) AS mn, MAX(x) AS mx,
+                (MAX(x) - MIN(x)) / 255.0 AS scale
+              FROM x GROUP BY dim),
+            e AS (
+              SELECT x.dim, x.x, r.mn, r.mx, r.scale,
+                CASE WHEN r.scale = 0.0 THEN 0.0
+                  ELSE round((x.x - r.mn) / r.scale) END AS q
+              FROM x JOIN r USING (dim))
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, mn, mx, scale,
+              MAX(abs(x - (mn + q * scale))) AS max_abs_err,
+              ${Sql.oSum12("abs(x - (mn + q * scale))")} / COUNT(*)
+                AS mean_abs_err
+            FROM e GROUP BY dim, mn, mx, scale
+            ORDER BY dim"""))
+
   val all: Seq[Q] = Seq(conformal, zipf, twonn, bestOfK, novelty,
-    jlRecall, sampleAudit, funnel, cohorts, passk)
+    jlRecall, sampleAudit, funnel, cohorts, passk, labelNoise, int8Quant)
 }

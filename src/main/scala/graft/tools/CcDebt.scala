@@ -52,6 +52,25 @@ object CcDebt {
       .METRIC_COMPILATION_TIME.getCount
     catch { case _: Throwable => -1L }
 
+  /** JIT code-cache occupancy (used/committed/max MB per CodeHeap
+    * pool) — the deep-tail hypothesis channel: 280 queries of
+    * generated classes can fill the default 240 MB ReservedCodeCache,
+    * and HotSpot then EVICTS compiled methods (flushing), so a
+    * late-sweep query's first pass re-runs interpreted while re-JITing
+    * — slow wall, doubled task CPU, tiny heap GC: exactly the CC
+    * family's flap fingerprint.
+    */
+  private def codeHeaps(): String = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map { p =>
+        val u = p.getUsage
+        f"${p.getName.stripPrefix("CodeHeap '").stripSuffix("'")}=" +
+          f"${u.getUsed / 1e6}%.0f/${u.getMax / 1e6}%.0fMB"
+      }.mkString(" ")
+  }
+
   /** Task-metric sums since construction, from stage-completed events
     * (driver-local listener; local[32] shares the JVM but the split
     * between executorRunTime and executorCpuTime still separates
@@ -111,7 +130,7 @@ object CcDebt {
           try GraftSession.dropAllBlocks(spark) catch { case _: Throwable => () }
         }
       }
-      println("CcDebt: prefix replayed")
+      println(s"CcDebt: prefix replayed | ${codeHeaps()}")
     }
 
     targets.foreach { name =>
@@ -128,7 +147,8 @@ object CcDebt {
         println(f"CcDebt[$name#$i]: wall=${wall}%.2fs " +
           f"gc=${gcTotalMs() - g0}ms jit=${jitTotalMs() - j0}ms " +
           f"janino=${janinoCount() - c0} compiles " +
-          f"taskRun=${r1 - r0}ms taskCpu=${u1 - u0}ms taskGc=${tg1 - tg0}ms")
+          f"taskRun=${r1 - r0}ms taskCpu=${u1 - u0}ms taskGc=${tg1 - tg0}ms " +
+          s"| ${codeHeaps()}")
         GraftSession.dropAllBlocks(spark)
       }
     }

@@ -89,7 +89,8 @@ object ScaleProbe {
     "group_advantage", "silhouette_k_sweep", "zca_whiten",
     "dup_size_histogram", "ngram_novelty", "zipf_octaves",
     "conformal_gate", "best_of_k_uplift", "pass_at_k",
-    "event_funnel", "cohort_retention", "ohlc_bars")
+    "event_funnel", "cohort_retention", "label_noise", "int8_quant",
+    "ohlc_bars")
 
   private val defaultScales = Seq(1, 4, 8)
   /** The CC/dedup family gets a 32× row: its pointer-jumping round
@@ -923,6 +924,23 @@ object ScaleProbe {
     probe("cohort_retention", c =>
       graft.operators.Funnels
         .cohortRetention(replicate(t.events, "user_id", c))
+        .count())
+
+    // n155's shape: classifier training + a broadcast one-row threshold
+    // scalar + one 4-row cell agg over the persisted scored frame
+    probe("label_noise", c =>
+      graft.operators.QualityModel
+        .labelNoiseCells(replicate(t.documents, "doc_id", c),
+          positiveSources = Seq("src0", "src1", "src2", "src3", "src4"),
+          iters = 3)
+        .count())
+
+    // n156's shape: ONE persisted posexplode pass feeding the D-row
+    // range agg and the error pass (broadcast join-back), then a D-row
+    // hash agg
+    probe("int8_quant", c =>
+      graft.operators.Geometry
+        .int8QuantizationCard(replicate(t.embeddings, "vec_id", c))
         .count())
 
     // w13/s46's shape: ONE hash aggregation with struct argmin/argmax

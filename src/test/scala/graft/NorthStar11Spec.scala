@@ -223,4 +223,50 @@ class NorthStar11Spec extends AnyFunSuite {
     assert(row(2) == ((1L, 1L, 1.0)), "doc2: all-repeat text, one shingle")
     assert(row(3) == ((1L, 1L, 1.0)), "doc3: whole-text shingle")
   }
+
+  test("labelNoiseCells: separable corpus is diagonal-only, counts and fractions exact") {
+    import spark.implicits._
+    // two disjoint vocabularies: after 3 GD rounds every label-1 doc
+    // shares one score s+ and every label-0 doc one score s-, with
+    // s+ > s-; thresholds equal the class scores, so each doc clears
+    // exactly its own class -> two clean diagonal cells of 8
+    val docs = (0L until 8L).map(i => (i, "alpha beta gamma", "src0")) ++
+      (8L until 16L).map(i => (i, "delta epsilon zeta", "src9"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val r = graft.operators.QualityModel
+      .labelNoiseCells(df, positiveSources = Seq("src0"), iters = 3)
+      .orderBy("label", "y_hat").collect()
+    assert(r.length == 2, s"expected two diagonal cells, got ${r.toSeq}")
+    val c0 = r(0); val c1 = r(1)
+    assert(c0.getInt(0) == 0 && c0.getInt(1) == 0 && c0.getLong(2) == 8L &&
+      c0.getLong(3) == 8L && c0.getDouble(4) == 1.0 && c0.getBoolean(5))
+    assert(c1.getInt(0) == 1 && c1.getInt(1) == 1 && c1.getLong(2) == 8L &&
+      c1.getLong(3) == 8L && c1.getDouble(4) == 1.0 && c1.getBoolean(5))
+  }
+
+  test("int8QuantizationCard: constant dim has zero scale and error; grid values reconstruct exactly") {
+    import spark.implicits._
+    // dim 0 constant -> scale 0, both errors 0; dim 1 spans 0..255 on
+    // the integer grid -> scale exactly 1.0, q = x, zero error;
+    // dim 2 has one off-grid value 100.25 (representable in float) ->
+    // q = 100, |err| = 0.25 exactly
+    val emb = Seq(
+      (0L, Seq(5.0f, 0.0f, 0.0f)),
+      (1L, Seq(5.0f, 100.0f, 100.25f)),
+      (2L, Seq(5.0f, 255.0f, 255.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Geometry.int8QuantizationCard(emb)
+      .orderBy("dim").collect()
+    assert(r.length == 3)
+    val d0 = r(0)
+    assert(d0.getDouble(4) == 0.0 && d0.getDouble(5) == 0.0 &&
+      d0.getDouble(6) == 0.0, "constant dim: scale 0, zero error")
+    val d1 = r(1)
+    assert(d1.getDouble(4) == 1.0, "0..255 grid: scale exactly 1")
+    assert(d1.getDouble(5) == 0.0 && d1.getDouble(6) == 0.0,
+      "grid values reconstruct exactly")
+    val d2 = r(2)
+    assert(d2.getDouble(5) == 0.25,
+      s"off-grid 100.25 quantizes to 100 with error 0.25, got ${d2.getDouble(5)}")
+  }
 }

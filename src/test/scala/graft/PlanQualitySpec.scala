@@ -168,7 +168,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "n150_jl_neighbor_recall",
       // two broadcast scalars (corpus count for the median rank, the
       // one-row threshold onto the group counts)
-      "n154_pass_at_k")
+      "n154_pass_at_k",
+      // the one-row confident-learning threshold pair (t1, t0)
+      // crossJoined onto the scored frame — broadcast scalar
+      "n155_label_noise_cells")
     val actual = batchPlans
       .filter(_._2.contains("BroadcastNestedLoopJoin")).map(_._1).toSet
     assert(actual == allowed,
