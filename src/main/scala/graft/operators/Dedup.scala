@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora (SURVEY §2.7).
@@ -676,37 +676,28 @@ object Dedup {
     */
   def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking guarantees recall only to hamming 3")
-    // The n27/n44 explode lesson applies to the signature too: the
-    // naive per-row form (transform over 64 bits × aggregate over
-    // tokens × nested digit arrays) is interpreted lambda work and ran
-    // ~100 s at sf0.1; exploding to (doc_id, bit, ±1) rows keeps every
-    // per-element op in whole-stage codegen and the 64-way fan-out in
-    // one hash aggregation. Bit b of a token = bit (3 − b%4) of md5
-    // hex digit b div 4, decoded with ascii arithmetic any engine
-    // reproduces; a bit of the signature is set iff its ±1 vote sum
-    // over the document's tokens is positive.
-    val tokBits = docs
-      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-      // fan the bit index out as ROWS too (not a transform lambda):
-      // higher-order functions evaluate interpreted per element, while
-      // a generate + plain scalar CASE/ascii/substring expressions stay
-      // inside whole-stage codegen (measured 18 s → ~3 s at sf0.1)
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("b"))
-      .select(col("doc_id"), col("b"), expr(
-        """CASE WHEN
-             ((CASE WHEN ascii(substring(h, CAST(b div 4 AS INT) + 1, 1)) >= 97
-                    THEN ascii(substring(h, CAST(b div 4 AS INT) + 1, 1)) - 87
-                    ELSE ascii(substring(h, CAST(b div 4 AS INT) + 1, 1)) - 48 END)
-              div (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
-                              WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-             THEN 1 ELSE -1 END""").as("v"))
-    val hashed = tokBits
-      .groupBy("doc_id", "b").agg(sum(col("v")).as("s"))
-      .groupBy("doc_id")
-      .agg(expr(
-        """transform(array_sort(collect_list(struct(b, s))),
-             x -> CASE WHEN x.s > 0 THEN 1 ELSE 0 END)""").as("sig"))
+    // Signature history (each step a measured order-of-magnitude):
+    // the naive per-row HOF form ran ~100 s at sf0.1; the exploded
+    // (doc_id, bit, ±1) + (doc, bit) hash-agg form ~3 s (r6); since
+    // r16 the signature is ONE native per-row pass —
+    // graft.expressions.PortableSimHashBits walks the token bytes once
+    // and votes in a 64-int buffer, bit-identical to the exploded
+    // arithmetic (same 0x20 split, same md5-byte MSB-first bit order,
+    // same strict > 0 vote collapse), with no row inflation and no
+    // aggregation. The n63 oracle still replays the exploded form in
+    // DuckDB — that equality IS the hash gate.
+    // persisted: the chunk table self-joins below, and without the
+    // aggregation the old plan reused as an exchange, each join side
+    // would re-scan the corpus and recompute every signature (the
+    // diamond rule — ScanGuard pins this at one documents scan)
+    val hashed = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.expressions.PortableSimHashBits(
+          ColumnBridge.expression(normalized(col("text"))))).as("sig")
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = hashed.select(col("doc_id"), col("sig"),
       explode(expr(
         """transform(sequence(0, 3), c -> struct(c AS chunk_id,
@@ -797,27 +788,66 @@ object Dedup {
     * intersection. Nothing corpus². Output: (id_a, id_b, n_match,
     * est_jaccard, n_inter, n_union, exact_jaccard, abs_err).
     */
+  /** The per-doc portable MinHash signature as a column (see
+    * [[graft.expressions.PortableMinHashSig]]); null when the doc has
+    * fewer than `n` tokens — callers filter, matching
+    * [[portableShingles]]' size gate.
+    */
+  def portableMinHashSigCol(text: Column, n: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.PortableMinHashSig(
+      ColumnBridge.expression(normalized(text)), n, numHashes))
+  }
+
+  /** (doc_id, band_id, band_key) LSH bands straight from docs — the
+    * per-row native-signature path (no shingle explode, no ×numHashes
+    * fan-out, no (doc, i) aggregation): band keys are '-' joins of
+    * `rowsPerBand` adjacent signature components, byte-identical to
+    * [[portableMinHashBands]]' output on the same corpus (signature
+    * minima are unaffected by the exploded path's per-doc DISTINCT).
+    * The exploded-input [[portableMinHashBands]] stays for file-backed
+    * shingle tables (the s20 standing index / ScaleProbe restart probe).
+    */
+  def portableMinHashBandsFromDocs(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 16,
+      rowsPerBand: Int = 2): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        portableMinHashSigCol(col("text"), n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${numHashes / rowsPerBand - 1}),
+              b -> array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '-'))"""))
+        .as(Seq("band_id", "band_key")))
+
   def minhashEstimateEval(
       docs: DataFrame,
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
-    val sh = portableShingles(docs, n)
+    // ONE slim persisted text frame feeds BOTH scan-stage passes (the
+    // exact-side shingle strings and the native signatures) — one
+    // documents scan total, the ScanGuard-pinned shape
+    val txt = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = sh
-      .select(col("doc_id"), col("s"),
-        explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
-      .select(col("doc_id"), col("i"),
-        substring(md5(concat(col("i").cast("string"), lit("|"), col("s"))),
-          1, 15).as("mh"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(col("mh")).as("mh"))
+    val sh = portableShingles(txt, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = mh.groupBy(col("doc_id"),
-        expr(s"cast(i div $rowsPerBand as int)").as("band_id"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '-')")
-        .as("band_key"))
+    // ONE native per-row signature pass (r16 — the exploded ×numHashes
+    // form paid a shingle-string explode + md5-hex per row + a (doc, i)
+    // hash agg; PortableMinHashSig walks the text bytes once). The
+    // frame feeds bands AND the estimate join — persisted (diamond).
+    val sig = txt
+      .select(col("doc_id"),
+        portableMinHashSigCol(col("text"), n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = sig.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${numHashes / rowsPerBand - 1}),
+            b -> array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '-'))"""))
+      .as(Seq("band_id", "band_key")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -826,12 +856,12 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val est = cand
-      .join(mh.select(col("doc_id").as("id_a"), col("i"),
-        col("mh").as("mh_a")), "id_a")
-      .join(mh.select(col("doc_id").as("id_b"), col("i"),
-        col("mh").as("mh_b")), Seq("id_b", "i"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (acc, v) -> acc + v)")
         .as("n_match"))
     val sets = sh.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
     val exact = cand

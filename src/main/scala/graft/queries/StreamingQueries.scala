@@ -881,7 +881,7 @@ object StreamingQueries extends QueryGroup {
       val D = graft.operators.Dedup
       val docs = Tables(s, dir).documents
       val shN = D.portableShingles(docs)
-      val bandsN = D.portableMinHashBands(shN)
+      val bandsN = D.portableMinHashBandsFromDocs(docs)
       val (corpusDups, candBatch, batchDups, admitted) =
         s20Admission(docs, shN, bandsN, bandsN, shN)
       Seq(corpusDups, candBatch, batchDups, admitted)
@@ -1619,7 +1619,10 @@ object StreamingQueries extends QueryGroup {
             _: Long) => {
           val batch = batchRaw.persist()
           val shN = D.portableShingles(batch).persist()
-          val bandsN = D.portableMinHashBands(shN).persist()
+          // r16: bands ride the native per-row signature (no shingle
+          // explode / (doc, i) agg per micro-batch) — byte-identical
+          // band keys, so they append into the same standing index
+          val bandsN = D.portableMinHashBandsFromDocs(batch).persist()
           try {
             // per-batch admission through Frames.s20Admission — the
             // SAME builder the PlanQualitySpec streaming sweep audits,

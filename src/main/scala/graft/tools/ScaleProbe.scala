@@ -600,7 +600,7 @@ object ScaleProbe {
       val batch = t.documents
         .withColumn("doc_id", col("doc_id") + lit(100L * s20Step))
       val shN = Dedup.portableShingles(batch)
-      Dedup.verifiedIndexDups(Dedup.portableMinHashBands(shN), shN,
+      Dedup.verifiedIndexDups(Dedup.portableMinHashBandsFromDocs(batch), shN,
         spark.read.parquet(idxDir), spark.read.parquet(shDir), 0.5)
         .count()
     })
