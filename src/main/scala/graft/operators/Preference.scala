@@ -347,7 +347,7 @@ object Preference {
     import QualityModel.Dim
     val pairs = minePairs(docs)
       .select("source", "pair_id", "chosen_id", "rejected_id")
-    val tk = QualityModel.tokenBuckets(docs)
+    val tk = QualityModel.docCounts(docs)
     val pt = pairs
       .select(col("source"), col("pair_id"),
         col("chosen_id").as("doc_id"), lit(1).as("sgn"))
@@ -362,8 +362,13 @@ object Preference {
     val nPairs = pairs.count().toDouble
     require(nPairs > 0,
       "no preference pairs could be mined (every source has < 2 docs)")
+    // r16: the pair-SIDE counts frame (2 rows per pair, one 64-slot
+    // bucket histogram each) replaces the per-TOKEN frame (~100 rows
+    // per pair side) — the TokenBucketCounts collapse; every decimal
+    // term the exploded rounds summed is reproduced count-for-count
+    // (see SignedBucketTermSum's exactness contract)
     val ptk = pt.join(tk, "doc_id")
-      .select("source", "pair_id", "sgn", "b", "n")
+      .select("source", "pair_id", "sgn", "counts", "n")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     val ws = (1 to iters).map { _ =>
@@ -395,7 +400,8 @@ object Preference {
       col("source"),
       pmod(col("doc_id"), lit(16)).cast("int").as("pair_id"),
       when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(-1)).as("sgn"),
-      pmod(col("doc_id"), lit(64)).cast("int").as("b"),
+      expr("transform(sequence(0, 63), i -> CASE WHEN i = CAST(pmod(doc_id, 64) AS INT) THEN 1 ELSE 0 END)")
+        .cast("array<int>").as("counts"),
       greatest(col("n_chars"), lit(1L)).cast("int").as("n"))
     gradientRound(ptk, Vector.fill(QualityModel.Dim)(0.0))
   }
@@ -407,22 +413,39 @@ object Preference {
     */
   private def gradientRound(
       ptk: DataFrame, w: IndexedSeq[Double]): DataFrame = {
-    import QualityModel.{sig, xsum}
+    import QualityModel.sig
+    import org.apache.spark.sql.types.DecimalType
     val err = margins(ptk, w)
       .select(col("source"), col("pair_id"),
         (sig(col("margin")) - lit(1.0)).as("err"))
+    // per-bucket gradient: each side's per-token decimal term
+    // dec12((sgn·err)/n) collapses to one multiply by the side's
+    // bucket count — (26,12) × (6,0) → (33,12) exact, (38,12) sum
+    // exact, value == the exploded xsum(sgn·err/n) bit for bit
     ptk.join(err, Seq("source", "pair_id"))
+      .select(col("err"), col("sgn"), col("n"),
+        posexplode(col("counts")).as(Seq("b", "c")))
+      .filter(col("c") > 0)
       .groupBy("b")
-      .agg(xsum(col("sgn").cast("double") * col("err") /
-        col("n").cast("double")).as("g"))
+      .agg(sum((col("sgn").cast("double") * col("err") /
+          col("n").cast("double")).cast(DecimalType(26, 12)) *
+          col("c").cast(DecimalType(6, 0)))
+        .cast("double").as("g"))
   }
 
-  /** Per-pair margins Σ sgn·w_b/n over the pair-token frame. */
+  /** Per-pair margins Σ sgn·w_b/n over the pair-side counts frame:
+    * each side contributes its SIGNED decimal term sum
+    * ([[graft.expressions.SignedBucketTermSum]] — still decimal), the
+    * pair total is one exact decimal sum over the two sides, and the
+    * double cast happens ONCE on the total, exactly like the exploded
+    * per-token xsum.
+    */
   private def margins(ptk: DataFrame, w: IndexedSeq[Double]): DataFrame = {
-    import QualityModel.xsum
+    import org.apache.spark.sql.graft.ColumnBridge
+    val side = ColumnBridge.column(graft.expressions.SignedBucketTermSum(
+      ColumnBridge.expression(col("counts")),
+      ColumnBridge.expression(col("sgn")), w))
     ptk.groupBy(col("source"), col("pair_id"))
-      .agg(xsum(col("sgn").cast("double") *
-        element_at(typedLit(w), col("b") + 1) /
-        col("n").cast("double")).as("margin"))
+      .agg(sum(side).cast("double").as("margin"))
   }
 }

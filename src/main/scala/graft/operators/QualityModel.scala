@@ -51,18 +51,6 @@ object QualityModel {
     */
   val Dim = 64
 
-  /** Portable feature bucket of a token's md5 hex string: integer
-    * arithmetic over the first two hex digits, identical in any engine
-    * with ascii()/substring() (n63's decode).
-    */
-  private def bucketExpr(hexCol: String): String = {
-    def hexDigit(i: Int): String =
-      s"""(CASE WHEN ascii(substring($hexCol, $i, 1)) >= 97
-                THEN ascii(substring($hexCol, $i, 1)) - 87
-                ELSE ascii(substring($hexCol, $i, 1)) - 48 END)"""
-    s"((${hexDigit(1)} % 4) * 16 + ${hexDigit(2)})"
-  }
-
   /** Fast sigmoid — IEEE-exact squashing (no exp). */
   private[operators] def sig(m: Column): Column =
     lit(0.5) + (lit(0.5) * m) / (lit(1.0) + abs(m))
@@ -70,21 +58,6 @@ object QualityModel {
   /** Exact order-free double sum (DECIMAL(38,12) route). */
   private[operators] def xsum(c: Column): Column =
     sum(c.cast(DecimalType(38, 12))).cast("double")
-
-  /** One row per TOKEN: (doc_id, n = the doc's token count, b = the
-    * token's feature bucket). Works on batch and streaming frames
-    * alike — pure scan-stage expression work.
-    */
-  private[operators] def tokenBuckets(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"),
-      size(tokens(normalized(col("text")))).as("n"),
-      explode(tokens(normalized(col("text")))).as("t"))
-    .select(col("doc_id"), col("n"), md5(col("t")).as("h"))
-    .select(col("doc_id"), col("n"), expr(bucketExpr("h")).as("b"))
-
-  /** Per-token margin contribution under weights `w`: w_b(t) / n_d. */
-  private[operators] def termCol(w: IndexedSeq[Double]): Column =
-    element_at(typedLit(w), col("b") + 1) / col("n").cast("double")
 
   /** The SAME margin Σ w_b(t)/n as ONE native per-row expression over
     * raw text (normalization composed here, exactly as [[tokenBuckets]])
@@ -100,6 +73,48 @@ object QualityModel {
       ColumnBridge.expression(normalized(text)), w))
   }
 
+  /** Per-document training feature frame: (doc_id, y, counts, n) with
+    * counts the 64-slot bucket histogram
+    * ([[graft.expressions.TokenBucketCounts]]) and n its element sum
+    * (= the doc's token count). One row per DOC where the r15 frame
+    * held one row per TOKEN (~100× smaller persisted state, no label
+    * join — y is a per-row expression), computed in one scan-stage
+    * pass. Null-text docs are filtered, matching the explode path.
+    */
+  private def countsFrame(
+      docs: DataFrame, positiveSources: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("source").isin(positiveSources: _*), lit(1.0))
+          .otherwise(lit(0.0)).as("y"),
+        ColumnBridge.column(graft.expressions.TokenBucketCounts(
+          ColumnBridge.expression(normalized(col("text"))))).as("counts"))
+      .withColumn("n", aggregate(col("counts"), lit(0), (a, x) => a + x))
+  }
+
+  /** Per-doc (doc_id, counts, n) bucket-histogram frame — the unlabeled
+    * face of [[countsFrame]], shared with the Bradley–Terry trainer's
+    * pair-side frame.
+    */
+  private[operators] def docCounts(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        ColumnBridge.column(graft.expressions.TokenBucketCounts(
+          ColumnBridge.expression(normalized(col("text"))))).as("counts"))
+      .withColumn("n", aggregate(col("counts"), lit(0), (a, x) => a + x))
+  }
+
+  /** The margin over a counts row ([[graft.expressions.BucketCountMargin]]
+    * — bit-identical to `xsum(termCol(w))` over the exploded frame).
+    */
+  private def bucketMarginCol(counts: Column, w: IndexedSeq[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.BucketCountMargin(
+      ColumnBridge.expression(counts), w))
+  }
+
   /** Train `iters` full-batch gradient steps on `docs` (positive class
     * = `positiveSources`) and return the model: 64 weights + bias.
     * Bounded driver state by construction; the training diamond is
@@ -112,7 +127,7 @@ object QualityModel {
       positiveSources: Seq[String],
       iters: Int = 3,
       lr: Double = 1.0): (IndexedSeq[Double], Double) = {
-    val xy = tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id")
+    val xy = countsFrame(docs, positiveSources)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val out = trainOn(xy, docs.count().toDouble, iters, lr)
     xy.unpersist(blocking = false)
@@ -134,7 +149,7 @@ object QualityModel {
       iters: Int = 3,
       lr: Double = 1.0): (IndexedSeq[Double], Double, Double) = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
-    val xy = tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id")
+    val xy = countsFrame(docs, positiveSources)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
     val (w, bias) = trainOn(xy, nDocs.toDouble, iters, lr)
@@ -151,7 +166,7 @@ object QualityModel {
   private[graft] def gateThresholdPlan(
       docs: DataFrame, positiveSources: Seq[String], k: Long): DataFrame =
     gateThresholdFrame(
-      tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id"),
+      countsFrame(docs, positiveSources),
       Vector.fill(Dim)(0.0), 0.0, k)
 
   /** Threshold = min score of the global top-k, derived DISTRIBUTED:
@@ -165,8 +180,9 @@ object QualityModel {
   private[graft] def gateThresholdFrame(
       xy: DataFrame, w: IndexedSeq[Double], bias: Double,
       k: Long): DataFrame = {
-    val scored = xy.groupBy(col("doc_id"))
-      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
+    val scored = xy
+      .select(col("doc_id"),
+        (bucketMarginCol(col("counts"), w) + lit(bias)).as("m"))
       .select(col("doc_id"), sig(col("m")).as("score"))
     GlobalOrder
       .withGlobalIndexCols(scored, Seq(desc("score"), asc("doc_id")))
@@ -193,13 +209,24 @@ object QualityModel {
       // gradient actions below both read err, so persist it for the
       // iteration and release before the update (both consumers are
       // driver-materialized first)
-      val err = xy.groupBy(col("doc_id"), col("y"))
-        .agg((xsum(termCol(w)) + lit(bias)).as("m"))
-        .select(col("doc_id"), (sig(col("m")) - col("y")).as("err"))
+      val err = xy
+        .select(col("counts"), col("n"),
+          (bucketMarginCol(col("counts"), w) + lit(bias)).as("m"), col("y"))
+        .select(col("counts"), col("n"),
+          (sig(col("m")) - col("y")).as("err"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val g = xy.join(err, "doc_id")
+      // per-bucket gradient: the per-token decimal terms dec12(err/n)
+      // collapse to one multiply by the doc's bucket count —
+      // (26,12) x (6,0) -> (33,12) is exact, the (38,12) sum is exact,
+      // so the value equals the exploded xsum(err/n) bit for bit
+      val g = err
+        .select(col("err"), col("n"),
+          posexplode(col("counts")).as(Seq("b", "c")))
+        .filter(col("c") > 0)
         .groupBy("b")
-        .agg(xsum(col("err") / col("n").cast("double")).as("g"))
+        .agg(sum((col("err") / col("n").cast("double"))
+            .cast(DecimalType(26, 12)) * col("c").cast(DecimalType(6, 0)))
+          .cast("double").as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val gBias = err.agg(xsum(col("err"))).head.getDouble(0)
       err.unpersist(blocking = false)
@@ -241,11 +268,11 @@ object QualityModel {
       positiveSources: Seq[String],
       iters: Int = 3,
       lr: Double = 1.0): DataFrame = {
-    val xy = tokenBuckets(docs).join(labels(docs, positiveSources), "doc_id")
+    val xy = countsFrame(docs, positiveSources)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (w, bias) = trainOn(xy, docs.count().toDouble, iters, lr)
-    xy.groupBy(col("doc_id"), col("y"))
-      .agg((xsum(termCol(w)) + lit(bias)).as("m"))
+    xy.select(col("doc_id"), col("y"),
+        (bucketMarginCol(col("counts"), w) + lit(bias)).as("m"))
       .select(col("doc_id"), col("y").cast("int").as("label"),
         sig(col("m")).as("score"),
         (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
@@ -421,8 +448,4 @@ object QualityModel {
         (col("label") === col("y_hat")).as("is_clean"))
   }
 
-  private def labels(docs: DataFrame, positiveSources: Seq[String]) =
-    docs.select(col("doc_id"),
-      when(col("source").isin(positiveSources: _*), lit(1.0))
-        .otherwise(lit(0.0)).as("y"))
 }
