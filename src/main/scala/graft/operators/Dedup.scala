@@ -750,7 +750,13 @@ object Dedup {
   def portableMinHashBands(
       shingles: DataFrame,
       numHashes: Int = 16,
-      rowsPerBand: Int = 2): DataFrame =
+      rowsPerBand: Int = 2): DataFrame = {
+    // a trailing partial band would be emitted HERE (i div rowsPerBand
+    // groups the remainder) but silently dropped by the sequence-based
+    // builders below — the two forms must stay byte-identical, so
+    // non-dividing configs are rejected in both (r16 ADVICE)
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     shingles
       .select(col("doc_id"), col("s"),
         explode(expr(s"sequence(0, ${numHashes - 1})")).as("i"))
@@ -764,6 +770,7 @@ object Dedup {
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '-')")
         .as("band_key"))
+  }
 
   /** MinHash-estimate acceptance eval over the portable LSH index —
     * the dedup-side member of the n101/n95 index-acceptance family:
@@ -812,7 +819,9 @@ object Dedup {
       docs: DataFrame,
       n: Int = 3,
       numHashes: Int = 16,
-      rowsPerBand: Int = 2): DataFrame =
+      rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         portableMinHashSigCol(col("text"), n, numHashes).as("sig"))
@@ -821,12 +830,15 @@ object Dedup {
         s"""transform(sequence(0, ${numHashes / rowsPerBand - 1}),
               b -> array_join(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), '-'))"""))
         .as(Seq("band_id", "band_key")))
+  }
 
   def minhashEstimateEval(
       docs: DataFrame,
       n: Int = 3,
       numHashes: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     // ONE slim persisted text frame feeds BOTH scan-stage passes (the
     // exact-side shingle strings and the native signatures) — one
     // documents scan total, the ScanGuard-pinned shape

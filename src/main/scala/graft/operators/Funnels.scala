@@ -109,9 +109,15 @@ object Funnels {
         }
       }
       .toDF("depth")
-      .filter(col("depth") >= 1)
+    // depth-0 rows stay: they contribute 0 to every step sum, and on a
+    // corpus where NO user completes step 0 they keep the ungrouped agg
+    // non-empty so n_users reads 0, matching the oracle's per-user
+    // CASE sums. The coalesce covers the fully-empty frame (no
+    // step-typed events at all) the same way — the oracle mirrors it
+    // (r16 ADVICE: the old depth >= 1 filter NULLed both cases).
     val aggs = steps.indices.map(i =>
-      sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"n${i + 1}"))
+      coalesce(sum(when(col("depth") >= i + 1, 1L).otherwise(0L)), lit(0L))
+        .as(s"n${i + 1}"))
     val wide = depths.agg(aggs.head, aggs.tail: _*)
     def safeDiv(num: Column, den: Column): Column =
       when(den === 0 || den.isNull, lit(null).cast("double"))

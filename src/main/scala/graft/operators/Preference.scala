@@ -402,7 +402,12 @@ object Preference {
       when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(-1)).as("sgn"),
       expr("transform(sequence(0, 63), i -> CASE WHEN i = CAST(pmod(doc_id, 64) AS INT) THEN 1 ELSE 0 END)")
         .cast("array<int>").as("counts"),
-      greatest(col("n_chars"), lit(1L)).cast("int").as("n"))
+      // n MUST equal the counts-array sum (1 for the one-hot above):
+      // SignedBucketTermSum derives n internally from the counts while
+      // gradientRound's per-bucket term reads this column, so a fixture
+      // n decoupled from the counts would audit a margin lineage the
+      // executed one diverges from under nonzero weights (r16 ADVICE)
+      lit(1).as("n"))
     gradientRound(ptk, Vector.fill(QualityModel.Dim)(0.0))
   }
 
@@ -420,8 +425,11 @@ object Preference {
         (sig(col("margin")) - lit(1.0)).as("err"))
     // per-bucket gradient: each side's per-token decimal term
     // dec12((sgn·err)/n) collapses to one multiply by the side's
-    // bucket count — (26,12) × (6,0) → (33,12) exact, (38,12) sum
-    // exact, value == the exploded xsum(sgn·err/n) bit for bit
+    // bucket count — (26,12) × (10,0) → (37,12) exact, (38,12) sum
+    // exact, value == the exploded xsum(sgn·err/n) bit for bit.
+    // (10,0), not (6,0): a >= 10^6-token side would NULL a (6,0) cast
+    // silently under non-ANSI semantics (r16 ADVICE); int counts
+    // always fit 10 digits
     ptk.join(err, Seq("source", "pair_id"))
       .select(col("err"), col("sgn"), col("n"),
         posexplode(col("counts")).as(Seq("b", "c")))
@@ -429,7 +437,7 @@ object Preference {
       .groupBy("b")
       .agg(sum((col("sgn").cast("double") * col("err") /
           col("n").cast("double")).cast(DecimalType(26, 12)) *
-          col("c").cast(DecimalType(6, 0)))
+          col("c").cast(DecimalType(10, 0)))
         .cast("double").as("g"))
   }
 

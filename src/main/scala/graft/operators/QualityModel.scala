@@ -217,15 +217,18 @@ object QualityModel {
         .persist(StorageLevel.MEMORY_AND_DISK)
       // per-bucket gradient: the per-token decimal terms dec12(err/n)
       // collapse to one multiply by the doc's bucket count —
-      // (26,12) x (6,0) -> (33,12) is exact, the (38,12) sum is exact,
-      // so the value equals the exploded xsum(err/n) bit for bit
+      // (26,12) x (10,0) -> (37,12) is exact, the (38,12) sum is exact,
+      // so the value equals the exploded xsum(err/n) bit for bit.
+      // (10,0), not (6,0): a >= 10^6-token document would NULL a (6,0)
+      // cast silently under non-ANSI semantics and drop its gradient
+      // term (r16 ADVICE); int counts always fit 10 digits
       val g = err
         .select(col("err"), col("n"),
           posexplode(col("counts")).as(Seq("b", "c")))
         .filter(col("c") > 0)
         .groupBy("b")
         .agg(sum((col("err") / col("n").cast("double"))
-            .cast(DecimalType(26, 12)) * col("c").cast(DecimalType(6, 0)))
+            .cast(DecimalType(26, 12)) * col("c").cast(DecimalType(10, 0)))
           .cast("double").as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val gBias = err.agg(xsum(col("err"))).head.getDouble(0)

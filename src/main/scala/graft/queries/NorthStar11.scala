@@ -321,12 +321,12 @@ object NorthStar11 extends QueryGroup {
                      list_min(list_filter(l2, x -> x > t1)) AS t2
                    FROM s1),
             w AS (SELECT
-                CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n1,
-                CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n2,
-                CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n3
+                CAST(COALESCE(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n1,
+                CAST(COALESCE(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n2,
+                CAST(COALESCE(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END),
+                  0) AS BIGINT) AS n3
               FROM s2)
             SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users,
               CAST(NULL AS DOUBLE) AS conv_from_prev,
