@@ -219,13 +219,15 @@ object Sampling {
     * fixed-size — the 100 TB form). At 100 TB the BIGINT products need
     * one more cast up to DECIMAL(38,0).
     *
-    * Scale shape: gram counting is explode + two hash aggregations
-    * (map-side partials; the doc_id-keyed one carries only (id, gram,
-    * count)); corpus totals are one-row aggregates crossJoin-broadcast;
-    * the per-gram importance table joins back on the gram key (hashed:
-    * broadcastable); the final rank is [[GlobalOrder.withGlobalIndexCols]]
-    * — a distributed range-partitioned sort, NOT a partition-less
-    * window. Output: (doc_id, score_ppm, rank, kept).
+    * Scale shape (r17): training is ONE explode + vocab-keyed hash
+    * aggregation (map-side partials collapse the fan-out before the
+    * shuffle) with corpus totals crossJoin-broadcast; scoring is a
+    * per-row native expression over the collected vocab-sized model
+    * map ([[graft.expressions.DsirGramScore]]) — no per-(doc, gram)
+    * frame, no model join, no per-doc aggregation exist anywhere; the
+    * final rank is [[GlobalOrder.withGlobalIndexCols]] — a distributed
+    * range-partitioned sort, NOT a partition-less window. Output:
+    * (doc_id, score_ppm, rank, kept).
     */
   /** Unigram + bigram occurrences of the whitespace tokens, one row per
     * occurrence — the DSIR feature extraction, shared by the batch
@@ -241,13 +243,17 @@ object Sampling {
         .as("g"))
   }
 
-  /** (g, imp_ppm) from per-doc gram counts — see [[dsirSelect]] for the
-    * arithmetic contract.
+  /** Train the DSIR importance table alone — the MODEL artifact a
+    * production pipeline materializes once and then applies to every
+    * incoming shard (see `s19_stream_importance_gate` for the streaming
+    * apply). Output: (g, imp_ppm), vocab-sized. One pass: occurrences
+    * aggregate straight to per-gram (raw, target) totals — map-side
+    * partials collapse the fan-out before the vocab-sized shuffle.
     */
-  private def importanceFromDocGrams(docGrams: DataFrame): DataFrame = {
-    val gramStats = docGrams.groupBy("g").agg(
-      sum(col("c")).as("raw_g"),
-      sum(when(col("is_tgt"), col("c")).otherwise(0L)).as("tgt_g"))
+  def dsirImportance(docs: DataFrame, isTarget: Column): DataFrame = {
+    val gramStats = gramOccurrences(docs, isTarget).groupBy("g").agg(
+      count(lit(1)).as("raw_g"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_g"))
     val totals = gramStats.agg(
       sum(col("raw_g")).as("n_raw"),
       sum(col("tgt_g")).as("n_tgt"),
@@ -258,51 +264,68 @@ object Sampling {
       .select(col("g"), expr("num div den").as("imp_ppm"))
   }
 
-  /** Train the DSIR importance table alone — the MODEL artifact a
-    * production pipeline materializes once and then applies to every
-    * incoming shard (see `s19_stream_importance_gate` for the streaming
-    * apply). Output: (g, imp_ppm), vocab-sized.
+  /** Collect a trained importance table to the driver-side model map
+    * the native scoring expression embeds. Vocab-sized by the same
+    * contract that let the old formulation `broadcast()` it.
     */
-  def dsirImportance(docs: DataFrame, isTarget: Column): DataFrame =
-    importanceFromDocGrams(
-      gramOccurrences(docs, isTarget).groupBy("g", "is_tgt")
-        .agg(count(lit(1)).as("c")))
+  def collectImportance(imp: DataFrame): Map[String, Long] =
+    imp.collect().iterator.map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** Per-(doc, gram) counts with the target flag — the persisted pivot
-    * both the importance table and the per-doc scores derive from (the
-    * standing diamond-persist policy; a 100 TB pipeline writes this
-    * out).
+  /** The per-row native DSIR score (see
+    * [[graft.expressions.DsirGramScore]]) — Σ_g count_g(doc)·imp(g)
+    * with unseen grams contributing 0, bit-identical to the exploded
+    * gram-join-aggregate lineage.
     */
-  private def docGramCounts(docs: DataFrame, isTarget: Column): DataFrame =
-    gramOccurrences(docs, isTarget).groupBy("doc_id", "g")
-      .agg(count(lit(1)).as("c"), first(col("is_tgt")).as("is_tgt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def dsirScoreCol(text: Column, imp: Map[String, Long]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DsirGramScore(
+      ColumnBridge.expression(text), imp))
+  }
 
-  private def scoreFromDocGrams(docGrams: DataFrame, imp: DataFrame): DataFrame =
-    docGrams.join(imp, "g")
-      .groupBy("doc_id")
-      .agg(sum(col("c") * col("imp_ppm")).as("score_ppm"))
+  /** Score a (possibly STREAMING) document set against a trained
+    * importance model held as a driver map: ONE stateless per-row
+    * expression per document. The r16 formulation exploded ~2 gram
+    * rows per token, broadcast-joined the model table, and aggregated
+    * per doc_id — in the streaming gate that aggregation held one
+    * state row per document; this holds none (the s21
+    * TokenBucketMargin collapse, applied to the data-dependent-vocab
+    * model). Null-text docs are dropped (the exploded path produced no
+    * rows for them); assumes unique doc_id rows (the corpus contract).
+    */
+  def dsirScoreModel(docs: DataFrame, imp: Map[String, Long]): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), dsirScoreCol(col("text"), imp).as("score_ppm"))
 
-  /** Train the full DSIR gate model: the vocab-sized importance table
+  /** DataFrame-model form of [[dsirScoreModel]] — the model-artifact
+    * API (production materializes `(g, imp_ppm)` as a table): collects
+    * the vocab-sized table and applies the native expression. Unseen
+    * grams contribute 0, so a document whose grams are ALL unseen at
+    * train time still gets an explicit score of 0 for the gate
+    * threshold to judge (the continuous-deployment case where the
+    * stream's vocabulary drifts past the training corpus). Every
+    * non-null text produces a score row — empty text splits to the
+    * single "" gram.
+    */
+  def dsirScore(docs: DataFrame, imp: DataFrame): DataFrame =
+    dsirScoreModel(docs, collectImportance(imp))
+
+  /** Train the full DSIR gate model: the vocab-sized importance map
     * PLUS the keep threshold (the min score of the kept top-`keepFrac`
     * under the [[dsirSelect]] rank rule) — the two artifacts a
     * continuous pipeline materializes offline and then applies to every
-    * incoming shard (`s19_stream_importance_gate`). One persisted
-    * docGrams pass feeds both; the returned importance table is itself
-    * persisted because the caller will join it from another plan (a
-    * streaming one, where lineage re-execution would retrain the model
-    * every micro-batch).
+    * incoming shard (`s19_stream_importance_gate`). Training is one
+    * vocab-sized aggregation pass; the threshold pass scores docs with
+    * the native expression (no per-(doc, gram) frame exists anywhere
+    * anymore, so nothing needs a diamond persist).
     */
   def dsirTrainGate(docs: DataFrame, isTarget: Column,
-      keepFrac: Double): (DataFrame, Long) = {
+      keepFrac: Double): (Map[String, Long], Long) = {
     require(keepFrac > 0 && keepFrac <= 1,
       s"keepFrac must be in (0,1], got $keepFrac")
-    val docGrams = docGramCounts(docs, isTarget)
-    val imp = importanceFromDocGrams(docGrams)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val imp = collectImportance(dsirImportance(docs, isTarget))
     val k = math.ceil(keepFrac * docs.count()).toLong
     val thr = GlobalOrder
-      .withGlobalIndexCols(scoreFromDocGrams(docGrams, imp),
+      .withGlobalIndexCols(dsirScoreModel(docs, imp),
         Seq(desc("score_ppm"), asc("doc_id")))
       .filter(col("_global_rank") <= k)
       .agg(min(col("score_ppm"))).head().getLong(0)
@@ -313,41 +336,16 @@ object Sampling {
       docs: DataFrame, isTarget: Column, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1,
       s"keepFrac must be in (0,1], got $keepFrac")
-    val docGrams = docGramCounts(docs, isTarget)
-    val imp = importanceFromDocGrams(docGrams)
-    val scored = scoreFromDocGrams(docGrams, imp)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    GlobalOrder.withGlobalIndexCols(scored,
+    val imp = collectImportance(dsirImportance(docs, isTarget))
+    // k driver-side: ceil(keepFrac · n) over the same double multiply
+    // the old column form ran — one less docs scan in the final plan
+    val k = math.ceil(keepFrac * docs.count().toDouble).toLong
+    GlobalOrder.withGlobalIndexCols(dsirScoreModel(docs, imp),
       Seq(desc("score_ppm"), asc("doc_id")))
       .withColumnRenamed("_global_rank", "rank")
-      .crossJoin(broadcast(n))
-      .withColumn("kept",
-        col("rank") <= ceil(lit(keepFrac) * col("n_docs").cast("double")))
+      .withColumn("kept", col("rank") <= lit(k))
       .select("doc_id", "score_ppm", "rank", "kept")
   }
-
-  /** Score a (possibly STREAMING) document set against a trained
-    * importance table: explode gram occurrences, broadcast-join the
-    * vocab-sized model, sum imp over occurrences per document —
-    * arithmetic identical to [[dsirSelect]]'s Σ count·imp, since the
-    * occurrence-level join sees each gram `count` times. No target
-    * labels needed at apply time.
-    *
-    * Unseen-vocabulary semantics: grams absent from the trained table
-    * contribute 0, via a LEFT join from the document side — so a
-    * document whose grams are ALL unseen at train time still gets an
-    * explicit score of 0 for the gate threshold to judge, instead of
-    * vanishing from the output (an inner join would drop it — the
-    * continuous-deployment case where the stream's vocabulary drifts
-    * past the training corpus). Every document produces at least one
-    * gram row (`split` yields `[""]` even for empty text), so every
-    * incoming doc_id appears in the result exactly once.
-    */
-  def dsirScore(docs: DataFrame, imp: DataFrame): DataFrame =
-    gramOccurrences(docs, lit(false))
-      .join(broadcast(imp), Seq("g"), "left")
-      .groupBy("doc_id")
-      .agg(sum(coalesce(col("imp_ppm"), lit(0L))).as("score_ppm"))
 
   /** Temperature-scaled source mixture (the mC4/multilingual recipe:
     * sample source s with probability ∝ |D_s|^α, α < 1 flattening the
@@ -414,9 +412,11 @@ object Sampling {
     * [[GlobalOrder.withGlobalIndexCols]] distributed range-partitioned
     * sort (NEVER a partition-less window); the three rank frames join
     * back on doc_id (co-partitioned hash joins); the fused rank is one
-    * more distributed sort; the corpus count broadcasts as a one-row
-    * frame. The DSIR signal's gram explode dominates the cost — the
-    * rank machinery adds only sorts of (doc_id, long) pairs.
+    * more distributed sort. The DSIR signal rides the r17 collapse:
+    * one vocab-sized training aggregation, then per-row native scoring
+    * ([[graft.expressions.DsirGramScore]]) — the gram explode that
+    * used to dominate this query's cost runs once, not per consumer,
+    * and the per-(doc, gram) frame is gone.
     * Output: (doc_id, r_heur, r_imp, r_rules, borda, fused_rank, kept).
     */
   def rankFusionGate(
@@ -427,8 +427,8 @@ object Sampling {
       .select(col("doc_id"),
         (col("stopword_ratio") - col("punct_ratio") - col("digit_ratio"))
           .as("q"))
-    val docGrams = docGramCounts(docs, isTarget)
-    val dsir = scoreFromDocGrams(docGrams, importanceFromDocGrams(docGrams))
+    val dsir = dsirScoreModel(docs,
+      collectImportance(dsirImportance(docs, isTarget)))
     val rules = TextAnalysis.gopherQualityRules(docs)
       .select(col("doc_id"),
         (col("word_count_ok").cast("int") + col("mean_len_ok").cast("int") +

@@ -318,19 +318,17 @@ object StreamingQueries extends QueryGroup {
 
     def s19(s: SparkSession, dir: String, stream: Boolean = true): DataFrame = {
       val Samp = graft.operators.Sampling
-      // audit mode: a one-row stand-in importance table and a literal
-      // threshold through the SAME dsirScore/filter lineage — the plan
-      // shape (broadcast left join + one keyed agg + filter) is
-      // identical and nothing trains just to read a plan
+      // audit mode: a one-entry stand-in model map and a literal
+      // threshold through the SAME native-score/filter lineage — the
+      // plan shape (scan → per-row DsirGramScore projection → filter,
+      // fully stateless) is identical and nothing trains just to read
+      // a plan
       val (imp, thr) =
         if (stream)
           Samp.dsirTrainGate(Tables(s, dir).documents,
             col("lang") === "en", 0.25)
-        else {
-          import s.implicits._
-          (Seq(("the", 1000L)).toDF("g", "imp_ppm"), 0L)
-        }
-      Samp.dsirScore(docsSource(s, dir, stream), imp)
+        else (Map("the" -> 1000L), 0L)
+      Samp.dsirScoreModel(docsSource(s, dir, stream), imp)
         .filter(col("score_ppm") >= thr)
     }
 
@@ -1522,23 +1520,20 @@ object StreamingQueries extends QueryGroup {
 
   /** The batch-model → streaming-apply production shape: a DSIR
     * importance model is trained ONCE on the static corpus (the
-    * vocab-sized `(g, imp_ppm)` table plus one threshold scalar — the
-    * min score of the kept top-fraction, the whole model state), then a
+    * vocab-sized model map plus one threshold scalar — the min score
+    * of the kept top-fraction, the whole model state), then a
     * STREAMING corpus is scored against it with the very same
-    * [[graft.operators.Sampling.dsirScore]] the batch path uses — the
-    * scan-stage gram explode and the broadcast stream-static model join
-    * run unchanged on the streaming DataFrame. Selection in-stream is
-    * necessarily threshold-based (a global rank needs the whole corpus;
-    * a threshold is local), which is exactly how a continuous pipeline
+    * [[graft.operators.Sampling.dsirScoreModel]] the batch path uses —
+    * one stateless per-row [[graft.expressions.DsirGramScore]]
+    * projection, so the streaming side holds ZERO state (the r16 form
+    * exploded grams, broadcast-joined the model table, and kept one
+    * aggregation state row per doc_id in update mode — the r17 DSIR
+    * collapse removed all three). Selection in-stream is necessarily
+    * threshold-based (a global rank needs the whole corpus; a
+    * threshold is local), which is exactly how a continuous pipeline
     * applies an offline-trained selector. Docs whose score TIES the
     * threshold beyond the batch top-k are kept — the documented
     * semantic difference from n59's rank rule, mirrored in the oracle.
-    *
-    * State caveat (same finite-replay contract as s16): the per-doc
-    * score aggregation in update mode keeps one row of state per
-    * doc_id; a continuous deployment scores each micro-batch with
-    * `foreachBatch` (grams of one document never span source files
-    * here) or expires state with a watermark.
     */
   private val streamImportanceGate = Q(
     "s19_stream_importance_gate",

@@ -85,7 +85,7 @@ class DataSelectionSpec extends AnyFunSuite {
     val (imp, thr) = Sampling.dsirTrainGate(docs, col("lang") === "en", 0.5)
     assert(thr == sel.filter(_.getBoolean(3)).map(_.getLong(1)).min,
       "gate threshold must be the min kept score under the rank rule")
-    val applied = Sampling.dsirScore(docs, imp)
+    val applied = Sampling.dsirScoreModel(docs, imp)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(applied == sel.map(r => r.getLong(0) -> r.getLong(1)).toMap,
       "occurrence-level apply must reproduce the batch scores exactly")

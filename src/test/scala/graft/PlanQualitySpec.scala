@@ -115,7 +115,9 @@ class PlanQualitySpec extends AnyFunSuite {
       "n108_term_burstiness",
       // one-row corpus-total / denominator aggregates crossJoined back
       // onto per-row data — the intended broadcast-scalar shape
-      "n59_dsir_importance", "n61_temperature_mixture",
+      // (n59 left this list in r17: the DSIR collapse turned its
+      // keep-k crossJoin into a driver-side literal)
+      "n61_temperature_mixture",
       // three one-row scalars (A, N, n_tgt) crossJoined onto the D-row
       // per-domain frame — same broadcast-scalar shape (n84 is the
       // same closed form at doc granularity)
