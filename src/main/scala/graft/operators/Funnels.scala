@@ -149,10 +149,21 @@ object Funnels {
     * of the returned (lazy) plan; long-lived callers must run
     * `GraftSession.dropAllBlocks` between queries, as Bench/Verify do.
     */
-  def cohortRetention(events: DataFrame): DataFrame = {
-    val days = events.select(col("user_id"),
-      to_date(col("ts")).as("day")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def cohortRetention(events: DataFrame): DataFrame =
+    cohortRetentionFromDays(
+      events.select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+
+  /** The retention matrix's report half over a distinct
+    * (user_id, day) activity frame — SHARED by the n153 batch card and
+    * the s47 streaming face (the s37/s39 shared-report-half rule: one
+    * definition of cohorts, offsets, and rates, so the two can never
+    * drift apart). The input frame must already be distinct per
+    * (user, day); it is persisted here because first-seen, the
+    * join-back, and cohort sizes all reuse it (the jaccardPairs
+    * diamond rule).
+    */
+  def cohortRetentionFromDays(daysIn: DataFrame): DataFrame = {
+    val days = daysIn.persist(StorageLevel.MEMORY_AND_DISK)
     val cohorts = days.groupBy("user_id")
       .agg(min(col("day")).as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day")

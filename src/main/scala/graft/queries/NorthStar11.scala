@@ -371,7 +371,13 @@ object NorthStar11 extends QueryGroup {
       .withColumn("cohort_day",
         date_format(col("cohort_day"), "yyyy-MM-dd"))
       .orderBy("cohort_day", "day_offset"),
-    Some("""WITH d AS (
+    Some(cohortOracleSql))
+
+  /** The n153 oracle, shared verbatim with the s47 streaming retention
+    * face (the s37/s39 shared-report-half rule).
+    */
+  private[queries] lazy val cohortOracleSql: String =
+    """WITH d AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
               FROM events),
             c AS (SELECT user_id, MIN(day) AS cohort_day
@@ -390,7 +396,7 @@ object NorthStar11 extends QueryGroup {
               CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
                 AS retention_rate
             FROM m JOIN sz USING (cohort_day)
-            ORDER BY cohort_day, day_offset"""))
+            ORDER BY cohort_day, day_offset"""
 
   /** pass@k estimator over reward-thresholded candidates — the
     * standard eval-pipeline metric (Chen et al. 2021), exact: integer

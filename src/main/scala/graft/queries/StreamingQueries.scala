@@ -742,6 +742,27 @@ object StreamingQueries extends QueryGroup {
           col("event_type"), col("o.value").as("open"), col("high"),
           col("low"), col("c.value").as("close"), col("n"), col("volume"))
 
+    /** s47: the streaming-legal half of the n153 cohort-retention
+      * card — ONE update-mode aggregation keyed (user_id, day): each
+      * state row is a single monotone event count whose only job is
+      * to witness that the user was active that day. First-seen day
+      * (a per-user MIN over days) and the (cohort, offset) matrix are
+      * NOT streamed — they run batch-side over the collapsed sink
+      * through the SAME
+      * [[graft.operators.Funnels.cohortRetentionFromDays]] report
+      * half the n153 card composes, because a user's cohort can
+      * REGRESS when an earlier day arrives late (MIN is
+      * streaming-legal but every dependent matrix cell would need
+      * retraction — the s45 ordering-sensitivity argument, in
+      * date form). State: one fixed row per (user, active-day) —
+      * users × active-days, the same key-bounded contract as s37.
+      */
+    def s47(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
+      eventsSource(s, dir, stream)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"))
+
     /** s34: the trained-artifact lifecycle at production shape —
       * batch-train per-source p25 token-length floors, write them as
       * TWO versions of an on-disk [[graft.operators.ModelArtifacts]]
@@ -995,7 +1016,8 @@ object StreamingQueries extends QueryGroup {
       Seq(Frames.s43(s, dir, stream = false)),
     "s44_stream_passk_monitor" -> Seq(Frames.s44(s, dir, stream = false)),
     "s45_stream_funnel" -> Seq(Frames.s45(s, dir, stream = false)),
-    "s46_stream_ohlc_bars" -> Seq(Frames.s46(s, dir, stream = false)))
+    "s46_stream_ohlc_bars" -> Seq(Frames.s46(s, dir, stream = false)),
+    "s47_stream_cohort_retention" -> Seq(Frames.s47(s, dir, stream = false)))
 
   private val completeMode = Q(
     "s01_stream_tumbling_complete",
@@ -2566,6 +2588,38 @@ object StreamingQueries extends QueryGroup {
     },
     Some(TimeWindows.ohlcOracleSql))
 
+  /** Streaming cohort retention — n153's activity matrix maintained
+    * over continuous ingest: per-(user, day) activity is ONE
+    * update-mode aggregation (fixed one-row state per active
+    * user-day; the s37 key-bounded contract), and the cohort
+    * assignment + retention matrix run batch-side over the collapsed
+    * sink through the SAME
+    * [[graft.operators.Funnels.cohortRetentionFromDays]] report half
+    * the n153 card composes — a late-arriving earlier day would
+    * REGRESS a user's cohort and retract matrix cells, so the
+    * order-sensitive half stays batch-side by construction (the s45
+    * split, in date form). The ORACLE IS n153's SQL verbatim.
+    */
+  private val streamCohorts = Q(
+    "s47_stream_cohort_retention",
+    "streaming cohort retention: per-(user, day) activity state at ingest, cohort matrix batch-side (converges to n153)",
+    (s, dir) => graft.operators.Funnels
+      .cohortRetentionFromDays(
+        // localCheckpoint: the report half self-joins the activity
+        // frame, and a memory-sink View leaf cannot deduplicate its
+        // references across join sides (no newInstance) — cutting the
+        // lineage to an RDD leaf restores the n153 plan shape. The
+        // frame is the collapsed state (users × active-days), not the
+        // corpus.
+        runToTable(Frames.s47(s, dir), "update")
+          .select(col("user_id"), col("day")).distinct()
+          .localCheckpoint())
+      // dates hash as strings across engines (the q15 VARCHAR rule)
+      .withColumn("cohort_day",
+        date_format(col("cohort_day"), "yyyy-MM-dd"))
+      .orderBy("cohort_day", "day_offset"),
+    Some(NorthStar11.cohortOracleSql))
+
   private val streamFertilityMonitor = Q(
     "s41_stream_fertility_monitor",
     "streaming tokenizer-fertility monitor per (source, lang) (converges to the n139 batch closed form)",
@@ -2596,5 +2650,5 @@ object StreamingQueries extends QueryGroup {
     streamHellingerMonitor, streamEmbeddingDrift, streamDupCard,
     streamShadowEval, streamPackingMonitor, streamPrototypeGate,
     streamFertilityMonitor, streamShardRouter, streamAnisotropyMonitor,
-    streamPassAtK, streamFunnel, streamOhlc)
+    streamPassAtK, streamFunnel, streamOhlc, streamCohorts)
 }

@@ -90,7 +90,7 @@ object ScaleProbe {
     "dup_size_histogram", "ngram_novelty", "zipf_octaves",
     "conformal_gate", "best_of_k_uplift", "pass_at_k",
     "event_funnel", "cohort_retention", "label_noise", "int8_quant",
-    "ohlc_bars")
+    "ohlc_bars", "cohort_day_state")
 
   private val defaultScales = Seq(1, 4, 8)
   /** The CC/dedup family gets a 32× row: its pointer-jumping round
@@ -955,6 +955,17 @@ object ScaleProbe {
           max(col("value")), min(col("value")), count(lit(1)),
           sum(col("value").cast(
             org.apache.spark.sql.types.DecimalType(38, 12))))
+        .count())
+
+    // s47's streaming half: the per-(user, day) activity state agg —
+    // one keyed hash aggregation whose state rows grow with active
+    // user-days, the quantity the update-mode store holds. Copies
+    // shift user_id (independent subpopulations)
+    probe("cohort_day_state", c =>
+      replicate(t.events, "user_id", c)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"))
         .count())
 
     // ---- execution ---------------------------------------------------
