@@ -79,35 +79,7 @@ object Funnels {
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"))
       .as[(Option[Long], Int, java.sql.Timestamp)]
-      .mapPartitions { it =>
-        // rows arrive contiguous per user, ts-ascending: advance the
-        // funnel frontier greedily, emit the depth reached on each
-        // user boundary. Per-user state = one Timestamp per step.
-        new Iterator[Int] {
-          private var pending = -1
-          private var hasUser = false
-          private var curUser: Option[Long] = None
-          private var depth = 0
-          private val t = Array.ofDim[java.sql.Timestamp](nSteps)
-          private def advance(): Unit = {
-            while (pending < 0 && it.hasNext) {
-              val (u, i, ts) = it.next()
-              if (!hasUser) { hasUser = true; curUser = u }
-              else if (u != curUser) { pending = depth; curUser = u; depth = 0 }
-              if (i == depth && depth < nSteps &&
-                  (depth == 0 || ts.compareTo(t(depth - 1)) > 0)) {
-                t(depth) = ts
-                depth += 1
-              }
-            }
-            if (pending < 0 && hasUser) { pending = depth; hasUser = false }
-          }
-          def hasNext: Boolean = { advance(); pending >= 0 }
-          def next(): Int = {
-            advance(); val d = pending; pending = -1; d
-          }
-        }
-      }
+      .mapPartitions(it => Funnels.frontierDepths(it, nSteps))
       .toDF("depth")
     // depth-0 rows stay: they contribute 0 to every step sum, and on a
     // corpus where NO user completes step 0 they keep the ungrouped agg
@@ -178,4 +150,45 @@ object Funnels {
         (col("n_active").cast("double") / col("n_cohort").cast("double"))
           .as("retention_rate"))
   }
+
+  /** The funnel's per-partition greedy frontier pass, exposed as a
+    * pure iterator→iterator function so adversarial layouts are
+    * property-testable (FunnelFrontierCheck: user boundaries at
+    * partition edges, same-ts ties at every step, single-event users,
+    * empty partitions). CONTRACT: rows arrive contiguous per user and
+    * ts-ascending within each user — [[funnelFromSlim]] guarantees
+    * this with repartition(user) + sortWithinPartitions(user, ts).
+    * Emits the funnel depth reached by each user, one Int per user
+    * group, holding O(nSteps) state: one frontier Timestamp per step.
+    * Step i advances the frontier iff it is the NEXT expected step and
+    * its ts is STRICTLY after the previous step's frontier time
+    * (re-ordered journeys and ties do not convert).
+    */
+  private[graft] def frontierDepths(
+      it: Iterator[(Option[Long], Int, java.sql.Timestamp)],
+      nSteps: Int): Iterator[Int] =
+    new Iterator[Int] {
+      private var pending = -1
+      private var hasUser = false
+      private var curUser: Option[Long] = None
+      private var depth = 0
+      private val t = Array.ofDim[java.sql.Timestamp](nSteps)
+      private def advance(): Unit = {
+        while (pending < 0 && it.hasNext) {
+          val (u, i, ts) = it.next()
+          if (!hasUser) { hasUser = true; curUser = u }
+          else if (u != curUser) { pending = depth; curUser = u; depth = 0 }
+          if (i == depth && depth < nSteps &&
+              (depth == 0 || ts.compareTo(t(depth - 1)) > 0)) {
+            t(depth) = ts
+            depth += 1
+          }
+        }
+        if (pending < 0 && hasUser) { pending = depth; hasUser = false }
+      }
+      def hasNext: Boolean = { advance(); pending >= 0 }
+      def next(): Int = {
+        advance(); val d = pending; pending = -1; d
+      }
+    }
 }
