@@ -41,6 +41,9 @@ object GraftSession {
     * Verify and ScaleProbe so the reap is one definition, not four.
     */
   def dropAllBlocks(spark: SparkSession, blocking: Boolean = true): Unit = {
+    // forget tracked diamond persists first (built-but-never-executed
+    // plans have no completion event for DiamondCaches to release on)
+    DiamondCaches.drain()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking))

@@ -517,7 +517,9 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_grams"),
         collect_set(col("pos")).as("ps"))
-    (toks, perDoc)
+    // perDoc's tree (which embeds pos) is what every caller-side
+    // composition retains — the diamond dies with it
+    (toks, graft.DiamondCaches.register(pos, perDoc))
   }
 
   def dupNgramCoverage(docs: DataFrame, n: Int, minDf: Int = 2): DataFrame = {
@@ -706,7 +708,7 @@ object Dedup {
         .as("ck"))
       .select(col("doc_id"), col("sig"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
-    chunks.as("a")
+    val pairs = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk") === col("b.chunk") &&
@@ -716,6 +718,7 @@ object Dedup {
           .as("dist"))
       .distinct()
       .filter(col("dist") <= maxHamming)
+    graft.DiamondCaches.register(hashed, pairs)
   }
 
   /** Engine-portable word-shingle table: (doc_id, s) with one row per

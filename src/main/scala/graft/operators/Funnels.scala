@@ -140,7 +140,7 @@ object Funnels {
       .agg(min(col("day")).as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day")
       .agg(count(lit(1)).as("n_cohort"))
-    days.join(cohorts, "user_id")
+    val report = days.join(cohorts, "user_id")
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_active"))
@@ -149,6 +149,7 @@ object Funnels {
         col("n_cohort"),
         (col("n_active").cast("double") / col("n_cohort").cast("double"))
           .as("retention_rate"))
+    graft.DiamondCaches.register(days, report)
   }
 
   /** The funnel's per-partition greedy frontier pass, exposed as a

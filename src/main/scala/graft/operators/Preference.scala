@@ -313,9 +313,11 @@ object Preference {
     *
     * Cache lifetime: the scored frame stays persisted for the life of
     * the returned (lazy) plan — unpersisting here would re-open the
-    * diamond before the caller ever executes it. Callers in long-lived
-    * sessions must run `GraftSession.dropAllBlocks` between queries,
-    * as Bench/Verify do (the engine-wide persist contract).
+    * diamond before the caller ever executes it. It is registered with
+    * [[graft.DiamondCaches]], which unpersists it automatically once
+    * the returned plan becomes unreachable (the caller dropped the
+    * query), so long-lived sessions no longer accumulate it (harnesses
+    * additionally reap via `GraftSession.dropAllBlocks`).
     */
   def passAtK(
       docs: DataFrame,
@@ -328,9 +330,9 @@ object Preference {
     // the group counts — three executions of the tokenize+score pass
     // without materialization (the jaccardPairs diamond rule; one
     // doc-keyed row per doc, model-column-sized)
-    val scored = scoreWith(docs, w)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    passAtKFromScores(scored, medianThreshold(scored), groupSize, ks)
+    val scored = scoreWith(docs, w).persist(StorageLevel.MEMORY_AND_DISK)
+    graft.DiamondCaches.register(scored,
+      passAtKFromScores(scored, medianThreshold(scored), groupSize, ks))
   }
 
   /** The shared training loop: mined pairs, the persisted pair-token
