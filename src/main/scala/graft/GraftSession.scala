@@ -26,6 +26,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen source-text LRU: Spark's default 100 entries thrashes
+      // under this engine's workload — one CC query alone compiles
+      // ~130 distinct stage sources, so EVERY execution recompiled
+      // ~everything (CcCodegen receipts, docs/PLANS.md r17: n58
+      // 129/129/130 Janino compiles across back-to-back runs at 100;
+      // 96/0/4 at 4096 — the sources repeat, the cache was just too
+      // small). 4096 holds the full sweep's working set; the cost is
+      // retained generated-class metadata (~tens of KB each), nothing
+      // next to the 5–7 s/run of concurrent JIT the misses burned.
+      // Same lever per executor JVM on a cluster.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     installOptimizations(spark)

@@ -122,7 +122,7 @@ object StreamingQueries extends QueryGroup {
     * construction of the gate frames executes the real offline
     * training, by design.
     */
-  private object Frames {
+  private[graft] object Frames {
     def s01(s: SparkSession, dir: String, stream: Boolean = true): DataFrame =
       eventsSource(s, dir, stream)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
