@@ -700,23 +700,37 @@ object Dedup {
           ColumnBridge.expression(normalized(col("text"))))).as("sig")
       })
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunks = hashed.select(col("doc_id"), col("sig"),
+    // the chunk table carries ONLY (doc_id, chunk_id, chunk): a pair
+    // agreeing on k chunks used to surface k times with the 64-int
+    // signatures riding through the join and the zip_with distance
+    // computed k times before the distinct collapsed the copies — on a
+    // dup-heavy corpus (all 4 chunks agree on exact dups) that was 4×
+    // the distance work and a 128-int-wide shuffle per duplicate.
+    // Dedup the narrow candidate pairs FIRST, then hydrate signatures
+    // from the persisted frame once per pair (the verifyJaccard shape)
+    val chunks = hashed.select(col("doc_id"),
       explode(expr(
         """transform(sequence(0, 3), c -> struct(c AS chunk_id,
              array_join(transform(slice(sig, c * 16 + 1, 16),
                x -> cast(x AS string)), '') AS chunk))"""))
         .as("ck"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
-    val pairs = chunks.as("a")
+    val cand = chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
           col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
-          .as("dist"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val pairs = cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
+          .as("dist"))
       .filter(col("dist") <= maxHamming)
     graft.DiamondCaches.register(hashed, pairs)
   }
