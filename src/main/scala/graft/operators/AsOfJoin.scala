@@ -375,7 +375,7 @@ object AsOfJoin {
     val wf = Window.partitionBy(col("key"), col("bucket"))
       .orderBy(desc("ts"), col("side"), desc("rmark.right_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.union(l)
+    val marks = r.union(l)
       .withColumn("local_b", last(col("rmark"), ignoreNulls = true).over(wb))
       .withColumn("local_f", last(col("rmark"), ignoreNulls = true).over(wf))
       .filter(col("side") === 1)
@@ -383,6 +383,7 @@ object AsOfJoin {
       .select(col("left_id"), col("key"), col("ts"),
         coalesce(col("local_b"), col("carry_b")).as("bm"),
         coalesce(col("local_f"), col("carry_f")).as("fm"))
+    graft.DiamondCaches.register(summary, marks)
   }
 
   /** [[forwardPerKey]]'s hot-key scale path: identical results

@@ -188,9 +188,11 @@ object Clustering {
         transform(col("embedding"), x => x.cast("double")).as("emb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // `e` stays persisted for the caller's terminal action on the
-    // returned plan (same policy as the dedup diamonds).
-    assignToCents(e, lloydCents(e, k, iters))
-      .select(col("vec_id"), col("cluster"), col("dist2"))
+    // returned plan (same policy as the dedup diamonds); DiamondCaches
+    // releases it once the caller drops the query.
+    graft.DiamondCaches.register(e,
+      assignToCents(e, lloydCents(e, k, iters))
+        .select(col("vec_id"), col("cluster"), col("dist2")))
   }
 
   /** Nearest-centroid assignment of a (vec_id, emb: array<double>)
@@ -329,7 +331,7 @@ object Clustering {
           col("mean_cohesion"), col("mean_separation"),
           col("mean_silhouette"))
     }
-    perK.reduce(_ unionByName _)
+    graft.DiamondCaches.register(e, perK.reduce(_ unionByName _))
   }
 
   /** Quality-aware near-dup cluster representative selection: the
@@ -390,10 +392,11 @@ object Clustering {
         .cosine(col("a.embedding"), col("b.embedding")) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
-    e.select("vec_id", "cluster")
+    val out = e.select("vec_id", "cluster")
       .join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         not(coalesce(col("is_dup"), lit(false))).as("keep"))
+    graft.DiamondCaches.register(e, out)
   }
 
   /** Cluster-capped diversity sampling: keep only the `cap` most

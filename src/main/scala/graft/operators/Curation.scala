@@ -103,10 +103,12 @@ object Curation {
         .filter(col("kept")).select("doc_id"),
       "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Clustering.dupClustersKeepBest(survivors, dupN, dupThreshold)
+    val out = Clustering.dupClustersKeepBest(survivors, dupN, dupThreshold)
       .filter(col("keep"))
       .join(survivors.select("doc_id", "source"), "doc_id")
       .select("doc_id", "source", "component", "score")
+    graft.DiamondCaches.register(cleaned,
+      graft.DiamondCaches.register(survivors, out))
   }
 
   /** Corpus release healthcheck — the one-row report a snapshot ships

@@ -49,7 +49,8 @@ object Decontamination {
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("inter"))
-    rankContainment(overlap, sizes, threshold)
+    graft.DiamondCaches.register(corpusTok,
+      rankContainment(overlap, sizes, threshold))
   }
 
   /** Shared scoring tail: normalize overlap counts by corpus shingle-set
@@ -128,7 +129,9 @@ object Decontamination {
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("inter"))
-    rankContainment(overlap, sizes, threshold)
+    graft.DiamondCaches.register(corpusTok,
+      graft.DiamondCaches.register(benchInv,
+        rankContainment(overlap, sizes, threshold)))
   }
 
   /** EMBEDDING-space decontamination — the semantic sibling of the

@@ -93,7 +93,7 @@ object Dedup {
     // pipeline would persist or write out exactly this intermediate.
     val tok = shingled(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    jaccardPairsOn(tok, threshold)
+    graft.DiamondCaches.register(tok, jaccardPairsOn(tok, threshold))
   }
 
   /** Cross-doc n-gram novelty card — duplication exposure at SHINGLE
@@ -131,13 +131,14 @@ object Dedup {
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         explode(col("sh")).as("sh_hash"))
     val df = inv.groupBy("sh_hash").agg(count(lit(1)).as("df"))
-    inv.join(df, "sh_hash")
+    val card = inv.join(df, "sh_hash")
       .groupBy("doc_id", "n_shingles")
       .agg(sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
         col("n_novel"),
         (col("n_novel").cast("double") / col("n_shingles").cast("double"))
           .as("novelty"))
+    graft.DiamondCaches.register(tok, card)
   }
 
   /** Cross-source duplicate leakage: the near-dup pair set of
@@ -215,10 +216,11 @@ object Dedup {
         explode(array(col("id_a"), col("id_b"))).as("d"))
       .distinct()
       .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_docs"))
-    pairAgg.join(docAgg, Seq("split_a", "split_b"))
+    val report = pairAgg.join(docAgg, Seq("split_a", "split_b"))
       .withColumn("cross_split", col("split_a") =!= col("split_b"))
       .select("split_a", "split_b", "cross_split", "n_pairs", "n_docs",
         "max_jaccard")
+    graft.DiamondCaches.register(lab, report)
   }
 
   /** [[jaccardPairs]] over a PREPARED (and ideally persisted) shingle
@@ -248,7 +250,8 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, tok, threshold)
+    graft.DiamondCaches.register(prefix,
+      verifyJaccard(candidates, tok, threshold))
   }
 
   /** Directed CONTAINMENT pairs: |S_A ∩ S_B| / |S_A| ≥ threshold —
@@ -293,7 +296,7 @@ object Dedup {
       s"threshold must be in (0,1], got $threshold")
     val tok = shingled(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    containmentPairsOn(tok, threshold, dfCap)
+    graft.DiamondCaches.register(tok, containmentPairsOn(tok, threshold, dfCap))
   }
 
   /** [[containmentPairs]] over a prepared shingle table (see
@@ -350,7 +353,7 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
       .withColumn("in_cont", lit(true))
-    jac.join(cont, Seq("id_a", "id_b"), "full")
+    val report = jac.join(cont, Seq("id_a", "id_b"), "full")
       .select(coalesce(col("in_jac"), lit(false)).as("j"),
         coalesce(col("in_cont"), lit(false)).as("c"))
       .agg(
@@ -361,6 +364,7 @@ object Dedup {
           .as("n_only_jaccard"),
         sum(when(!col("j") && col("c"), 1L).otherwise(0L))
           .as("n_only_containment"))
+    graft.DiamondCaches.register(tok, report)
   }
 
   /** Two-stage edit-distance near-dup: cheap set-similarity candidates,
@@ -405,7 +409,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("text").as("ta"))
     val bSide = hydrated.join(pairs, col("doc_id") === col("id_b"))
       .select(col("id_a"), col("id_b"), col("text").as("tb"))
-    aSide.join(bSide, Seq("id_a", "id_b"))
+    val out = aSide.join(bSide, Seq("id_a", "id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ta"), col("tb")).as("edit_dist"),
         greatest(length(col("ta")), length(col("tb"))).as("max_len"))
@@ -416,6 +420,8 @@ object Dedup {
             col("edit_dist").cast("double") / col("max_len"))
           .as("edit_sim"))
       .filter(col("edit_sim") >= minSim)
+    graft.DiamondCaches.register(pairs,
+      graft.DiamondCaches.register(hydrated, out))
   }
 
   /** MinHash + LSH near-duplicate pairs: per-row signature → band-bucket
@@ -451,7 +457,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, tok, threshold)
+    graft.DiamondCaches.register(tok,
+      graft.DiamondCaches.register(buckets,
+        verifyJaccard(candidates, tok, threshold)))
   }
 
   /** Incremental (snapshot) dedup — the daily-ingest shape: a NEW batch
@@ -613,7 +621,7 @@ object Dedup {
     val cov = coalesce(
       array_distinct(flatten(transform(col("ps"), p => sequence(p, p + n - 1)))),
       array().cast("array<int>"))
-    toks.join(perDoc, Seq("doc_id"), "left")
+    val out = toks.join(perDoc, Seq("doc_id"), "left")
       .withColumn("cov", cov)
       .withColumn("kept", filter(
         transform(sequence(lit(0), size(col("ts")) - 1),
@@ -626,6 +634,7 @@ object Dedup {
         ((size(col("ts")) - size(col("kept"))).cast("double") /
           size(col("ts"))).as("boiler_frac"),
         concat_ws(" ", col("kept")).as("cleaned_text"))
+    graft.DiamondCaches.register(pos, out)
   }
 
   /** SimHash near-duplicate candidate pairs within a hamming radius.
@@ -902,7 +911,7 @@ object Dedup {
         (size(col("ls_a")) + size(col("ls_b")) -
           size(array_intersect(col("ls_a"), col("ls_b")))).cast("long")
           .as("n_union"))
-    est.join(exact, Seq("id_a", "id_b"))
+    val out = est.join(exact, Seq("id_a", "id_b"))
       .withColumn("est_jaccard",
         col("n_match").cast("double") / lit(numHashes))
       .withColumn("exact_jaccard",
@@ -910,6 +919,9 @@ object Dedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
       .select("id_a", "id_b", "n_match", "est_jaccard",
         "n_inter", "n_union", "exact_jaccard", "abs_err")
+    graft.DiamondCaches.register(txt,
+      graft.DiamondCaches.register(sh,
+        graft.DiamondCaches.register(sig, out)))
   }
 
   /** Exact-Jaccard filter over candidate (id_a, id_b) pairs on the

@@ -784,7 +784,7 @@ object Geometry {
     val ranges = x.groupBy("dim")
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
-    x.join(broadcast(ranges), "dim")
+    val card = x.join(broadcast(ranges), "dim")
       .withColumn("q",
         when(col("scale") === 0.0, lit(0.0))
           .otherwise(round((col("x") - col("mn")) / col("scale"))))
@@ -795,5 +795,6 @@ object Geometry {
         (sum12(col("err")) / count(lit(1))).as("mean_abs_err"))
       .select(col("dim"), col("n"), col("mn"), col("mx"), col("scale"),
         col("max_abs_err"), col("mean_abs_err"))
+    graft.DiamondCaches.register(x, card)
   }
 }

@@ -74,10 +74,11 @@ object LanguageModel {
       (sum(col("p_ppm").cast(DecimalType(28, 6))).cast("double") /
         count(lit(1))).as("mean_bigram_ppm"))
     // spine from the persisted toks, not a second scan of the source
-    toks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+    val out = toks.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("mean_bigram_ppm"),
         (col("mean_bigram_ppm") >= okPpmThreshold).as("fluency_ok"))
+    graft.DiamondCaches.register(toks, graft.DiamondCaches.register(bg, out))
   }
 }

@@ -311,11 +311,12 @@ object Mixture {
       ((col("a") - coalesce(col("b"), lit(0L))).cast("double") /
         (col("n_all") - col("n_d")).cast("double")) /
         col("n_tgt").cast("double")
-    nd.join(bb, Seq(key), "left")
+    val out = nd.join(bb, Seq(key), "left")
       .crossJoin(broadcast(aa)).crossJoin(broadcast(na))
       .crossJoin(broadcast(nt))
       .select(col(key), col("n_d"), lossFull.as("loss_full"),
         lossWo.as("loss_without"), (lossWo - lossFull).as("delta"))
+    graft.DiamondCaches.register(ct, out)
   }
 
   /** Apply a per-mille rate table to a (possibly STREAMING) document
@@ -455,7 +456,7 @@ object Mixture {
         sum(col("u_tok")).as("unique_tokens"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tot = perSource.agg(sum(col("unique_tokens")).as("all_unique"))
-    perSource.crossJoin(broadcast(tot))
+    val out = perSource.crossJoin(broadcast(tot))
       .withColumn("dup_token_frac",
         (col("total_tokens") - col("unique_tokens")).cast("double") /
           col("total_tokens").cast("double"))
@@ -470,5 +471,6 @@ object Mixture {
           .otherwise(lit(0.0)))
       .select("source", "n_docs", "total_tokens", "unique_tokens",
         "dup_token_frac", "alloc_tokens", "epochs", "repeat_frac")
+    graft.DiamondCaches.register(perSource, out)
   }
 }

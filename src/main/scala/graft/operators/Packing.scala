@@ -328,7 +328,7 @@ object Packing {
           col("_start_offset").as("s"),
           (col("_start_offset") + col("n_tokens")).as("fin"))
     }
-    perEpoch.reduce(_ unionByName _)
+    val plan = perEpoch.reduce(_ unionByName _)
       .select(col("epoch"), col("doc_id"), col("s"), col("fin"),
         explode(expr(s"sequence(s div $budget, (fin - 1) div $budget)"))
           .as("chunk_id"))
@@ -338,6 +338,7 @@ object Packing {
         max(col("doc_id")).as("last_doc"),
         sum(least(col("fin"), (col("chunk_id") + 1) * budget) -
             greatest(col("s"), col("chunk_id") * budget)).as("n_tokens"))
+    graft.DiamondCaches.register(toks, plan)
   }
 
   /** Pack-level summary: how full each pack is — the packing-efficiency

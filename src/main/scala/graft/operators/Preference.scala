@@ -90,11 +90,13 @@ object Preference {
         col("pair_id"), col("margin"), sig(col("margin")).as("p_chosen"))
     }
     // the returned per-round margin plans re-read ptk: the persisted
-    // diamond stays alive for the returned plan, caller owns cleanup
-    // (the trainedQualityScores contract)
-    rounds.reduce(_.unionByName(_)).join(pairs, Seq("source", "pair_id"))
+    // diamond stays alive for the returned plan; DiamondCaches releases
+    // it once the caller drops the query
+    val out = rounds.reduce(_.unionByName(_))
+      .join(pairs, Seq("source", "pair_id"))
       .select("iter", "source", "pair_id", "chosen_id", "rejected_id",
         "margin", "p_chosen")
+    graft.DiamondCaches.register(ptk, out)
   }
 
   /** Train and return only the final reward weights — the offline

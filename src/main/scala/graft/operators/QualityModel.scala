@@ -274,11 +274,12 @@ object QualityModel {
     val xy = countsFrame(docs, positiveSources)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val (w, bias) = trainOn(xy, docs.count().toDouble, iters, lr)
-    xy.select(col("doc_id"), col("y"),
+    val out = xy.select(col("doc_id"), col("y"),
         (bucketMarginCol(col("counts"), w) + lit(bias)).as("m"))
       .select(col("doc_id"), col("y").cast("int").as("label"),
         sig(col("m")).as("score"),
         (sig(col("m")) >= lit(0.5)).cast("int").as("pred"))
+    graft.DiamondCaches.register(xy, out)
   }
 
   /** Calibration (reliability) table of the trained classifier by
@@ -449,6 +450,7 @@ object QualityModel {
         (col("n").cast("double") / col("n_label").cast("double"))
           .as("frac_of_label"),
         (col("label") === col("y_hat")).as("is_clean"))
+      .transform(graft.DiamondCaches.register(scored, _))
   }
 
 }

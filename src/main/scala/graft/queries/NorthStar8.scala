@@ -287,12 +287,14 @@ object NorthStar8 extends QueryGroup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sweep = S.ivfProbeSweep(q, emb, 10, ps)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ps.map { p =>
-          S.annRecall(exact, sweep.filter(col("n_probe") === p))
-            .withColumn("n_probe", lit(p))
-        }.reduce(_.unionByName(_))
-          .select("n_probe", "q_id", "n_hit", "recall", "rr")
-          .orderBy("n_probe", "q_id")
+        graft.DiamondCaches.register(exact,
+          graft.DiamondCaches.register(sweep,
+            ps.map { p =>
+              S.annRecall(exact, sweep.filter(col("n_probe") === p))
+                .withColumn("n_probe", lit(p))
+            }.reduce(_.unionByName(_))
+              .select("n_probe", "q_id", "n_hit", "recall", "rr")
+              .orderBy("n_probe", "q_id")))
       },
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                           FROM embeddings WHERE vec_id < 10),
@@ -658,11 +660,12 @@ object NorthStar8 extends QueryGroup {
             explode(array(col("id_a"), col("id_b"))).as("d"))
           .distinct()
           .groupBy("threshold").agg(count(lit(1)).as("n_docs_affected"))
-        pairCounts.join(docCounts, "threshold")
-          .withColumn("mean_jaccard",
-            col("sum_j") / col("n_pairs").cast("double"))
-          .select("threshold", "n_pairs", "n_docs_affected", "mean_jaccard")
-          .orderBy("threshold")
+        graft.DiamondCaches.register(pairs,
+          pairCounts.join(docCounts, "threshold")
+            .withColumn("mean_jaccard",
+              col("sum_j") / col("n_pairs").cast("double"))
+            .select("threshold", "n_pairs", "n_docs_affected", "mean_jaccard")
+            .orderBy("threshold"))
       },
       Some(s"""WITH tok AS (
               SELECT doc_id, list_distinct(
