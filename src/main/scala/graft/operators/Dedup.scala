@@ -521,7 +521,25 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
       .select("gh")
-    val perDoc = pos.join(dupGrams, "gh")
+    // SHUFFLE_HASH, replacing the planner's BroadcastHashJoin (the
+    // r17 executed-plan receipt — the STATIC explain claimed the same,
+    // but only the final adaptive plan proves it): dupGrams is the
+    // output of a full groupBy over the position table, so the
+    // broadcast build COLLECTS that aggregate to the driver and builds
+    // one hash relation single-threaded — the measured serialization
+    // point (cold min-of-3 at sf0.1: n44 3.49 → 2.65 s, n27 ~1.3 →
+    // 1.17). At 100 TB the df≥minDf gram set is corpus-proportional
+    // and over the 8 GB broadcast cap, so broadcast is not on the
+    // table there at all; the hint picks shuffled-hash over the
+    // sort-merge default — uniform 64-bit keys (no skew), and the
+    // per-partition build (the DISTINCT duplicated-gram slice, ≪ the
+    // per-token probe side) occupies the same memory class as the
+    // sort buffer it replaces, minus graceful spill: partitions must
+    // be sized so it fits, which the AQE advisory sizing already does.
+    // Engine-wide preferSortMergeJoin=false was tried and REFUTED
+    // (n34 2.2 → 12.9 s) — the hint stays join-shaped, not
+    // session-wide.
+    val perDoc = pos.join(dupGrams.hint("shuffle_hash"), "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_grams"),
         collect_set(col("pos")).as("ps"))
@@ -615,6 +633,13 @@ object Dedup {
       .filter(col("docs_with").cast("double") >=
         lit(frac) * col("n_src_docs").cast("double"))
       .select("source", "gh")
+    // NO shuffle_hash hint here, deliberately (r17): boiler is the
+    // frac-thresholded per-source chrome-gram set — small AT EVERY
+    // scale (bounded by sources × chrome size, unlike dupGramPositions'
+    // corpus-proportional df≥minDf set) — so the planner's broadcast
+    // keeps the full position table un-shuffled, which is the right
+    // plan at 100 TB; forcing SHJ measured flat at bench SF
+    // (1.49 → 1.39 cold, noise) and would trade away the broadcast.
     val perDoc = pos.join(boiler, Seq("source", "gh"))
       .groupBy("doc_id")
       .agg(collect_set(col("pos")).as("ps"))

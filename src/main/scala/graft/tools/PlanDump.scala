@@ -14,8 +14,15 @@ import graft.queries.{Registry, StreamingQueries}
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = args.tail.toSeq
+    // --executed: run the query (executeCollect) and print the FINAL
+    // adaptive plan instead of the static one — the only view that
+    // shows AQE's actual join-strategy/partition decisions (a static
+    // explain prints isFinalPlan=false estimates, which round 17
+    // caught mis-predicting a probe join's strategy at sf0.1).
+    val executed = args.contains("--executed")
+    val rest = args.filterNot(_ == "--executed")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = rest.tail.toSeq
     val spark = GraftSession.build("graft-plandump")
     // audit frames are batch plans over streaming-shaped lineage
     spark.conf.set("spark.sql.streaming.unsupportedOperationCheck", "false")
@@ -28,7 +35,15 @@ object PlanDump {
           if (frames.size > 1) println(s"--- audit frame $i ---")
           f.explain("formatted")
         }
-      } else Registry.queries(name)(spark, sfDir).explain("formatted")
+      } else {
+        val df = Registry.queries(name)(spark, sfDir)
+        if (executed) {
+          val qe = df.queryExecution
+          qe.executedPlan.executeCollect()
+          println(qe.executedPlan.toString)
+          graft.GraftSession.dropAllBlocks(spark)
+        } else df.explain("formatted")
+      }
     }
     spark.stop()
   }

@@ -196,6 +196,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"n152 plan lost its user-keyed exchange:\n${plan.take(1200)}")
   }
 
+  test("dup-gram probe joins stay shuffled-hash — the build agg never collects to the driver") {
+    // r17: the pos⋈dupGrams probe join is hinted SHUFFLE_HASH because
+    // the planner's BroadcastHashJoin collected the full df≥minDf gram
+    // aggregate to the driver and built the relation single-threaded
+    // (cold 3.49 → 2.65 s at sf0.1), and at corpus scale that set is
+    // over the broadcast cap anyway. n55's boiler join deliberately
+    // keeps the broadcast (its build side is small at every scale) —
+    // only the corpus-proportional build sides are pinned here.
+    Seq("n44_dup_span_removal", "n27_dup_ngram_coverage")
+      .foreach { name =>
+        val plan = batchPlans.find(_._1 == name).get._2
+        assert(plan.contains("ShuffledHashJoin"),
+          s"$name lost its shuffled-hash probe join:\n${plan.take(1200)}")
+      }
+  }
+
   test("n46 PQ-ADC scores through broadcast dist-table joins, not query literals") {
     // the round-4 form collect()ed the query set and embedded per-query
     // ADC tables as plan literals — a capacity cliff at 10⁴+ queries.
