@@ -84,6 +84,17 @@ object Retrieval {
         (col("tf").cast("double") +
           lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl").cast("double") / col("avgdl")))
+    // df and dl plan as BroadcastHashJoins at bench SF and that is the
+    // RIGHT local plan (r17 measured receipt): the broadcasts keep the
+    // big tf frame un-shuffled through all three probes in one stage,
+    // and hinting them SHUFFLE_HASH — the n44 dupGrams fix — doubled
+    // n86 (1.74 → 3.28 cold) because tf then shuffles twice (by t,
+    // then by doc_id) to spare two small single-threaded builds. The
+    // n44 pattern applies only when the build aggregate is LARGE
+    // relative to the probe (dup-gram sets); df/dl are vocab-/doc-
+    // count-sized. At 100 TB both exceed the broadcast threshold and
+    // the planner falls to shuffle joins on its own — no hint needed
+    // for the scale story.
     val scored = tf
       .join(broadcast(qterms), "t")
       .filter(col("doc_id") =!= col("q_id"))
