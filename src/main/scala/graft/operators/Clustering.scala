@@ -233,13 +233,14 @@ object Clustering {
     // so the codebook updates iters-1 times and the final assignment
     // (the output) uses the last codebook.
     (1 until iters).foreach { _ =>
-      val means = assignToCents(e, cents)
-        .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg((sum(col("v").cast(
-          org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
-          count(lit(1))).as("m"))
-        .collect()
+      val means = DriverModel.collectBounded(
+        assignToCents(e, cents)
+          .select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim")
+          .agg((sum(col("v").cast(
+            org.apache.spark.sql.types.DecimalType(28, 6))).cast("double") /
+            count(lit(1))).as("m")),
+        "Clustering.lloydCents means", maxRows = 1000000)
         .groupBy(_.getAs[Int]("cluster"))
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toSeq

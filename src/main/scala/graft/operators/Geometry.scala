@@ -271,7 +271,8 @@ object Geometry {
     * bounded coordination step, never a corpus collect.
     */
   def effectiveRank(covTall: DataFrame): Double = {
-    val rows = covTall.select("dim_i", "dim_j", "cov").collect()
+    val rows = DriverModel.collectBounded(
+      covTall.select("dim_i", "dim_j", "cov"), "Geometry.effectiveRank")
     val d = rows.iterator.map(_.getInt(1)).max + 1
     val m = Array.ofDim[Double](d, d)
     rows.foreach { r =>
@@ -527,7 +528,9 @@ object Geometry {
     val d0 = embeddings.select(size(col("embedding")).as("d"))
       .head().getInt(0)
     val covTall = covarianceMomentsAgg(embeddings, d0)
-    val rows = covTall.select("dim_i", "dim_j", "mean_i", "cov").collect()
+    val rows = DriverModel.collectBounded(
+      covTall.select("dim_i", "dim_j", "mean_i", "cov"),
+      "Geometry.zcaWhiten")
     val d = rows.iterator.map(_.getInt(1)).max + 1
     val cov = Array.ofDim[Double](d, d)
     val mean = Array.ofDim[Double](d)

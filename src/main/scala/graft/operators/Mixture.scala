@@ -97,12 +97,14 @@ object Mixture {
     * full (1 − 0) loss, which is the point).
     */
   private def lossUnder(p: DataFrame, q: DataFrame): Map[String, Double] =
-    p.join(q, "t")
-      .groupBy(col("source"), col("n"))
-      .agg(xsum12(col("c").cast("double") * col("pm")).as("s"))
-      .select(col("source"),
-        (lit(1.0) - col("s") / col("n").cast("double")).as("loss"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    DriverModel.collectBounded(
+      p.join(q, "t")
+        .groupBy(col("source"), col("n"))
+        .agg(xsum12(col("c").cast("double") * col("pm")).as("s"))
+        .select(col("source"),
+          (lit(1.0) - col("s") / col("n").cast("double")).as("loss")),
+      "Mixture.lossUnder", maxRows = 1000000)
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
 
   /** The per-round loss plan over raw docs with unit weights — the
     * exact frame shape every training round executes ([[doremiTrain]]'s
@@ -135,16 +137,20 @@ object Mixture {
       s"smooth must be in [0,1), got $smooth")
     val p = domainTokenProbs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val sources = p.select("source").distinct()
-        .collect().map(_.getString(0)).sorted.toIndexedSeq
+      val sources = DriverModel.collectBounded(
+        p.select("source").distinct(), "Mixture.doremiTrain sources",
+        maxRows = 1000000)
+        .map(_.getString(0)).sorted.toIndexedSeq
       val dD = sources.size.toDouble
       // reference loss: each domain under its OWN unigram model — the
       // best any mixture could fit that domain, fixed across rounds
-      val ref = p.groupBy(col("source"), col("n"))
-        .agg(xsum12(col("c").cast("double") * col("p")).as("s"))
-        .select(col("source"),
-          (lit(1.0) - col("s") / col("n").cast("double")).as("ref_loss"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val ref = DriverModel.collectBounded(
+        p.groupBy(col("source"), col("n"))
+          .agg(xsum12(col("c").cast("double") * col("p")).as("s"))
+          .select(col("source"),
+            (lit(1.0) - col("s") / col("n").cast("double")).as("ref_loss")),
+        "Mixture.doremiTrain ref_loss", maxRows = 1000000)
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
       var weights: Map[String, Double] =
         sources.map(_ -> 1.0 / dD).toMap
       val trajectory = Vector.newBuilder[DomainRound]

@@ -376,8 +376,9 @@ object Preference {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var w: IndexedSeq[Double] = Vector.fill(Dim)(0.0)
     val ws = (1 to iters).map { _ =>
-      val g = gradientRound(ptk, w)
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val g = DriverModel.collectBounded(gradientRound(ptk, w),
+        "Preference.btTrain gradient", maxRows = QualityModel.Dim)
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       // driver-side update — 64 doubles, written to match the oracle's
       // expression shape operation for operation
       w = Vector.tabulate(Dim)(b => w(b) - lr * (g.getOrElse(b, 0.0) / nPairs))

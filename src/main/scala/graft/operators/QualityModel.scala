@@ -222,15 +222,17 @@ object QualityModel {
       // (10,0), not (6,0): a >= 10^6-token document would NULL a (6,0)
       // cast silently under non-ANSI semantics and drop its gradient
       // term (r16 ADVICE); int counts always fit 10 digits
-      val g = err
-        .select(col("err"), col("n"),
-          posexplode(col("counts")).as(Seq("b", "c")))
-        .filter(col("c") > 0)
-        .groupBy("b")
-        .agg(sum((col("err") / col("n").cast("double"))
-            .cast(DecimalType(26, 12)) * col("c").cast(DecimalType(10, 0)))
-          .cast("double").as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val g = DriverModel.collectBounded(
+        err
+          .select(col("err"), col("n"),
+            posexplode(col("counts")).as(Seq("b", "c")))
+          .filter(col("c") > 0)
+          .groupBy("b")
+          .agg(sum((col("err") / col("n").cast("double"))
+              .cast(DecimalType(26, 12)) * col("c").cast(DecimalType(10, 0)))
+            .cast("double").as("g")),
+        "QualityModel gradient", maxRows = Dim)
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val gBias = err.agg(xsum(col("err"))).head.getDouble(0)
       err.unpersist(blocking = false)
       // model update is driver-side IEEE arithmetic — 64+1 doubles of

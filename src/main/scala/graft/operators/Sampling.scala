@@ -274,10 +274,13 @@ object Sampling {
 
   /** Collect a trained importance table to the driver-side model map
     * the native scoring expression embeds. Vocab-sized by the same
-    * contract that let the old formulation `broadcast()` it.
+    * contract that let the old formulation `broadcast()` it — and the
+    * contract is now ENFORCED ([[DriverModel.collectBounded]]): a
+    * degenerate vocabulary fails loud instead of OOMing the driver.
     */
   def collectImportance(imp: DataFrame): Map[String, Long] =
-    imp.collect().iterator.map(r => r.getString(0) -> r.getLong(1)).toMap
+    DriverModel.collectBounded(imp, "Sampling.collectImportance")
+      .iterator.map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** The per-row native DSIR score (see
     * [[graft.expressions.DsirGramScore]]) — Σ_g count_g(doc)·imp(g)
