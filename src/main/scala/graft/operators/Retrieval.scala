@@ -32,19 +32,113 @@ object Retrieval {
     * over the shared terms, and the top `k` per query are kept
     * (score desc, doc_id ties). Self-matches are excluded.
     *
-    * Scale shape: the inverted index (doc, term, tf) and df table are
-    * hash aggregations with map-side partials; the query-term table is
-    * tiny and BROADCAST; candidate generation is the term-keyed
-    * equi-join (docs sharing no term with a query are never touched —
-    * the inverted-index property); one (q, doc)-keyed aggregation
-    * folds the per-term scores; the final top-k is a window
-    * partitioned BY QUERY. At 100 TB the index is the bucketed-by-term
-    * materialized artifact and per-query cost is bounded by posting
-    * lists, not corpus size.
+    * Execution (the r17-verdict "BM25 term-score inner loop" move —
+    * the s19/n59 DSIR collapse applied here): the per-query term sets,
+    * their corpus document frequencies and the (n_docs, avgdl) stats
+    * are a QUERY-BOUNDED model, so they are computed with two narrow
+    * passes (a scalar stats aggregation and a query-vocab-bounded df
+    * aggregation), bounded-collected ([[DriverModel.collectBounded]])
+    * and driven back in as ONE native per-row expression
+    * ([[graft.expressions.Bm25QueryScores]]) that scores a document
+    * against ALL queries in a single pass over its text. That replaces
+    * the corpus-wide (doc, term, tf) explode + shuffle + persist, the
+    * df/dl hydration joins and the per-(q, doc) decimal aggregation —
+    * the only remaining corpus-wide shuffle is the per-query top-k
+    * window over rows that already survived the shared-term filter.
+    * Bit-exact by [[Bm25QueryScores]]'s contract (same IEEE chain per
+    * term, same double→DECIMAL(38,12) cast, exact order-free decimal
+    * sum — the [[graft.expressions.TokenBucketMargin]] discipline), so
+    * the DuckDB oracle over the join formulation stays hash-green;
+    * `BM25 parity` in NativeExpressionSpec pins new == exploded on
+    * adversarial corpora.
+    *
+    * Scale shape: model build is query-bounded (guarded collect);
+    * scoring is scan-stage over the corpus; the final top-k is a
+    * window partitioned BY QUERY. The expression supports ≤ 64 queries
+    * per pass (one bitmask word); larger query sets take the exploded
+    * inverted-index path ([[bm25ExplodedJoin]]), whose per-query cost
+    * is posting-list-bounded.
     *
     * Output: (q_id, rank, doc_id, score).
     */
   def bm25MoreLikeThis(
+      docs: DataFrame,
+      nQueries: Long,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(nQueries >= 1, s"nQueries must be >= 1, got $nQueries")
+    require(k >= 1, s"k must be >= 1, got $k")
+    if (nQueries > 64)
+      return bm25ExplodedJoin(docs, nQueries, k, k1, b)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val toks = array_distinct(split(col("text"), " "))
+    // query docs' DISTINCT terms — query-bounded by contract (each of
+    // the ≤ 64 query documents contributes its own vocabulary)
+    val qtRows = DriverModel.collectBounded(
+      docs.filter(col("doc_id") < nQueries && col("text").isNotNull)
+        .select(col("doc_id"), explode(toks).as("t")),
+      "Retrieval.bm25 query terms")
+    val qIds: IndexedSeq[Long] =
+      qtRows.map(_.getLong(0)).distinct.sorted.toIndexedSeq
+    if (qIds.isEmpty) {
+      // no query doc has text: the join formulation generated no rows
+      return docs.select(col("doc_id").as("q_id"),
+        lit(1).cast("int").as("rank"), col("doc_id"),
+        lit(0.0).as("score")).filter(lit(false))
+    }
+    // corpus stats over docs with ≥ 1 token row (text non-null): the
+    // same population the tf-based dl table counted
+    val statsRow = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tok_sum"))
+      .head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs.toDouble
+    // corpus df of the query terms only: one scan, query-vocab-bounded
+    // aggregation (the InSet filter runs inside the scan stage)
+    val qvocab = qtRows.map(_.getString(1)).distinct.toSeq
+    val dfMap = DriverModel.collectBounded(
+      docs.filter(col("text").isNotNull)
+        .select(explode(toks).as("t"))
+        .filter(col("t").isInCollection(qvocab))
+        .groupBy("t").agg(count(lit(1)).as("df")),
+      "Retrieval.bm25 term df")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slot: Map[Long, Int] = qIds.zipWithIndex.toMap
+    val terms: Map[String, (Long, Long)] = qtRows
+      .groupBy(_.getString(1))
+      .map { case (t, rows) =>
+        val mask = rows.foldLeft(0L)((m, r) =>
+          m | (1L << slot(r.getLong(0))))
+        t -> (dfMap(t), mask)
+      }
+    val scores = ColumnBridge.column(graft.expressions.Bm25QueryScores(
+      ColumnBridge.expression(col("text")),
+      qIds, terms, nDocs, avgdl, k1, b))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score"), asc("doc_id"))
+    docs
+      .select(col("doc_id"), posexplode(scores).as(Seq("slot", "score")))
+      // null slot = no shared term: the rows the posting join never
+      // generated; null-text docs yield a null array = no rows at all
+      .filter(col("score").isNotNull)
+      .select(element_at(typedLit(qIds), col("slot") + 1).as("q_id"),
+        col("doc_id"), col("score"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "score")
+  }
+
+  /** The pre-r18 inverted-index formulation of [[bm25MoreLikeThis]] —
+    * corpus-wide (doc, term, tf) index, broadcast query-term join,
+    * per-(q, doc) decimal fold. Retained as the reference the native
+    * path is property-tested against, as the > 64-query fallback, and
+    * for the ScaleProbe rows (`bm25_retrieval` / `bm25_nopersist`)
+    * whose committed growth ratios measure THIS plan's persist trade.
+    */
+  private[graft] def bm25ExplodedJoin(
       docs: DataFrame,
       nQueries: Long,
       k: Int,

@@ -124,13 +124,11 @@ class PlanQualitySpec extends AnyFunSuite {
       "n72_domain_ablation", "n84_doc_influence",
       // one-row corpus-count scalar driving the pacing boundaries
       "n85_curriculum_schedule",
-      // one-row (n_docs, avgdl) stats scalar crossJoined onto the
-      // candidate posting join
-      "n86_bm25_retrieval",
+      // (n86/n94 left this list in r18: the BM25 model collapse turned
+      // the (n_docs, avgdl) stats crossJoin into driver-side literals
+      // inside the native scoring expression)
       // one-row corpus-count scalar sizing the rank deciles
       "n92_calibration_bins",
-      // the bm25 stats scalar again, under the rerank composition
-      "n94_hybrid_rerank",
       // one-row corpus-count scalars (the keep-k denominator / the
       // negative-draw modulus) crossJoined onto per-row data
       "n75_quality_rank_fusion", "n76_contrastive_triplets",
