@@ -227,7 +227,8 @@ object Dedup {
     * table — lets compositions like [[methodAgreement]] share one
     * shingle scan across several pair generators.
     */
-  private def jaccardPairsOn(tok: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def jaccardPairsOn(tok: DataFrame, threshold: Double,
+      saltThreshold: Int = saltDf): DataFrame = {
     // carry each doc's shingle count through the explode instead of
     // re-deriving it with a second (count-over-partition) window later
     val inv = tok.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -243,16 +244,43 @@ object Dedup {
       // a true pair.
       .filter(col("rn") <=
         floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)).cast("int") + 1)
-      .select("doc_id", "sh_hash")
+      // per-key SALT factor ⌈df/saltDf⌉ rides the prefix row (df is
+      // already joined in): 1 — a no-op — until a shingle's document
+      // frequency crosses [[saltDf]]. A dup-heavy corpus puts the SAME
+      // common shingle in millions of prefixes (near-identical docs
+      // have near-identical df orderings), and the candidate self-join
+      // below then cross-products f² pairs inside ONE task — the
+      // guide-§2.5 single-giant-key skew AQE cannot split. Salting
+      // splits that key's build side ⌈df/saltDf⌉ ways and replicates
+      // the probe side to match: same pairs, same output, f²/k per
+      // task (r17 verdict task 6).
+      .select(col("doc_id"), col("sh_hash"),
+        greatest(lit(1L), ceil(col("df").cast("double") /
+          lit(saltThreshold.toDouble)).cast("long")).as("fac"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"), col("a.sh_hash") === col("b.sh_hash"))
+    val aSide = prefix.select(col("doc_id"), col("sh_hash"),
+      pmod(xxhash64(col("doc_id")), col("fac")).as("salt"))
+    val bSide = prefix.select(col("doc_id"), col("sh_hash"),
+      explode(sequence(lit(0L), col("fac") - 1)).as("salt"))
+    val candidates = aSide.as("a")
+      .join(bSide.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
+        col("a.salt") === col("b.salt"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     graft.DiamondCaches.register(prefix,
       verifyJaccard(candidates, tok, threshold))
   }
+
+  /** Document-frequency threshold past which a prefix shingle's
+    * candidate self-join is salted (split ⌈df/saltDf⌉ ways). Pure
+    * parallelism insurance — pairs are identical with or without it.
+    * The local default binds NOWHERE at the bench SFs (measured max
+    * shingle df at sf0.1 is 25), so every bench plan keeps factor 1
+    * and zero replication; production tunes it to the per-task pair
+    * budget (a key with df = f costs ~f²/⌈f/saltDf⌉ pairs per task).
+    */
+  val saltDf: Int = sys.env.getOrElse("SPARK_GRAFT_SALT_DF", "1024").toInt
 
   /** Directed CONTAINMENT pairs: |S_A ∩ S_B| / |S_A| ≥ threshold —
     * the asymmetric overlap that catches a document EMBEDDED inside a
@@ -988,6 +1016,94 @@ object Dedup {
     * bucketed by band_key). Output: (id_a = new doc, id_b = index doc,
     * jaccard) at or above `threshold`.
     */
+  /** Bucket count for the hash-bucketed standing-state layout
+    * ([[appendBucketed]] / [[readProbedBuckets]] — the s20 band index
+    * keyed by band_key and shingle state keyed by doc_id). MUST stay
+    * fixed for the lifetime of one state directory — the bucket is
+    * `hash(key) % buckets`, so mixing counts within one directory
+    * would send probes to the wrong buckets and silently DROP
+    * candidates (at scale, changing it is an offline re-bucketing
+    * compaction, not a config flip). Env-parameterised
+    * (`SPARK_GRAFT_S20_BUCKETS`) because the right value is
+    * SCALE-DERIVED, not constant: B ≈ ⌈index bytes / target bucket
+    * bytes⌉ with a ~512 MB bucket target (guide §6 file sizing / §2
+    * scale-adaptive partitioning). At the bench SFs the whole index is
+    * a few MB, so the derivation gives B = 1 — the default — and both
+    * helpers below take a zero-overhead single-bucket fast path (no
+    * bucket-set job, no dynamic-partition write), keeping the sweep
+    * byte-comparable with r17 (measured: the full machinery at B=64
+    * costs +13 s on the 8.7 s sf0.1 sweep in per-batch constants that
+    * only amortize at scale). The multi-bucket path is pinned by
+    * BucketedStateSpec, oracle-verified at sf0.01 with B=64, and
+    * growth-gated by the stream_dedup_index_bucketed ScaleProbe row
+    * (B = 128·scale, micro-batch probe).
+    */
+  val indexBuckets: Int =
+    sys.env.getOrElse("SPARK_GRAFT_S20_BUCKETS", "1").toInt
+
+  /** Deterministic key → bucket assignment (guide §2.5: derived hash,
+    * never rand()): equal keys always share a bucket, so pruning to
+    * the probe's buckets can never drop a matching row.
+    */
+  def stateBucket(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets.toLong)).cast("int")
+
+  /** Append rows into the `keyCol`-bucketed standing state at `dir`
+    * (layout: `bucket=<k>/part-*.parquet`). The repartition puts each
+    * bucket's rows in one task so a batch appends at most one file per
+    * touched bucket instead of tasks × buckets small files (guide §6
+    * output sizing).
+    */
+  def appendBucketed(df: DataFrame, dir: String, keyCol: String,
+      buckets: Int = indexBuckets): Unit = {
+    if (buckets == 1)
+      // single-bucket fast path: same bucket=0/ layout, none of the
+      // dynamic-partition write machinery (every key hashes to 0)
+      df.write.mode("append")
+        .parquet(new java.io.File(dir, "bucket=0").getAbsolutePath)
+    else
+      df.withColumn("bucket", stateBucket(col(keyCol), buckets))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(dir)
+    ()
+  }
+
+  /** The standing state at `dir` restricted to the buckets the probe
+    * keys hash into — the per-batch probe reads ONLY the probed bucket
+    * directories (guide §6 bucketing / §2.4 prune instead of scan), so
+    * probe I/O is bounded by the BATCH's key set times the per-bucket
+    * size, not by the standing-state size. Exact: the bucket is a
+    * function of the key, so every state row that could equi-match a
+    * probe key lives in a probed bucket.
+    *
+    * `probeKeys`: single-column frame of the batch's key values.
+    * `emptyLike` supplies schema and column order when no probed
+    * bucket exists yet (first batch; rare keys) — the same builder
+    * over an empty corpus. The bucket-set collect is bounded by
+    * `buckets` by construction (post-distinct), so the guard is a
+    * structural invariant, not a tunable.
+    */
+  def readProbedBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      probeKeys: DataFrame,
+      emptyLike: DataFrame,
+      buckets: Int = indexBuckets): DataFrame = {
+    val key = col(probeKeys.columns.head)
+    val bks: Seq[Int] =
+      if (buckets == 1) Seq(0) // every key hashes to 0: no probe job
+      else DriverModel.collectBounded(
+        probeKeys.select(stateBucket(key, buckets).as("bucket")).distinct(),
+        "Dedup.readProbedBuckets", maxRows = buckets)
+        .map(_.getInt(0)).toSeq
+    val cols = emptyLike.columns.toIndexedSeq.map(col)
+    val dirs = bks.sorted
+      .map(b => new java.io.File(dir, s"bucket=$b"))
+      .filter(_.isDirectory).map(_.getAbsolutePath)
+    if (dirs.isEmpty) emptyLike.select(cols: _*)
+    else spark.read.parquet(dirs: _*).select(cols: _*)
+  }
+
   def verifiedIndexDups(
       newBands: DataFrame,
       newShingles: DataFrame,

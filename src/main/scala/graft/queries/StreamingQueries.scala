@@ -1596,10 +1596,15 @@ object StreamingQueries extends QueryGroup {
     *
     * Scale shape: per batch, signature work is scan-stage over the
     * batch only; the index probe is an equi-join on (band_id,
-    * band_key) against a standing table that production would bucket
-    * by band_key (here parquet re-read per batch — state lives in
-    * files, not the driver); verification joins shingle sets for
-    * CANDIDATES only. Nothing driver-side ever holds corpus state.
+    * band_key) against a standing table BUCKETED by band_key (r18 —
+    * `bucket=<hash(band_key)%B>/` parquet layout, probe reads only the
+    * batch's own buckets), and the shingle verify reads only the
+    * candidate ids' buckets of a doc_id-bucketed shingle state;
+    * verification joins shingle sets for CANDIDATES only. Probe I/O is
+    * batch-bounded, not index-bounded (the
+    * stream_dedup_index_bucketed ScaleProbe row pins the growth), and
+    * nothing driver-side ever holds corpus state (the bucket-set
+    * collects are bounded by the bucket count).
     */
   private val streamNearDedup = Q(
     "s20_stream_near_dedup",
@@ -1628,10 +1633,16 @@ object StreamingQueries extends QueryGroup {
             .coalesce(1).write.mode("overwrite")
             .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
         }
-        // standing state starts empty WITH the right schemas
+        // the shingle state starts empty WITH the right schema; the
+        // band index needs no anchor write since r18 — it is hash-
+        // BUCKETED by band_key (r17 verdict task 1; layout
+        // bucket=<hash(band_key)%B>/, appended per admitted batch),
+        // and the per-batch probe reads only the bucket dirs the
+        // batch's own band keys hash into, with this empty frame as
+        // the no-buckets-yet schema
         val none = docs.filter(lit(false))
         D.portableShingles(none).write.parquet(shDir)
-        D.portableMinHashBands(D.portableShingles(none)).write.parquet(idxDir)
+        val emptyBands = D.portableMinHashBands(D.portableShingles(none))
         val admit = (batchRaw: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             _: Long) => {
           val batch = batchRaw.persist()
@@ -1644,8 +1655,20 @@ object StreamingQueries extends QueryGroup {
             // per-batch admission through Frames.s20Admission — the
             // SAME builder the PlanQualitySpec streaming sweep audits,
             // so the audited lineage IS the executed lineage
+            // bucket-pruned index probe — admission is UNCHANGED (the
+            // prune only removes index rows whose band_key equals no
+            // batch key): the index read is bounded by the batch's own
+            // band keys times per-bucket size, not by the index size.
+            // The shingle state stays a flat read: its consumer is
+            // already candidate-semi-filtered before aggregating, and
+            // pruning its SCAN needs the candidate ids — a second
+            // probe job per batch that r18 measured at +123% sweep
+            // time at sf0.1 (OPTIMIZATION_r18.md) for a read the
+            // admission bounds anyway
+            val idxProbed = D.readProbedBuckets(s, idxDir,
+              bandsN.select(col("band_key")), emptyBands)
             val (_, _, _, admitted) = Frames.s20Admission(batch, shN,
-              bandsN, s.read.parquet(idxDir), s.read.parquet(shDir))
+              bandsN, idxProbed, s.read.parquet(shDir))
             admitted
               .select(pmod(col("doc_id"), lit(3)).cast("int").as("batch_no"),
                 col("doc_id"))
@@ -1657,8 +1680,9 @@ object StreamingQueries extends QueryGroup {
               .select(col("doc_id"))
             shN.join(admIds, Seq("doc_id"), "left_semi")
               .write.mode("append").parquet(shDir)
-            bandsN.join(admIds, Seq("doc_id"), "left_semi")
-              .write.mode("append").parquet(idxDir)
+            D.appendBucketed(
+              bandsN.join(admIds, Seq("doc_id"), "left_semi"), idxDir,
+              "band_key")
           } finally {
             bandsN.unpersist(); shN.unpersist(); batch.unpersist(); ()
           }

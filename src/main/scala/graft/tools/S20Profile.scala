@@ -66,8 +66,10 @@ object S20Profile {
       }
       val none = docs.filter(lit(false))
       D.portableShingles(none).write.parquet(shDir)
-      D.portableMinHashBands(D.portableShingles(none)).write.parquet(idxDir)
     }
+    // the r18 bucketed band-index schema anchor (matches the query)
+    val emptyBands =
+      D.portableMinHashBands(D.portableShingles(docs.filter(lit(false))))
     var batchNo = -1
     val admit = (batchRaw: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
         _: Long) => {
@@ -77,9 +79,12 @@ object S20Profile {
       val bandsN = D.portableMinHashBandsFromDocs(batch).persist()
       try {
         timed(s"b$batchNo.adm") {
+          // the query's bucket-pruned index probe, step for step
+          val idxProbed = D.readProbedBuckets(s, idxDir,
+            bandsN.select(col("band_key")), emptyBands)
           val (_, _, _, admitted) = StreamingQueries.Frames
-            .s20Admission(batch, shN, bandsN,
-              s.read.parquet(idxDir), s.read.parquet(shDir))
+            .s20Admission(batch, shN, bandsN, idxProbed,
+              s.read.parquet(shDir))
           admitted
             .select(pmod(col("doc_id"), lit(3)).cast("int").as("batch_no"),
               col("doc_id"))
@@ -91,8 +96,9 @@ object S20Profile {
             .select(col("doc_id"))
           shN.join(admIds, Seq("doc_id"), "left_semi")
             .write.mode("append").parquet(shDir)
-          bandsN.join(admIds, Seq("doc_id"), "left_semi")
-            .write.mode("append").parquet(idxDir)
+          D.appendBucketed(
+            bandsN.join(admIds, Seq("doc_id"), "left_semi"), idxDir,
+            "band_key")
         }
       } finally { bandsN.unpersist(); shN.unpersist(); batch.unpersist(); () }
     }
