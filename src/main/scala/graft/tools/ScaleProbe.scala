@@ -78,9 +78,10 @@ object ScaleProbe {
     "doremi_mixture", "domain_ablation", "embed_decontam", "rank_fusion",
     "contrastive_mine", "ann_recall_eval", "bitext_margin",
     "eval_allocation", "token_waterfill", "stream_3way_join",
-    "stream_ckpt_restart", "stream_dedup_index", "stream_token_quota",
+    "stream_ckpt_restart", "stream_dedup_index",
+    "stream_dedup_index_bucketed", "stream_token_quota",
     "bt_reward_train", "doc_influence", "bm25_retrieval",
-    "bm25_nopersist", "length_tvd", "minhash_est_eval",
+    "bm25_nopersist", "bm25_native", "length_tvd", "minhash_est_eval",
     "ivf_probe_sweep", "cent_occupancy", "containment_dedup",
     "punctuated_windows", "cc_chain_rounds",
     "asof_nearest_bucketed", "epoch_shuffle_plan", "split_leakage",
@@ -605,6 +606,58 @@ object ScaleProbe {
         .count()
     })
 
+    // ---- the r18 BUCKETED band index (the layout the shipped s20
+    // runs): bucketed by band_key with bucket count ∝ index size (the
+    // production regime — per-bucket size constant, so the probe's
+    // index I/O is batch-bounded at ANY index size). Staged OUTSIDE
+    // the timed probe, like s20Dirs.
+    lazy val s20BucketedDirs: Map[Int, (String, String, Int)] = {
+      val base = tempDir("graft_probe_s20b_")
+      Seq(1, 4, 8).map { c =>
+        val buckets = 128 * c
+        val corpus = (0 until c).map { i =>
+          val shifted = t.documents
+            .withColumn("doc_id", col("doc_id") + lit(i * s20Step))
+          if (i == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), " ", s" zq$i "))
+        }.reduce(_ union _)
+        val shDir = new java.io.File(base, s"sh$c").getAbsolutePath
+        Dedup.portableShingles(corpus).write.parquet(shDir)
+        val idxDir = new java.io.File(base, s"idx$c").getAbsolutePath
+        Dedup.appendBucketed(
+          Dedup.portableMinHashBandsFromDocs(corpus), idxDir,
+          "band_key", buckets)
+        c -> (idxDir, shDir, buckets)
+      }.toMap
+    }
+
+    probe("stream_dedup_index_bucketed", c => {
+      val (idxDir, shDir, buckets) = s20BucketedDirs(c)
+      // a MICRO-batch (8 base docs, fresh ids — the streaming regime
+      // where the standing index dwarfs each batch) probed through the
+      // shipped bucket-pruned path: the index read touches only the
+      // batch's own band-key buckets, so its cost stays batch-bounded
+      // as the index grows 8× — the sub-linearity the flat re-read row
+      // above cannot show. The residual growth axis is the shingle
+      // stand-in's semi-filtered scan, which the admission bounds
+      // after the scan (candidates are fixed across scales here).
+      val batch = t.documents.filter(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + lit(100L * s20Step))
+      val shN = Dedup.portableShingles(batch)
+      val bandsN = Dedup.portableMinHashBandsFromDocs(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val emptyBands = Dedup.portableMinHashBands(
+          Dedup.portableShingles(t.documents.filter(lit(false))))
+        val idxProbed = Dedup.readProbedBuckets(spark, idxDir,
+          bandsN.select(col("band_key")), emptyBands, buckets)
+        Dedup.verifiedIndexDups(bandsN, shN, idxProbed,
+          spark.read.parquet(shDir), 0.5)
+          .count()
+      } finally { bandsN.unpersist(); () }
+    })
+
     probe("stream_token_quota", c => {
       // s25's shape: 3 contiguous id-range batches (maxFilesPerTrigger=1
       // forces one micro-batch per staged file, so the per-source state
@@ -660,9 +713,12 @@ object ScaleProbe {
     probe("bm25_retrieval", c =>
       // fixed 5-query set against a growing corpus: posting lists grow
       // with the replicas, so time should track corpus size while the
-      // per-query candidate work stays posting-bounded
+      // per-query candidate work stays posting-bounded. Measures the
+      // EXPLODED inverted-index formulation (the > 64-query fallback
+      // and the native path's property-test reference) — the shipped
+      // ≤ 64-query path is the bm25_native row below
       graft.operators.Retrieval
-        .bm25MoreLikeThis(replicate(t.documents, "doc_id", c),
+        .bm25ExplodedJoin(replicate(t.documents, "doc_id", c),
           nQueries = 5L, k = 5)
         .count())
 
@@ -674,8 +730,18 @@ object ScaleProbe {
       // redundant corpus explodes) — the growth-ratio gap between the
       // two rows is the crossover evidence PLANS.md cites
       graft.operators.Retrieval
-        .bm25MoreLikeThis(replicate(t.documents, "doc_id", c),
+        .bm25ExplodedJoin(replicate(t.documents, "doc_id", c),
           nQueries = 5L, k = 5, materializeTf = false)
+        .count())
+
+    probe("bm25_native", c =>
+      // the SHIPPED n86/n94 path since r18: query-bounded model
+      // (guarded collects) + one native scoring pass — growth should
+      // track the scan, with no tf shuffle/persist to grow super-
+      // linearly; the gap vs bm25_retrieval is the collapse evidence
+      graft.operators.Retrieval
+        .bm25MoreLikeThis(replicate(t.documents, "doc_id", c),
+          nQueries = 5L, k = 5)
         .count())
 
     probe("length_tvd", c =>
