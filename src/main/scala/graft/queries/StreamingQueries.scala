@@ -108,6 +108,40 @@ object StreamingQueries extends QueryGroup {
     spark.table(name)
   }
 
+  /** Stage the deterministic arrival slices of a staged-source query
+    * in ONE source pass (r18, guide §2.4: the per-slice filter loop
+    * re-scanned the source once per slice, plus once more for any
+    * bound aggregate): rows are routed by `sliceCol` into `k=<n>/`
+    * partition dirs; the repartition puts each slice in one task so
+    * each slice stays a single file, and the slice column never enters
+    * the data files, so the staged schema is unchanged. Slice
+    * MEMBERSHIP is unchanged too — `sliceCol` is each site's old
+    * filter predicate solved for k — and within-slice row order is
+    * free at every site (set-oriented batches or handlers that sort
+    * in-batch; see each site's contract note).
+    */
+  private def stageSlices(df: DataFrame,
+      sliceCol: org.apache.spark.sql.Column, stage: java.io.File): Unit = {
+    df.withColumn("k", sliceCol.cast("int"))
+      .repartition(col("k"))
+      .write.mode("overwrite").partitionBy("k")
+      .parquet(stage.getAbsolutePath)
+    ()
+  }
+
+  /** Copy slice k's staged files into the live source dir. An empty
+    * slice stages NO directory — it feeds no batch, which emits
+    * nothing, exactly what the per-slice writer's empty file produced.
+    */
+  private def feedSlice(stage: java.io.File, in: java.io.File, k: Int): Unit =
+    Option(new java.io.File(stage, s"k=$k").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(in, s"b$k-${f.getName}").toPath)
+        ()
+      }
+
   /** Pre-sink streaming frames (and, for the foreachBatch queries,
     * batch-shaped interior frames built through the SAME shared
     * operator functions on stand-in inputs), extracted so that each
@@ -1627,12 +1661,10 @@ object StreamingQueries extends QueryGroup {
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val docs = Tables(s, dir).documents
-        // deterministic arrival slices: batch k = doc_id ≡ k (mod 3)
-        (0 to 2).foreach { k =>
-          docs.filter(pmod(col("doc_id"), lit(3)) === k)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
-        }
+        // deterministic arrival slices: batch k = doc_id ≡ k (mod 3),
+        // staged in one corpus pass (admission is set-oriented per
+        // batch, so within-slice row order is free)
+        stageSlices(docs, pmod(col("doc_id"), lit(3)), stage)
         // the shingle state starts empty WITH the right schema; the
         // band index needs no anchor write since r18 — it is hash-
         // BUCKETED by band_key (r17 verdict task 1; layout
@@ -1696,11 +1728,7 @@ object StreamingQueries extends QueryGroup {
           .start()
         try {
           (0 to 2).foreach { k =>
-            new java.io.File(stage, k.toString).listFiles()
-              .filter(_.getName.endsWith(".parquet")).foreach { f =>
-                java.nio.file.Files.copy(f.toPath,
-                  new java.io.File(in, s"b$k-${f.getName}").toPath)
-              }
+            feedSlice(stage, in, k)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -1864,13 +1892,11 @@ object StreamingQueries extends QueryGroup {
         val docs = Tables(s, dir).documents
         val baseSnap = docs.select(col("doc_id"), col("text"))
         baseSnap.write.parquet(snapDir(0))
-        // deterministic arrival slices of the n69 changeset
+        // deterministic arrival slices of the n69 changeset, staged in
+        // one pass (changeset application is keyed per batch, so
+        // within-slice row order is free)
         val changes = NorthStar4.mergeChangeset(docs)
-        (0 to 2).foreach { k =>
-          changes.filter(pmod(col("doc_id"), lit(3)) === k)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
-        }
+        stageSlices(changes, pmod(col("doc_id"), lit(3)), stage)
         var version = 0
         val apply = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             _: Long) => {
@@ -1892,11 +1918,7 @@ object StreamingQueries extends QueryGroup {
           .start()
         try {
           (0 to 2).foreach { k =>
-            new java.io.File(stage, k.toString).listFiles()
-              .filter(_.getName.endsWith(".parquet")).foreach { f =>
-                java.nio.file.Files.copy(f.toPath,
-                  new java.io.File(in, s"b$k-${f.getName}").toPath)
-              }
+            feedSlice(stage, in, k)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -2026,12 +2048,10 @@ object StreamingQueries extends QueryGroup {
         // is doc_id order — the order the oracle's window sums in
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         val cut = maxId / 3 + 1
-        (0 to 2).foreach { k =>
-          docs.filter(col("doc_id") >= k * cut &&
-              col("doc_id") < (k + 1) * cut)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
-        }
+        // one staging pass; slice k = doc_id div cut — the old range
+        // filter solved for k (the quota handler sorts by id in-batch,
+        // so within-slice row order is free)
+        stageSlices(docs, expr(s"doc_id div ${cut}L"), stage)
         val out = Frames.s25Quota(s, s.readStream
           .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
           .option("pathGlobFilter", "*.parquet")
@@ -2043,11 +2063,7 @@ object StreamingQueries extends QueryGroup {
           .start()
         try {
           (0 to 2).foreach { k =>
-            new java.io.File(stage, k.toString).listFiles()
-              .filter(_.getName.endsWith(".parquet")).foreach { f =>
-                java.nio.file.Files.copy(f.toPath,
-                  new java.io.File(in, s"b$k-${f.getName}").toPath)
-              }
+            feedSlice(stage, in, k)
             q.processAllAvailable()
           }
         } finally q.stop()
@@ -2248,14 +2264,13 @@ object StreamingQueries extends QueryGroup {
           .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val cut = (hi - lo) / 3 + 1
-        (0 to 2).foreach { k =>
-          ev.filter(unix_micros(col("ts")) >= lo + k * cut &&
-              unix_micros(col("ts")) < lo + (k + 1) * cut)
-            .coalesce(1).write.mode("overwrite")
-            .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
-        }
+        // one staging pass; slice k = (tsm − lo) div cut — the old
+        // range filter solved for k (the CUSUM handler sorts by
+        // (tsm, event_id) in-batch, so within-slice row order is free)
+        stageSlices(ev,
+          expr(s"(unix_micros(ts) - ${lo}L) div ${cut}L"), stage)
         val schema = s.read
-          .parquet(new java.io.File(stage, "0").getAbsolutePath).schema
+          .parquet(new java.io.File(stage, "k=0").getAbsolutePath).schema
         val out = Frames.s31Path(s,
           s.readStream.schema(schema)
             .option("pathGlobFilter", "*.parquet")
@@ -2267,11 +2282,7 @@ object StreamingQueries extends QueryGroup {
           .start()
         try {
           (0 to 2).foreach { k =>
-            new java.io.File(stage, k.toString).listFiles()
-              .filter(_.getName.endsWith(".parquet")).foreach { f =>
-                java.nio.file.Files.copy(f.toPath,
-                  new java.io.File(in, s"b$k-${f.getName}").toPath)
-              }
+            feedSlice(stage, in, k)
             q.processAllAvailable()
           }
         } finally q.stop()

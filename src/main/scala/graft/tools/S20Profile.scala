@@ -59,11 +59,11 @@ object S20Profile {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = Tables(s, dir).documents
     timed("stage") {
-      (0 to 2).foreach { k =>
-        docs.filter(pmod(col("doc_id"), lit(3)) === k)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(new java.io.File(stage, k.toString).getAbsolutePath)
-      }
+      // the query's one-pass slice staging (StreamingQueries.stageSlices)
+      docs.withColumn("k", pmod(col("doc_id"), lit(3)).cast("int"))
+        .repartition(col("k"))
+        .write.mode("overwrite").partitionBy("k")
+        .parquet(stage.getAbsolutePath)
       val none = docs.filter(lit(false))
       D.portableShingles(none).write.parquet(shDir)
     }
@@ -111,7 +111,7 @@ object S20Profile {
       .start()
     (0 to 2).foreach { k =>
       timed(s"b$k.copy") {
-        new java.io.File(stage, k.toString).listFiles()
+        new java.io.File(stage, s"k=$k").listFiles()
           .filter(_.getName.endsWith(".parquet")).foreach { f =>
             java.nio.file.Files.copy(f.toPath,
               new java.io.File(in, s"b$k-${f.getName}").toPath)
