@@ -244,43 +244,63 @@ object Dedup {
       // a true pair.
       .filter(col("rn") <=
         floor(lit(1.0 - threshold) * col("n_sh") + lit(1e-9)).cast("int") + 1)
-      // per-key SALT factor ⌈df/saltDf⌉ rides the prefix row (df is
-      // already joined in): 1 — a no-op — until a shingle's document
-      // frequency crosses [[saltDf]]. A dup-heavy corpus puts the SAME
-      // common shingle in millions of prefixes (near-identical docs
-      // have near-identical df orderings), and the candidate self-join
-      // below then cross-products f² pairs inside ONE task — the
-      // guide-§2.5 single-giant-key skew AQE cannot split. Salting
-      // splits that key's build side ⌈df/saltDf⌉ ways and replicates
-      // the probe side to match: same pairs, same output, f²/k per
-      // task (r17 verdict task 6).
-      .select(col("doc_id"), col("sh_hash"),
-        greatest(lit(1L), ceil(col("df").cast("double") /
-          lit(saltThreshold.toDouble)).cast("long")).as("fac"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aSide = prefix.select(col("doc_id"), col("sh_hash"),
-      pmod(xxhash64(col("doc_id")), col("fac")).as("salt"))
-    val bSide = prefix.select(col("doc_id"), col("sh_hash"),
-      explode(sequence(lit(0L), col("fac") - 1)).as("salt"))
-    val candidates = aSide.as("a")
-      .join(bSide.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
-        col("a.salt") === col("b.salt"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    graft.DiamondCaches.register(prefix,
+    val (cachedPrefix, candidates) =
+      if (saltThreshold <= 0) {
+        // UNsalted: both join sides are the SAME persisted frame, so
+        // the sh_hash exchange is planned once and reused — the
+        // zero-overhead local shape (the salted plan's distinct sides
+        // cost two exchanges + a Generate: measured +10-17% cold on
+        // n22/n130 at sf0.1 for a salt that binds nowhere there)
+        val p = prefix.select("doc_id", "sh_hash")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (p, p.as("a")
+          .join(p.as("b"), col("a.sh_hash") === col("b.sh_hash"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct())
+      } else {
+        // SALTED: per-key factor ⌈df/saltThreshold⌉ rides the prefix
+        // row (df is already joined in) — 1 until a shingle's document
+        // frequency crosses the threshold. A dup-heavy corpus puts the
+        // SAME common shingle in millions of prefixes (near-identical
+        // docs have near-identical df orderings) and the self-join
+        // cross-products f² pairs inside ONE task — the guide-§2.5
+        // single-giant-key skew AQE cannot split. Salting splits that
+        // key's build side ⌈df/saltThreshold⌉ ways and replicates the
+        // probe side to match: same pairs, f²/k per task (r17 verdict
+        // task 6; SaltedCandidateSpec pins salted == unsalted).
+        val p = prefix.select(col("doc_id"), col("sh_hash"),
+          greatest(lit(1L), ceil(col("df").cast("double") /
+            lit(saltThreshold.toDouble)).cast("long")).as("fac"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val aSide = p.select(col("doc_id"), col("sh_hash"),
+          pmod(xxhash64(col("doc_id")), col("fac")).as("salt"))
+        val bSide = p.select(col("doc_id"), col("sh_hash"),
+          explode(sequence(lit(0L), col("fac") - 1)).as("salt"))
+        (p, aSide.as("a")
+          .join(bSide.as("b"), col("a.sh_hash") === col("b.sh_hash") &&
+            col("a.salt") === col("b.salt"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct())
+      }
+    graft.DiamondCaches.register(cachedPrefix,
       verifyJaccard(candidates, tok, threshold))
   }
 
   /** Document-frequency threshold past which a prefix shingle's
-    * candidate self-join is salted (split ⌈df/saltDf⌉ ways). Pure
-    * parallelism insurance — pairs are identical with or without it.
-    * The local default binds NOWHERE at the bench SFs (measured max
-    * shingle df at sf0.1 is 25), so every bench plan keeps factor 1
-    * and zero replication; production tunes it to the per-task pair
-    * budget (a key with df = f costs ~f²/⌈f/saltDf⌉ pairs per task).
+    * candidate self-join is salted (split ⌈df/saltThreshold⌉ ways);
+    * ≤ 0 disables the salt entirely. Pure parallelism insurance —
+    * pairs are identical either way (spec-pinned). DISABLED locally
+    * because it cannot bind at the bench SFs (measured max shingle df
+    * at sf0.1 is 25) while its plan machinery costs two exchanges
+    * where the unsalted self-join reuses one (measured +10-17% cold on
+    * n22/n130); a dup-heavy production corpus enables it sized to the
+    * per-task pair budget (a key with df = f costs ~f²/⌈f/saltDf⌉
+    * pairs per task; e.g. SPARK_GRAFT_SALT_DF=65536 bounds a task at
+    * ~4·10⁹ comparisons).
     */
-  val saltDf: Int = sys.env.getOrElse("SPARK_GRAFT_SALT_DF", "1024").toInt
+  val saltDf: Int = sys.env.getOrElse("SPARK_GRAFT_SALT_DF", "0").toInt
 
   /** Directed CONTAINMENT pairs: |S_A ∩ S_B| / |S_A| ≥ threshold —
     * the asymmetric overlap that catches a document EMBEDDED inside a

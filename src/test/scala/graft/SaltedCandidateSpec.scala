@@ -33,14 +33,21 @@ class SaltedCandidateSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(2)))
     }.toSeq.sorted
 
-  test("salted (binding) == unsalted pairs, bit-exact") {
+  test("salted (binding) == disabled pairs, bit-exact") {
     val D = graft.operators.Dedup
     val salted = canon(D.jaccardPairsOn(tok, 0.5, saltThreshold = 2))
-    val plain = canon(D.jaccardPairsOn(tok, 0.5,
-      saltThreshold = Int.MaxValue))
-    assert(salted == plain)
+    val disabled = canon(D.jaccardPairsOn(tok, 0.5, saltThreshold = 0))
+    assert(salted == disabled)
     // the corpus really produces the 45 identical-doc pairs
     assert(salted.size == 45)
+  }
+
+  test("salted machinery at a non-binding threshold is also exact") {
+    val D = graft.operators.Dedup
+    val noop = canon(D.jaccardPairsOn(tok, 0.5,
+      saltThreshold = Int.MaxValue)) // factor ≡ 1 everywhere
+    val disabled = canon(D.jaccardPairsOn(tok, 0.5, saltThreshold = 0))
+    assert(noop == disabled)
   }
 
   test("salted join finds exactly the identical-doc pairs") {
