@@ -38,6 +38,18 @@ object GraftSession {
       // Same lever per executor JVM on a cluster.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // drop the per-plan stage id from generated class names
+      // (default true, debugging aid only — SPARK-23032): with the id
+      // baked in, two textually identical stages at different plan
+      // positions can NEVER share a codegen-cache entry, so every CC
+      // round / repeated pipeline fragment recompiled per position.
+      // CcCodegen receipts (docs/PLANS.md r18): n58 first-touch Janino
+      // compiles 146 → 130 and first-touch wall 25.3 → 20.0 s in the
+      // same regime; back-to-back re-execution compiles 4 → 0 (the
+      // residual misses were positional aliases of cached stages).
+      // Per-JVM, transfers to executor JVMs unchanged.
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID_IN_NAME", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     installOptimizations(spark)

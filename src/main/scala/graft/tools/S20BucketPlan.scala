@@ -45,10 +45,14 @@ object S20BucketPlan {
         .distinct()
       val qe = probe.queryExecution
       val n = qe.executedPlan.executeCollect().length
-      val probed = "bucket=[0-9]+".r
-        .findAllIn(qe.executedPlan.toString).toSet.size
+      // the plan string truncates the Location path list; the path
+      // COUNT of the index scan's InMemoryFileIndex is the receipt
+      val probed = """InMemoryFileIndex\((\d+) paths\)\[[^\]]*bucket=""".r
+        .findFirstMatchIn(qe.executedPlan.toString)
+        .map(_.group(1)).getOrElse("?")
       println(s"=== bucketed index probe: B=$buckets, bucket dirs " +
-        s"present=$total, probed in scan=$probed, candidate rows=$n ===")
+        s"present=$total, probed dirs in scan=$probed, " +
+        s"candidate rows=$n ===")
       println(qe.executedPlan.toString)
     } finally {
       def rm(f: java.io.File): Unit = {
